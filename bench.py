@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark the headline query set.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+The headline set covers every operator family (scan/agg/join/window/
+topk/setop/json/array/dedup/text/similarity/events) but excludes the
+deliberately-quadratic correctness baselines (dedup_embedding_cosine)
+at bench scale — their scale-path twins (ann_lsh_bucket,
+dedup_minhash_lsh) are benched instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from deep_field_spark.queries import load_registry
+from deep_field_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "scan_filter_project",
+    "join_inner_dim",
+    "join_semi",
+    "join_anti",
+    "topk_per_group",
+    "window_running_total",
+    "window_rank_lag",
+    "rollup_flag_status",
+    "cube_status_priority",
+    "distinct_counts",
+    "set_ops_customers",
+    "string_funcs",
+    "date_funcs",
+    "json_extract_events",
+    "array_funcs_embeddings",
+    "asof_join_purchases",
+    "sessionize_events",
+    "events_tumbling_hourly",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_token_stats",
+    "text_quality_score",
+    "text_fingerprint",
+    "knn_brute_force",
+    "ann_lsh_bucket",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    reg = load_registry()
+    spark = get_spark("deep_field_spark_bench")
+
+    # warm the JVM + parquet footers once so timings measure the queries
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        q = reg[name]
+        t0 = time.perf_counter()
+        n = q.fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""Testdata catalog: load and register the TPC-H-ish synthetic tables.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet file each under
+``/root/testdata/sf{0.001,0.01,0.1}``.
+
+Scale design: every loader is a plain ``spark.read.parquet`` so Catalyst
+gets predicate pushdown + column pruning into the scan; at 100 TB these
+would be partitioned/bucketed Parquet directories and the same code holds
+(the path just points at the table root).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Small dimension tables that should always be broadcast when joined
+# against a fact table (at any scale these stay tiny relative to facts).
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table; name must be in TABLES."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return fix_nanos_ts(df)
+
+
+def fix_nanos_ts(df: DataFrame) -> DataFrame:
+    """Convert TIMESTAMP(NANOS)-as-long columns (see session.py's
+    nanosAsLong conf) back to µs timestamps. The synthetic data has no
+    sub-µs component, so ns DIV 1000 is exact."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for spark.sql queries)."""
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

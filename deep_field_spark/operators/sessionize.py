@@ -1,0 +1,28 @@
+"""Batch sessionization: lag + running sum of gap-breaks.
+
+One shuffle (partition by user), two window passes over the same
+partitioning (Spark reuses the sort). The streaming twin is
+``session_window`` in streaming/windows.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(df: DataFrame, user_col: str, ts_col: str, gap_minutes: int,
+               tiebreak_col: str) -> DataFrame:
+    """Add a 1-based ``session_id`` per user: a new session starts when
+    the gap since the previous event exceeds ``gap_minutes``."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    prev_ts = F.lag(ts_col).over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)) > gap_minutes * 60),
+        1,
+    ).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )

@@ -1,0 +1,187 @@
+"""Deduplication query surface over the documents / embeddings corpus.
+
+Spark implementations live in operators/dedup.py; each query here pairs
+one with a DuckDB oracle that replays the identical hash arithmetic
+(md5 family — bit-identical across engines), so even MinHash banding is
+exactly hash-checkable, not just "approximately similar".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions import vectors
+from ..operators import dedup as D
+from . import register
+from .text import TOKS_SQL
+
+NGRAM = 3
+NUM_HASHES = 8
+BANDS = 4
+MINHASH_THRESHOLD = 0.3
+JACCARD_THRESHOLD = 0.3
+COSINE_THRESHOLD = 0.8
+
+_SHINGLES_CTE = f"""
+    t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(toks) >= {NGRAM}
+                       THEN list_transform(range(1, len(toks) - {NGRAM - 2}),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                       ELSE CAST([] AS VARCHAR[]) END) AS shingles
+           FROM t),
+    shf AS (SELECT * FROM sh WHERE len(shingles) > 0)
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, md5(text) AS digest
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup: hash-groupBy on the text digest, keep lowest id. "
+        "One shuffle on the digest; partial agg halves the traffic.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (SELECT doc_id, shingles,
+                   list_transform(range(0, {NUM_HASHES}),
+                        s -> list_aggregate(list_transform(shingles,
+                             x -> md5(CAST(s AS VARCHAR) || '|' || x)), 'min')) AS sig
+            FROM shf),
+    banded AS (SELECT doc_id, shingles,
+                      unnest(range(0, {BANDS})) AS band
+               FROM sig),
+    keyed AS (SELECT b.doc_id, b.shingles, b.band,
+                     md5(s.sig[2*b.band + 1] || '|' || s.sig[2*b.band + 2]) AS key
+              FROM banded b JOIN sig s USING (doc_id)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.shingles AS sa, b.shingles AS sb
+             FROM keyed a JOIN keyed b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa, sb))), 6) AS jaccard
+    FROM cand
+    WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa, sb))) >= {MINHASH_THRESHOLD}
+    """,
+    doc="MinHash+LSH near-dup pairs: shingle → 8-hash signature → 4 "
+        "bands → candidate pairs by band-key equi-join → exact Jaccard "
+        "verify. The 100 TB dedup path: candidate volume is tuned by "
+        "(bands, rows), never O(n²).",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        ngram=NGRAM,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        threshold=MINHASH_THRESHOLD,
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shf),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_int
+              FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM shf)
+    SELECT id_a, id_b,
+           round(CAST(n_int AS DOUBLE) / (sa.n + sb.n - n_int), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_int AS DOUBLE) / (sa.n + sb.n - n_int) >= {JACCARD_THRESHOLD}
+    """,
+    doc="Exact n-gram Jaccard pairs via inverted-index join on shingles "
+        "(docs only meet if they share a shingle — no cross product).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), "text", "doc_id",
+        ngram=NGRAM, threshold=JACCARD_THRESHOLD,
+    )
+
+
+def _simhash_bits_sql() -> str:
+    hi = "('8','9','a','b','c','d','e','f')"
+    terms = [
+        f"CASE WHEN list_aggregate(list_transform(uniq, t -> CASE WHEN "
+        f"substring(md5(t), {i + 1}, 1) IN {hi} THEN 1 ELSE -1 END), 'sum') > 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i in range(16)
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    u AS (SELECT doc_id, list_distinct(toks) AS uniq FROM t WHERE len(toks) > 0)
+    SELECT doc_id, CAST({_simhash_bits_sql()} AS INT) AS simhash
+    FROM u
+    """,
+    doc="16-bit SimHash per document (bit-majority over token hashes); "
+        "near-dups are pairs within small hamming distance — banding on "
+        "the two 8-bit halves gives the candidate join at scale.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    from ..functions import texting
+
+    tok = texting.tokens(F.col("text"))
+    d = docs.select("doc_id", tok.alias("toks")).filter(F.size("toks") > 0)
+    return d.select("doc_id", texting.simhash16(F.col("toks")).cast("int").alias("simhash"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+                 / (sqrt(list_aggregate(list_transform(a.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                    * sqrt(list_aggregate(list_transform(b.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+          / (sqrt(list_aggregate(list_transform(a.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+             * sqrt(list_aggregate(list_transform(b.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) >= {COSINE_THRESHOLD}
+    """,
+    doc="Embedding near-dup pairs: brute-force cosine (the correctness "
+        "baseline). The scale path is the LSH-bucketed variant in "
+        "similarity.py — same math, bucketed candidate generation.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = vectors.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= COSINE_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cos, 4).alias("cos_sim"),
+        )
+    )

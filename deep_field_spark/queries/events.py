@@ -1,0 +1,109 @@
+"""Event-stream queries: batch window aggregations and their
+Structured Streaming twins (SURVEY.md §2.9 parity surface).
+
+The batch and streaming forms share oracles where the semantics are
+identical on a bounded input (tumbling counts, session windows,
+stateful per-key counts) — the driver therefore hash-checks the
+streaming operators too, not just rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..streaming import windows as SW
+from . import register
+
+TUMBLING_ORACLE = """
+    SELECT date_trunc('hour', ts) AS wstart, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+"""
+
+SESSION_ORACLE = """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sids AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked)
+    SELECT min(ts) AS session_start, user_id, count(*) AS n_events
+    FROM sids GROUP BY user_id, sid
+"""
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle=TUMBLING_ORACLE,
+    doc="Batch tumbling-window aggregation (epoch-aligned 1h windows == "
+        "date_trunc); partial aggregation collapses each partition to "
+        "#windows × #types rows before the shuffle.",
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("window.start").alias("wstart"), "event_type", "n", "sum_value")
+    )
+
+
+@register(
+    "events_sliding_30m",
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts) // 1800000000 - off) * 1800000000) AS wstart,
+           count(*) AS n
+    FROM events, unnest([0, 1]) AS t(off)
+    GROUP BY 1
+    """,
+    doc="Sliding windows (1h wide, 30m slide): each event lands in "
+        "exactly two windows; Spark's window() expands via Expand — "
+        "shuffle volume is 2× the tumbling case, not a range join.",
+)
+def events_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("wstart"), "n")
+    )
+
+
+@register(
+    "streaming_tumbling_hourly",
+    oracle=TUMBLING_ORACLE,
+    doc="Structured Streaming twin of events_tumbling_hourly: "
+        "watermarked windowed agg driven to completion over the static "
+        "parquet (memory sink); same result set ⇒ same oracle.",
+)
+def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SW.tumbling_counts(spark, sf_dir, "1 hour")
+
+
+@register(
+    "streaming_session_window",
+    oracle=SESSION_ORACLE,
+    doc="session_window(gap=30m) per user in streaming mode; equivalent "
+        "to the batch lag+cumsum sessionization on bounded input.",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SW.session_window_counts(spark, sf_dir, "30 minutes")
+
+
+@register(
+    "streaming_stateful_counts",
+    oracle="SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id",
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+        "running per-user counts; on a single micro-batch the final "
+        "state equals the batch groupBy.",
+)
+def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SW.stateful_user_counts(spark, sf_dir)

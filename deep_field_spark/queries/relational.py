@@ -1,0 +1,762 @@
+"""Relational query surface: scans, filters, joins (all types), hash
+aggregation, grouping sets/rollup/cube, windows, top-k, set ops,
+scalar string/date/JSON/array functions.
+
+Parity map (SURVEY.md §2): the reference has point-lookup joins
+(J1-J5), existence anti-joins (P9/J3), window sequencing (W1-W4) and
+scalar transforms (F1-F15); the general relational operators are its
+(parity) surface. Each query here is the Spark-idiomatic form —
+declarative DataFrame/SQL, broadcast hints for dims, unique tie-breaks
+on every window order.
+
+Scale notes are inline per query; the common rules: dims broadcast,
+fact-fact joins shuffle on join keys only after filters (pushdown),
+aggregates rely on partial aggregation, top-k is TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.asof import asof_join_backward
+from ..operators.sessionize import sessionize
+from ..operators.topk import top_k_per_group
+from . import register
+
+DATE_1998 = "1998-09-02"
+
+
+def _r2(c):
+    return F.round(c, 2)
+
+
+def _dsum(c, nd: int = 2):
+    """Order-independent money sum: per-row cast to DECIMAL(18,6) (exact,
+    deterministic), exact decimal sum, then round — bit-identical to the
+    DuckDB oracle regardless of partial-agg ordering."""
+    return F.round(F.sum(c.cast("decimal(18,6)")).cast("double"), nd)
+
+
+def _davg(c, nd: int = 4):
+    """Order-independent average: exact decimal sum / non-null count."""
+    return F.round(F.sum(c.cast("decimal(18,6)")).cast("double") / F.count(c), nd)
+
+
+def _dsum_sql(x: str, nd: int = 2) -> str:
+    return f"round(CAST(sum(CAST({x} AS DECIMAL(18,6))) AS DOUBLE), {nd})"
+
+
+def _davg_sql(x: str, nd: int = 4) -> str:
+    return f"round(CAST(sum(CAST({x} AS DECIMAL(18,6))) AS DOUBLE) / count({x}), {nd})"
+
+
+# ---------------------------------------------------------------- Q1
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{DATE_1998} 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary: full-scan groupBy with 8 aggregates; "
+        "partial aggregation makes the shuffle 6 rows per partition.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(DATE_1998).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r2(F.sum("l_quantity")).alias("sum_qty"),
+            _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r2(F.sum(disc_price)).alias("sum_disc_price"),
+            _r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- Q3
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3: selective dim filter → broadcast customer into orders, "
+        "shuffle join to lineitem on orderkey, top-10 via TakeOrdered.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------- Q5
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+                  JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 star join: every dim broadcast; the only shuffle left "
+        "is lineitem↔orders on orderkey + the final tiny groupBy.",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+# ------------------------------------------------------- scan/filter
+@register(
+    "scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           round(l_extendedprice * (1 - l_discount), 2) AS net_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+      AND l_quantity > 45
+    """,
+    doc="Projection+selection; both the date predicates and the column "
+        "set reach the parquet scan (PushedFilters / ReadSchema).",
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+        & (F.col("l_quantity") > 45)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        _r2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+# ------------------------------------------------------------ joins
+@register(
+    "join_inner_dim",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, n_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderstatus = 'P'
+    """,
+    doc="Broadcast hash join chain orders→customer→nation (dims stay "
+        "under the broadcast threshold at any realistic scale).",
+)
+def join_inner_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("o_orderkey", "o_totalprice", "c_name", "n_name")
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+    """,
+    doc="Left outer join with a join-side predicate (kept in the ON "
+        "clause, not the WHERE — semantics differ).",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey) & (orders.o_orderpriority == "1-URGENT"),
+        "left",
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+    doc="Left-semi join (EXISTS): reference parity for the existence "
+        "checks at nodes.py:38-39 — set-based, no row probes.",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    urgent = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Left-anti join (NOT EXISTS): the Spark form of the reference's "
+        "frontier dedup (SURVEY.md J3/P9).",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_theta_self",
+    oracle="""
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+     AND abs(a.p_retailprice - b.p_retailprice) < 10
+    """,
+    doc="Theta self-join: equi component (brand) carries the hash "
+        "partitioning; the inequality is a residual filter — never a "
+        "cartesian product.",
+)
+def join_theta_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = table(spark, sf_dir, "part").alias("a")
+    b = table(spark, sf_dir, "part").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (F.abs(F.col("a.p_retailprice") - F.col("b.p_retailprice")) < 10),
+        )
+        .select(F.col("a.p_partkey").alias("part_a"), F.col("b.p_partkey").alias("part_b"))
+    )
+
+
+@register(
+    "join_range_events",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    """,
+    doc="Interval self-join (events within 5 min of an earlier event, "
+        "same user): equi on user_id + residual range; at 100 TB the "
+        "time-bucketed variant (operators.asof.range_join_bucketed) "
+        "bounds the per-key fan-out.",
+)
+def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = table(spark, sf_dir, "events").alias("a")
+    b = table(spark, sf_dir, "events").alias("b")
+    a_us = F.unix_micros(F.col("a.ts"))
+    b_us = F.unix_micros(F.col("b.ts"))
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (b_us > a_us)
+            & (b_us <= a_us + 300 * 1_000_000),
+        )
+        .select(F.col("a.event_id").alias("id_a"), F.col("b.event_id").alias("id_b"))
+    )
+
+
+# ---------------------------------------------------------- windows
+@register(
+    "window_running_total",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(sum(l_extendedprice)
+                 OVER (PARTITION BY l_suppkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_rev
+    FROM lineitem
+    WHERE l_suppkey <= 3
+    """,
+    doc="Running sum per supplier; unique (orderkey, linenumber) "
+        "tie-break makes the rows-frame deterministic.",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 3)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        _r2(F.sum("l_extendedprice").over(w)).alias("running_rev"),
+    )
+
+
+@register(
+    "window_rank_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           lag(o_totalprice) OVER w            AS prev_price,
+           round(o_totalprice - coalesce(lag(o_totalprice) OVER w, 0), 2) AS delta
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="Ranking + analytic functions in one window pass (reference "
+        "parity: play_num W1 and pitcher-change lag W3, SURVEY.md §2.5).",
+)
+def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        prev.alias("prev_price"),
+        _r2(F.col("o_totalprice") - F.coalesce(prev, F.lit(0))).alias("delta"),
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             CAST(row_number() OVER (PARTITION BY c_nationkey
+                        ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+      FROM customer)
+    WHERE rn <= 3
+    """,
+    doc="Top-3 customers by balance per nation — windowed top-k, the "
+        "per-group form of TakeOrderedAndProject.",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select("c_nationkey", "c_custkey", "c_acctbal")
+    out = top_k_per_group(
+        cust, ["c_nationkey"], [F.col("c_acctbal").desc(), F.col("c_custkey")], 3
+    )
+    return out.withColumn("rn", F.col("rn").cast("long"))
+
+
+@register(
+    "global_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+    doc="Global top-k: Catalyst plans TakeOrderedAndProject (heap per "
+        "partition + merge), no full sort at scale.",
+)
+def global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+# ------------------------------------------------- grouping variants
+@register(
+    "rollup_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP: hierarchical subtotals in one pass (Catalyst expands to "
+        "a single Expand + hash aggregate — not one scan per level).",
+)
+def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _r2(F.sum("l_quantity")).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over two low-cardinality dims.",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        _r2(F.sum("o_totalprice")).alias("sum_price"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "grouping_sets_sql",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="GROUPING SETS via the SQL surface (same Catalyst Expand plan).",
+)
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "distinct_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_cust,
+           count(*)                  AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Distinct aggregate: Catalyst plans a two-phase partial-distinct "
+        "expand; exact (the approx twin is approx_distinct, rows-only).",
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "approx_distinct",
+    oracle=None,  # HLL sketches differ across engines — rows-only check
+    doc="approx_count_distinct (HyperLogLog++): the 100 TB path for "
+        "distinct counting — constant memory, one pass, no expand.",
+)
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "pivot_flag_status",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Pivot with explicit value list (no extra distinct-values job).",
+)
+def pivot_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_returnflag").pivot("l_linestatus", ["O", "F"]).sum("l_quantity")
+    return out.select("l_returnflag", _r2(F.col("O")).alias("O"), _r2(F.col("F")).alias("F"))
+
+
+# ---------------------------------------------------------- set ops
+@register(
+    "set_ops_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+    doc="INTERSECT (distinct semantics) — customers placing both urgent "
+        "and low-priority orders.",
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return urgent.intersect(low)
+
+
+@register(
+    "set_ops_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    doc="EXCEPT: 1995 customers who vanished in 1996 (churn set).",
+)
+def set_ops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.subtract(y96)
+
+
+# ------------------------------------------------- scalar functions
+@register(
+    "string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                                   AS upper_name,
+           substring(c_name, 10, 9)                        AS cust_num,
+           CAST(length(c_name) AS INT)                     AS name_len,
+           regexp_replace(c_name, '0+', '#', 'g')          AS squeezed,
+           concat(c_mktsegment, ':', c_name)               AS tagged,
+           CAST(strpos(c_name, '#') AS INT)                AS hash_pos
+    FROM customer
+    """,
+    doc="String function battery (parity for F1-F3/F13-F14 name "
+        "surgery): all JVM-side expressions, no UDF.",
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("upper_name"),
+        F.substring("c_name", 10, 9).alias("cust_num"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.regexp_replace("c_name", "0+", "#").alias("squeezed"),
+        F.concat_ws(":", "c_mktsegment", "c_name").alias("tagged"),
+        F.instr(F.col("c_name"), "#").cast("int").alias("hash_pos"),
+    )
+
+
+@register(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate)  AS INT)       AS order_year,
+           CAST(month(o_orderdate) AS INT)       AS order_month,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_ts,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT)
+             AS days_since_epoch_start
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+    doc="Date/timestamp battery (parity F9/F10 date parsing targets).",
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_epoch_start"),
+    )
+
+
+@register(
+    "json_extract_events",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="JSON prop extraction from events.props (parity: array/map/json "
+        "functions, SURVEY.md §2.8) — from_json with explicit schema, "
+        "then aggregate on the extracted field.",
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k BIGINT").alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.col("p.k")).alias("sum_k"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "array_funcs_embeddings",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           round(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 4) AS sq_norm,
+           round(CAST(embedding[1] AS DOUBLE), 4) AS first_val
+    FROM embeddings
+    """,
+    doc="Array functions over array<float> embeddings: size, transform+"
+        "aggregate (index-ordered double accumulation → portable).",
+)
+def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(sq, 4).alias("sq_norm"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+    )
+
+
+# ------------------------------------------------ sequence operators
+@register(
+    "asof_join_purchases",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT max(p.ts) FROM events p
+            WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+              AND p.ts <= e.ts) AS ts_asof
+    FROM events e
+    """,
+    doc="As-of join (backward): latest purchase at-or-before each event, "
+        "per user. Union+window formulation — one shuffle on user_id, "
+        "linear scan; no native as-of in vanilla Spark (SURVEY.md §2.3 "
+        "J6-J11 parity).",
+)
+def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = asof_join_backward(
+        ev, purchases, on="user_id", left_ts="ts", right_ts="ts", value_cols=[]
+    )
+    return out.select("event_id", "user_id", "ts", "ts_asof")
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    SELECT user_id, CAST(max(sid) AS INT) AS n_sessions, count(*) AS n_events
+    FROM (
+      SELECT user_id,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS sid
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id)) > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events))
+    GROUP BY user_id
+    """,
+    doc="Batch sessionization (30-min gap): lag + running sum (parity "
+        "for the reference's stateful sequencing A4/W1-W3, re-expressed "
+        "set-wise; streaming twin = session_window).",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    s = sessionize(ev, "user_id", "ts", 30, "event_id")
+    return s.groupBy("user_id").agg(
+        F.max("session_id").cast("int").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "correlated_scalar_subquery",
+    oracle="""
+    SELECT p_partkey, p_retailprice,
+           round((SELECT avg(l_extendedprice) FROM lineitem
+                  WHERE l_partkey = p_partkey), 2) AS avg_sold_price
+    FROM part
+    """,
+    doc="Correlated scalar subquery (Catalyst de-correlates to an "
+        "aggregate + left outer join — the set-based form of the "
+        "reference's per-row point lookups J1).",
+)
+def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("part", "lineitem"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_retailprice,
+               round((SELECT avg(l_extendedprice) FROM lineitem
+                      WHERE l_partkey = p_partkey), 2) AS avg_sold_price
+        FROM part
+        """
+    )

@@ -1,0 +1,167 @@
+"""Text-analysis operators over the documents corpus.
+
+Training-data pipeline surface: token counting, quality scoring,
+language-ID heuristic, document fingerprinting. All pure column
+expressions (whole-stage codegen, no Python) — on 100 TB these run at
+scan speed, bounded by parquet IO.
+
+The oracle SQL mirrors the exact arithmetic (shared md5 hash family,
+index-ordered accumulation) so every query is hash-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions import texting
+from . import register
+
+# DuckDB fragments mirroring functions/texting.py
+TOKS_SQL = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')"
+STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in texting.EN_STOPWORDS) + "]"
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INT)                AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INT) AS n_uniq,
+           round(CAST(list_aggregate(list_transform(toks, x -> CAST(len(x) AS DOUBLE)),
+                 'sum') AS DOUBLE) / len(toks), 4) AS avg_tok_len
+    FROM t WHERE len(toks) > 0
+    """,
+    doc="Whitespace token counting + type/token stats per document.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = texting.tokens(F.col("text"))
+    d = docs.select("doc_id", tok.alias("toks")).filter(F.size("toks") > 0)
+    total_len = F.aggregate(
+        F.col("toks"), F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
+    )
+    return d.select(
+        "doc_id",
+        F.size("toks").cast("int").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("int").alias("n_uniq"),
+        F.round(total_len / F.size("toks"), 4).alias("avg_tok_len"),
+    )
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS INT) AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="BPE-ish regex token counting (letters / digits / punct runs) — "
+        "regexp_extract_all, no tokenizer library needed.",
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).cast("int").alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars, {TOKS_SQL} AS toks,
+             strlen(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS n_alpha,
+             strlen(text) AS n_raw
+      FROM documents)
+    SELECT doc_id,
+           round(CAST(n_alpha AS DOUBLE) / n_raw, 4) AS alpha_ratio,
+           round(CAST(len(list_filter(toks, x -> list_contains({STOPWORDS_SQL}, x)))
+                      AS DOUBLE) / len(toks), 4)     AS stopword_ratio,
+           CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1 ELSE 0 END AS len_ok
+    FROM t WHERE len(toks) > 0
+    """,
+    doc="Quality scoring: alpha ratio, stopword ratio, length gate — the "
+        "C4-style heuristic filters, as scan-speed expressions.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = texting.tokens(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        "n_chars",
+        tok.alias("toks"),
+        F.octet_length(F.regexp_replace("text", "[^a-zA-Z ]", "")).alias("n_alpha"),
+        F.octet_length("text").alias("n_raw"),
+    ).filter(F.size("toks") > 0)
+    stop_arr = F.array(*[F.lit(w) for w in texting.EN_STOPWORDS])
+    n_stop = F.size(F.filter(F.col("toks"), lambda x: F.array_contains(stop_arr, x)))
+    return d.select(
+        "doc_id",
+        F.round(F.col("n_alpha").cast("double") / F.col("n_raw"), 4).alias("alpha_ratio"),
+        F.round(n_stop.cast("double") / F.size("toks"), 4).alias("stopword_ratio"),
+        F.when(F.col("n_chars").between(100, 5000), 1).otherwise(0).alias("len_ok"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN CAST(len(list_filter(toks, x -> list_contains({STOPWORDS_SQL}, x)))
+                     AS DOUBLE) / len(toks) > 0.05
+                THEN 'en' ELSE 'other' END AS pred_lang
+    FROM t WHERE len(toks) > 0
+    """,
+    doc="Language-ID heuristic (stopword-density n-gram proxy); at scale "
+        "a per-language stopword table broadcast-joins in, same shape.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = texting.tokens(F.col("text"))
+    d = docs.select("doc_id", "lang", tok.alias("toks")).filter(F.size("toks") > 0)
+    stop_arr = F.array(*[F.lit(w) for w in texting.EN_STOPWORDS])
+    ratio = F.size(F.filter(F.col("toks"), lambda x: F.array_contains(stop_arr, x))).cast(
+        "double"
+    ) / F.size("toks")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(ratio > 0.05, "en").otherwise("other").alias("pred_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    s AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 4
+                      THEN list_transform(range(1, len(toks) - 2),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                      ELSE CAST([] AS VARCHAR[]) END AS sh
+          FROM t)
+    SELECT doc_id,
+           list_aggregate(list_transform(list_distinct(sh), x -> md5(x)), 'min')
+             AS fingerprint,
+           CAST(len(list_distinct(sh)) AS INT) AS n_shingles
+    FROM s WHERE len(sh) > 0
+    """,
+    doc="Document fingerprint: min-hash over 4-gram shingles (winnowing "
+        "lite) — one stable digest per doc for fast dup candidate keys.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = texting.tokens(F.col("text"))
+    sh = F.array_distinct(texting.word_ngrams(tok, 4))
+    d = docs.select("doc_id", sh.alias("sh")).filter(F.size("sh") > 0)
+    return d.select(
+        "doc_id",
+        F.array_min(F.transform(F.col("sh"), lambda x: F.md5(x))).alias("fingerprint"),
+        F.size("sh").cast("int").alias("n_shingles"),
+    )

@@ -1,0 +1,98 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video content rides as a ``binary`` column with a metadata
+struct; decode / feature-extract run as Arrow-batched ``mapInPandas``
+operators. The decode step is STUBBED (no image/audio libs in this
+container): ``decode_payload`` raises NotImplementedError unless
+``fake=True``, in which case a deterministic md5-derived feature vector
+stands in — the Spark-side plumbing (schema, batch shape, partitioning)
+is real and tested either way.
+
+At 100 TB the payload column dominates IO: keep it in its own parquet
+column (never in the shuffle key), push metadata predicates down so
+payload bytes are only read for surviving rows, and size
+``spark.sql.files.maxPartitionBytes`` so one task holds a bounded
+number of payloads in memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("n_bytes", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_DIM = 8
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("feat", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def binary_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a binary-payload table from documents.text (the
+    container has no real media; utf-8 bytes stand in for payloads)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.octet_length("text").cast("int").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _fake_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a decoded feature vector: first
+    FEATURE_DIM bytes of md5(payload), scaled to [0, 1)."""
+    digest = hashlib.md5(payload).digest()
+    return [b / 256.0 for b in digest[:FEATURE_DIM]]
+
+
+def decode_payload(payload: bytes, mime: str):
+    """Real decode entry point — unimplemented in this container."""
+    raise NotImplementedError(
+        f"no media codec available for {mime!r}; install a decoder or use fake=True"
+    )
+
+
+def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Arrow delivers each partition as pandas batches; one python worker
+    per task, payload bytes never cross the driver.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if fake:
+                feats = [_fake_features(p) for p in pdf["payload"]]
+            else:
+                feats = [decode_payload(p, m["mime"]) for p, m in zip(pdf["payload"], pdf["meta"])]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feat": feats})
+
+    return df.mapInPandas(op, schema=FEATURE_SCHEMA)

@@ -1,0 +1,130 @@
+"""Structured Streaming operators over the events stream.
+
+The reference is batch-only (SURVEY.md §2.9); this is the (parity)
+streaming surface: watermarked tumbling/sliding windows, session
+windows, and custom stateful processing via applyInPandasWithState.
+
+For tests/oracle runs a static parquet directory drives the stream to
+completion synchronously (memory sink + processAllAvailable) — the
+same topology runs against Kafka/files on a cluster by swapping the
+source; watermarks are declared so the plan is append-capable in
+production even where the local check uses complete mode.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType, StructField, StructType, TimestampType,
+)
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """The file stream source needs a directory; expose the single
+    events.parquet through a symlinked temp dir (testdata is RO)."""
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "dfs_stream", sf_dir.strip("/").replace("/", "_"))
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import fix_nanos_ts
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = spark.readStream.schema(schema).format("parquet").load(_stream_dir(sf_dir))
+    return fix_nanos_ts(raw)
+
+
+def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
+    name = f"stream_out_{uuid.uuid4().hex[:10]}"
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = agg.sparkSession
+    # Materialize before the in-memory sink table goes away.
+    out = spark.table(name)
+    out = spark.createDataFrame(out.collect(), out.schema) if out.isStreaming is False else out
+    return out
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str, width: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window counts per event_type."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("wstart"), "event_type", "n", "sum_value"
+    )
+
+
+def session_window_counts(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (gap-merged), counts per session."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("session_window.start").alias("session_start"), "user_id", "n_events"
+    )
+
+
+_STATE_SCHEMA = StructType([StructField("n", LongType())])
+_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+
+def _count_state(key, pdfs, state: GroupState):
+    n = state.get[0] if state.exists else 0
+    last_ts = None
+    for pdf in pdfs:
+        n += len(pdf)
+        mx = pdf["ts"].max()
+        last_ts = mx if last_ts is None else max(last_ts, mx)
+    state.update((n,))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "last_ts": [last_ts]})
+
+
+def stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: running per-user event counts via
+    applyInPandasWithState (the Python stateful-processing surface —
+    (flat)MapGroupsWithState is Scala-only)."""
+    ev = events_stream(spark, sf_dir).select("user_id", "ts")
+    agg = ev.groupBy("user_id").applyInPandasWithState(
+        _count_state,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(agg, "update")
+    return out.select("user_id", "n_events")
