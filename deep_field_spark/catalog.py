@@ -25,11 +25,23 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one table; name must be in TABLES."""
+    """Read one table; name must be in TABLES.
+
+    Self-sufficient wrt session configuration: events.parquet carries
+    TIMESTAMP(NANOS) which vanilla Spark rejects (PARQUET_TYPE_ILLEGAL),
+    so the nanosAsLong legacy conf is set at runtime here — the driver
+    hands us an externally built SparkSession that never saw session.py.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    ensure_nanos_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return fix_nanos_ts(df)
+
+
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """Runtime-set the TIMESTAMP(NANOS)-as-long reader conf (idempotent)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
 def fix_nanos_ts(df: DataFrame) -> DataFrame:

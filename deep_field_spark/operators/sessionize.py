@@ -17,9 +17,12 @@ def sessionize(df: DataFrame, user_col: str, ts_col: str, gap_minutes: int,
     the gap since the previous event exceeds ``gap_minutes``."""
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
     prev_ts = F.lag(ts_col).over(w)
+    # Microsecond-precision gap test (unix_timestamp truncates to whole
+    # seconds and would disagree with epoch_us oracles on sub-second gaps).
+    gap_us = gap_minutes * 60 * 1_000_000
     new_session = F.when(
         prev_ts.isNull()
-        | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)) > gap_minutes * 60),
+        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)) > gap_us),
         1,
     ).otherwise(0)
     return df.withColumn(

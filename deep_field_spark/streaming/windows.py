@@ -33,14 +33,19 @@ def _stream_dir(sf_dir: str) -> str:
     d = os.path.join(tempfile.gettempdir(), "dfs_stream", sf_dir.strip("/").replace("/", "_"))
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
+    target = f"{sf_dir}/events.parquet"
+    # Recreate rather than trust a stale/broken symlink from a prior run.
+    if os.path.islink(link) and os.readlink(link) != target:
+        os.remove(link)
     if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+        os.symlink(target, link)
     return d
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..catalog import fix_nanos_ts
+    from ..catalog import ensure_nanos_conf, fix_nanos_ts
 
+    ensure_nanos_conf(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = spark.readStream.schema(schema).format("parquet").load(_stream_dir(sf_dir))
     return fix_nanos_ts(raw)
@@ -58,11 +63,11 @@ def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    spark = agg.sparkSession
-    # Materialize before the in-memory sink table goes away.
-    out = spark.table(name)
-    out = spark.createDataFrame(out.collect(), out.schema) if out.isStreaming is False else out
-    return out
+    # Return the sink table directly — no driver-side collect round-trip.
+    # The memory sink is the local oracle harness only; the production
+    # topology is the same plan with writeStream.format("parquet"/"kafka")
+    # + append mode, where watermarks bound state store size.
+    return agg.sparkSession.table(name)
 
 
 def tumbling_counts(spark: SparkSession, sf_dir: str, width: str = "1 hour") -> DataFrame:
