@@ -37,11 +37,106 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return keep.select(id_col, "digest")
 
 
+def shingle_expr(text_col: str, ngram: int) -> F.Column:
+    """Distinct word-ngram shingle array for a text column."""
+    return F.array_distinct(
+        texting.word_ngrams(texting.tokens(F.col(text_col)), ngram)
+    )
+
+
 def shingled(df: DataFrame, text_col: str, id_col: str, ngram: int) -> DataFrame:
-    tok = texting.tokens(F.col(text_col))
+    return df.select(F.col(id_col), shingle_expr(text_col, ngram).alias("shingles"))
+
+
+def exploded_shingles(df: DataFrame, text_col: str, id_col: str, ngram: int) -> DataFrame:
+    """(id, shingle) rows — explode applied to the full inline shingle
+    expression in ONE select.
+
+    Plan-shape note (measured ~8× at sf0.1): exploding a *previously
+    aliased* array column makes InferFiltersFromGenerate push a
+    ``size(...) > 0`` filter below the projection with the whole
+    tokenize+shingle expression inlined — the corpus gets tokenized
+    twice across a codegen boundary. With explode directly over the
+    inline expression the plan keeps one evaluation.
+    """
     return df.select(
-        F.col(id_col),
-        F.array_distinct(texting.word_ngrams(tok, ngram)).alias("shingles"),
+        F.col(id_col), F.explode(shingle_expr(text_col, ngram)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    exploded: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
+    """MinHash signature per doc from (id, shingle) rows: project
+    ``num_hashes`` plain md5 columns per row, then groupBy-min.
+
+    This is the 100 TB form: every stage is whole-stage-codegen'd
+    projection + partial hash aggregation (map-side combine shrinks
+    the shuffle to one row per doc). The nested higher-order-function
+    form (transform over sequence over array_min over transform)
+    evaluated the full signature expression per *row use* and cost
+    ~132 s per materialization at sf0.1; this computes it once,
+    linearly. Same md5 arithmetic → same oracle.
+    """
+    hashed = exploded.select(
+        id_col,
+        *[
+            F.md5(F.concat(F.lit(str(seed)), F.lit("|"), F.col("shingle"))).alias(f"h{seed}")
+            for seed in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{seed}").alias(f"h{seed}") for seed in range(num_hashes)]
+    )
+
+
+def band_keyed(sig: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
+    """(id, band, key) — md5 of each ``rows``-wide signature slice."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(id_col, F.explode(band_structs).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def bucket_pairs(banded: DataFrame, id_col: str) -> DataFrame:
+    """Distinct candidate (id_a, id_b) pairs from LSH buckets.
+
+    One pass: groupBy bucket → sorted id set → in-bucket combinations
+    via array transforms. No self-join, so the (possibly expensive)
+    upstream of ``banded`` is computed exactly once — the round-1 form
+    evaluated it on both join sides. Pair volume is inherently
+    quadratic in bucket size (same as a self-join); band/row tuning is
+    what bounds bucket size at scale.
+    """
+    ids = F.sort_array(F.collect_set(F.col(id_col)))
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(combos).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -55,32 +150,26 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding, verified by exact
-    Jaccard >= threshold. Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    Jaccard >= threshold. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Pipeline: shingle → set-based signature (minhash_signatures) →
+    band keys → slim id-only candidate pairs (bucket_pairs) → re-join
+    the shingle arrays only for the final Jaccard verify, so heavy
+    arrays never ride through the candidate shuffle.
+    """
     rows = num_hashes // bands
-    sh = shingled(df, text_col, id_col, ngram).filter(F.size("shingles") > 0)
-    sig = sh.select(
-        id_col,
-        "shingles",
-        texting.band_keys(texting.minhash_sig(F.col("shingles"), num_hashes), bands, rows).alias("bk"),
+    sig = minhash_signatures(
+        exploded_shingles(df, text_col, id_col, ngram), id_col, num_hashes
     )
-    banded = sig.select(id_col, "shingles", F.explode("bk").alias("bk")).select(
-        id_col, "shingles", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(b, on=["band", "key"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    banded = band_keyed(sig, id_col, bands, rows)
+    cand = bucket_pairs(banded, id_col)
+    sh = shingled(df, text_col, id_col, ngram)
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
-        cand.withColumn("jaccard", texting.jaccard(F.col("sh_a"), F.col("sh_b")))
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", texting.jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -94,9 +183,10 @@ def ngram_jaccard_pairs(
     The join on shingle is the inverted index: only docs sharing at
     least one shingle ever meet, so the cross product never materializes.
     """
-    sh = shingled(df, text_col, id_col, ngram).filter(F.size("shingles") > 0)
-    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n"))
-    inv = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    inv = exploded_shingles(df, text_col, id_col, ngram)
+    # shingles are distinct, so the per-doc shingle-set size is just a
+    # count over the inverted index — no second pass over the text.
+    sizes = inv.groupBy(id_col).agg(F.count("*").alias("n"))
     a = inv.alias("a")
     b = inv.alias("b")
     inter = (
@@ -116,43 +206,113 @@ def ngram_jaccard_pairs(
     )
 
 
+SIMHASH_BITS = 32  # one vote bit per md5 hex digit; 16-bit mass-collides
+                   # at corpus scale (65k buckets), 32 is the useful floor
+
+
 def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Per-doc 16-bit simhash (portable to the SQL oracle)."""
+    """Per-doc 32-bit simhash (portable to the SQL oracle).
+
+    Set-based: explode distinct tokens, md5 each token ONCE, project 32
+    ±1 vote columns (top bit of each hex digit), groupBy-sum, then
+    assemble bits from the vote signs. The round-1 expression form (N
+    ``aggregate`` lambdas per row) re-hashed every token N× per row;
+    this is linear with partial aggregation. Docs with zero tokens drop
+    out (explode of empty), matching the oracle's ``len(toks) > 0``.
+    """
+    hi_digits = ["8", "9", "a", "b", "c", "d", "e", "f"]
     tok = texting.tokens(F.col(text_col))
-    return df.select(F.col(id_col), texting.simhash16(tok).alias("simhash"))
+    exploded = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tok)).alias("t")
+    ).select(id_col, F.md5("t").alias("h"))
+    votes = exploded.select(
+        id_col,
+        *[
+            F.when(F.substring("h", i + 1, 1).isin(hi_digits), 1)
+            .otherwise(-1)
+            .alias(f"v{i}")
+            for i in range(SIMHASH_BITS)
+        ],
+    )
+    agg = votes.groupBy(id_col).agg(
+        *[F.sum(f"v{i}").alias(f"v{i}") for i in range(SIMHASH_BITS)]
+    )
+    bits = sum(
+        (
+            F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+            for i in range(SIMHASH_BITS)
+        ),
+        start=F.lit(0).cast("long"),
+    )
+    return agg.select(F.col(id_col), bits.alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= radius.
+    """Near-dup pairs with hamming(simhash) <= max_hamming — FULL recall.
 
-    Blocked by the two 8-bit halves (pigeonhole: hamming<=3 pairs agree
-    on at least one half only when radius < 2 per half — for a guarantee
-    at radius r we'd split into r+1 blocks; with 2 blocks this is exact
-    for hamming <= 1 per-half misses; we therefore verify candidates
-    from BOTH half-matches and accept the tiny recall gap vs brute force
-    at radius > 1 in exchange for no O(n²)).
+    Pigeonhole blocking: the hash splits into ``max_hamming + 1`` equal
+    blocks; any pair within the radius agrees exactly on at least one
+    block, so bucketing on (block_index, block_value) finds every
+    qualifying pair with no O(n²) scan. (Round-1 version used 2 blocks,
+    which only guarantees radius 1; this generalizes.) At 64-bit scale
+    the same shape applies with 4×16-bit blocks for radius 3.
     """
+    nb = max_hamming + 1
+    width = SIMHASH_BITS // nb
     sh = simhash_table(df, text_col, id_col)
-    lo = sh.withColumn("block", F.col("simhash") % 256).withColumn("half", F.lit(0))
-    hi = sh.withColumn("block", (F.col("simhash") / 256).cast("int")).withColumn("half", F.lit(1))
-    blocked = lo.unionByName(hi)
-    a = blocked.alias("a")
-    b = blocked.alias("b")
-    cand = (
-        a.join(b, on=["half", "block"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                # bits [i*width, (i+1)*width) — last block takes the remainder
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(
+                    F.lit(
+                        (1 << (SIMHASH_BITS - i * width)) - 1
+                        if i == nb - 1
+                        else (1 << width) - 1
+                    ).cast("long")
+                )
+                .alias("val"),
+            )
+            for i in range(nb)
+        ]
+    )
+    blocked = sh.select(id_col, "simhash", F.explode(block_structs).alias("b")).select(
+        id_col, "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+    )
+    # One-pass bucket pair generation, carrying the (tiny) simhash
+    # payload so the signature aggregation runs exactly once — no
+    # self-join, no verify re-join.
+    members = F.sort_array(
+        F.collect_set(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")))
+    )
+    buckets = (
+        blocked.groupBy("blk", "val").agg(members.alias("ms")).filter(F.size("ms") > 1)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["sh"].alias("sh_a"),
+                    y["sh"].alias("sh_b"),
+                ),
+            ),
         )
+    )
+    cand = (
+        buckets.select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
         cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
     )
 
 

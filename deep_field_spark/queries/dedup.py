@@ -123,7 +123,7 @@ def _simhash_bits_sql() -> str:
         f"CASE WHEN list_aggregate(list_transform(uniq, t -> CASE WHEN "
         f"substring(md5(t), {i + 1}, 1) IN {hi} THEN 1 ELSE -1 END), 'sum') > 0 "
         f"THEN {1 << i} ELSE 0 END"
-        for i in range(16)
+        for i in range(32)
     ]
     return " + ".join(terms)
 
@@ -133,20 +133,39 @@ def _simhash_bits_sql() -> str:
     oracle=f"""
     WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
     u AS (SELECT doc_id, list_distinct(toks) AS uniq FROM t WHERE len(toks) > 0)
-    SELECT doc_id, CAST({_simhash_bits_sql()} AS INT) AS simhash
+    SELECT doc_id, CAST({_simhash_bits_sql()} AS BIGINT) AS simhash
     FROM u
     """,
-    doc="16-bit SimHash per document (bit-majority over token hashes); "
-        "near-dups are pairs within small hamming distance — banding on "
-        "the two 8-bit halves gives the candidate join at scale.",
+    doc="32-bit SimHash per document (bit-majority over token hashes); "
+        "near-dups are pairs within small hamming distance — pigeonhole "
+        "blocks give the candidate join at scale (dedup_simhash_pairs).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    from ..functions import texting
+    sh = D.simhash_table(docs, "text", "doc_id")
+    return sh.select("doc_id", F.col("simhash").cast("long").alias("simhash"))
 
-    tok = texting.tokens(F.col("text"))
-    d = docs.select("doc_id", tok.alias("toks")).filter(F.size("toks") > 0)
-    return d.select("doc_id", texting.simhash16(F.col("toks")).cast("int").alias("simhash"))
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    u AS (SELECT doc_id, list_distinct(toks) AS uniq FROM t WHERE len(toks) > 0),
+    s AS (SELECT doc_id, CAST({_simhash_bits_sql()} AS BIGINT) AS simhash FROM u)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="SimHash near-dup pairs within hamming<=3 via pigeonhole "
+        "blocking (4 blocks of 8 bits — any pair within radius agrees "
+        "on one block exactly, so recall is total without O(n²)). The "
+        "oracle brute-forces all pairs: identical output proves the "
+        "blocked plan loses nothing.",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, "text", "doc_id", max_hamming=3)
 
 
 @register(

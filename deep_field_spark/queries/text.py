@@ -156,12 +156,20 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lite) — one stable digest per doc for fast dup candidate keys.",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Set-based (explode → md5 → groupBy min/count): linear, partial-agg,
+    # no per-row array transform re-evaluation. The shingles are distinct
+    # (array_distinct) so count(*) == n_shingles.
+    # Single-select explode over the full inline expression — exploding
+    # a previously aliased array makes InferFiltersFromGenerate re-derive
+    # (and re-evaluate) the whole tokenize+shingle pipeline in a pushed
+    # filter; this shape keeps one evaluation (see operators/dedup.py).
     docs = table(spark, sf_dir, "documents")
-    tok = texting.tokens(F.col("text"))
-    sh = F.array_distinct(texting.word_ngrams(tok, 4))
-    d = docs.select("doc_id", sh.alias("sh")).filter(F.size("sh") > 0)
-    return d.select(
-        "doc_id",
-        F.array_min(F.transform(F.col("sh"), lambda x: F.md5(x))).alias("fingerprint"),
-        F.size("sh").cast("int").alias("n_shingles"),
+    sh = F.array_distinct(texting.word_ngrams(texting.tokens(F.col("text")), 4))
+    return (
+        docs.select("doc_id", F.explode(sh).alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.md5("s")).alias("fingerprint"),
+            F.count("*").cast("int").alias("n_shingles"),
+        )
     )
