@@ -57,6 +57,32 @@ def fix_nanos_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def read_csv(
+    spark: SparkSession, path: str, schema: str | None = None, header: bool = True
+) -> DataFrame:
+    """CSV source (SURVEY §2.1 closing note). With an explicit schema the
+    scan is single-pass; schema inference costs an extra full read, so
+    always pass one at scale. Predicate pushdown for CSV is limited to
+    partition pruning — land CSV into parquet early in any real pipeline.
+    """
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """JSON-lines source. Same schema discipline as read_csv; malformed
+    rows land in _corrupt_record (PERMISSIVE mode) rather than failing
+    the job — the quarantine-column pattern (SURVEY §2.11 E1/E2)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 

@@ -168,29 +168,104 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(docs, "text", "doc_id", max_hamming=3)
 
 
+def _cos_pair_sql() -> str:
+    return (
+        "list_aggregate(list_transform(range(1, len(a.embedding) + 1), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum') "
+        "/ (sqrt(list_aggregate(list_transform(a.embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) "
+        "* sqrt(list_aggregate(list_transform(b.embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"
+    )
+
+
+def _emb_bucket_sql() -> str:
+    from .similarity import _bucket_sql
+
+    return _bucket_sql("embeddings")
+
+
+# Multi-probe: own bucket + every 1-bit flip. Like the MinHash banding
+# oracle, the DuckDB twin replays the identical probe arithmetic, so
+# the check is exact — the LSH recall contract is part of the operator
+# definition, not a hidden approximation.
+def _probe_masks(n_planes: int | None = None) -> list[int]:
+    if n_planes is None:
+        from .similarity import N_PLANES as n_planes
+    return [0] + [1 << j for j in range(n_planes)]
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_aggregate(list_transform(range(1, len(a.embedding) + 1),
-                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
-                 / (sqrt(list_aggregate(list_transform(a.embedding,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-                    * sqrt(list_aggregate(list_transform(b.embedding,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_aggregate(list_transform(range(1, len(a.embedding) + 1),
-              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
-          / (sqrt(list_aggregate(list_transform(a.embedding,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-             * sqrt(list_aggregate(list_transform(b.embedding,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) >= {COSINE_THRESHOLD}
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_emb_bucket_sql()} AS bucket FROM embeddings),
+    probes AS (
+      SELECT vec_id, xor(bucket::BIGINT, unnest([{", ".join(str(m) for m in _probe_masks())}])::BIGINT) AS pb
+      FROM bucketed),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS id_a, t.vec_id AS id_b
+      FROM probes p JOIN bucketed t ON p.pb = t.bucket AND p.vec_id < t.vec_id)
+    SELECT id_a, id_b, round({_cos_pair_sql()}, 4) AS cos_sim
+    FROM cand JOIN embeddings a ON a.vec_id = id_a
+              JOIN embeddings b ON b.vec_id = id_b
+    WHERE {_cos_pair_sql()} >= {COSINE_THRESHOLD}
     """,
-    doc="Embedding near-dup pairs: brute-force cosine (the correctness "
-        "baseline). The scale path is the LSH-bucketed variant in "
-        "similarity.py — same math, bucketed candidate generation.",
+    doc="Embedding near-dup pairs, LSH-bucketed: deterministic random-"
+        "hyperplane bucket + 1-bit multi-probe candidates, exact cosine "
+        "verify inside candidates only. No O(n²) BroadcastNestedLoopJoin "
+        "anywhere in the plan; candidate volume ~ n²/2**n_planes. The "
+        "oracle replays the identical probe arithmetic so the result is "
+        "exactly hash-checked. Brute-force twin: "
+        "dedup_embedding_cosine_exact.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import DIM, N_PLANES
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bucketed = emb.select(
+        "vec_id",
+        vectors.hyperplane_sign_bucket(F.col("embedding"), DIM, N_PLANES).alias("bucket"),
+    )
+    probes = bucketed.select(
+        "vec_id",
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in _probe_masks(N_PLANES)])
+        ).alias("pb"),
+    )
+    cand = (
+        probes.join(
+            bucketed.select(F.col("vec_id").alias("id_b"), F.col("bucket").alias("tb")),
+            (F.col("pb") == F.col("tb")) & (F.col("vec_id") < F.col("id_b")),
+        )
+        .select(F.col("vec_id").alias("id_a"), "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    cos = vectors.cosine(F.col("e_a"), F.col("e_b"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .filter(cos >= COSINE_THRESHOLD)
+        .select("id_a", "id_b", F.round(cos, 4).alias("cos_sim"))
+    )
+
+
+@register(
+    "dedup_embedding_cosine_exact",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_cos_pair_sql()}, 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_cos_pair_sql()} >= {COSINE_THRESHOLD}
+    """,
+    doc="Brute-force cosine near-dup pairs — the TEST-SCALE oracle twin "
+        "of dedup_embedding_cosine (deliberately O(n²); excluded from "
+        "the bench headline; proves the bucketed path's recall on the "
+        "synthetic corpus).",
+)
+def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     a = emb.alias("a")
     b = emb.alias("b")
