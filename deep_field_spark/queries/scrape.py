@@ -1,0 +1,186 @@
+"""Driver-contract queries for the scrape-ETL surface.
+
+Two kinds:
+  - appearance_windows_events: the W1-W4 appearance formulation
+    (SURVEY §2.5) applied to the synthetic events table, where it is
+    fully SQL-expressible — so the exact window shapes that power the
+    fixture pipeline are hash-checked against DuckDB every round.
+  - scrape_star_*: the real fixture pipeline (reference HTML →
+    star schema). HTML parsing is not SQL-expressible, so these are
+    rows-only; their field-exact correctness is covered by the golden
+    and differential tests in tests/test_scrape_pipeline.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import register
+
+FIXTURES = "/root/reference/tests/scraping/resources"
+# the semantically hard fixtures: golden game + same-name pitcher +
+# father/son batters (kept small so the driver round stays fast)
+STAR_GAMES = ["WAS201710120", "BAL200705070", "SEA199105260"]
+
+
+@register(
+    "appearance_windows_events",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type,
+             CAST(row_number() OVER w - 1 AS BIGINT) AS seq_num,
+             lead(event_type) OVER w AS next_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN next_type IS NOT NULL AND event_type <> next_type
+                  THEN 1 ELSE 0 END AS changed
+      FROM ordered
+    )
+    SELECT user_id, event_id, seq_num,
+           CAST(row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY seq_num) - 1 AS BIGINT) AS appear_no,
+           CAST(coalesce(sum(changed) OVER (PARTITION BY user_id, event_type
+                                            ORDER BY seq_num
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                                     AND 1 PRECEDING), 0)
+                AS BIGINT) AS change_appear_no,
+           CAST(mod(row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY seq_num) - 1, 3) AS BIGINT) AS cycle_slot
+    FROM flagged
+    """,
+    doc="The reference's appearance semantics (W1-W4, SURVEY §2.5) as "
+        "oracle-checked windows over events: W1 per-user sequence "
+        "ordinal, W2 per-(user,type) appearance ordinal, W3 change-out "
+        "detection via lead + bounded running sum (the pitcher-switch "
+        "counter), W4 modulo cycling slot. The same expressions drive "
+        "the fixture-HTML pipeline (scraping/pipeline.resolve_plays).",
+)
+def appearance_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import table
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (F.row_number().over(w) - 1).cast("long").alias("seq_num"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    flagged = ordered.withColumn(
+        "changed",
+        F.when(
+            F.col("next_type").isNotNull() & (F.col("event_type") != F.col("next_type")), 1
+        ).otherwise(0),
+    )
+    aw = Window.partitionBy("user_id", "event_type").orderBy("seq_num")
+    cw = aw.rowsBetween(Window.unboundedPreceding, -1)
+    appear = (F.row_number().over(aw) - 1).cast("long")
+    return flagged.select(
+        "user_id",
+        "event_id",
+        "seq_num",
+        appear.alias("appear_no"),
+        F.coalesce(F.sum("changed").over(cw), F.lit(0)).cast("long").alias("change_appear_no"),
+        F.pmod(appear, F.lit(3)).cast("long").alias("cycle_slot"),
+    )
+
+
+@register(
+    "scrape_star_plays",
+    oracle=None,  # HTML parsing is not SQL-expressible; golden-tested
+    doc="The reference's own ETL end-to-end on its fixture HTML: cache "
+        "source → game-page parse UDF → appearance windows → star "
+        "build. Returns resolved plays keyed by (game, play_num) with "
+        "batter/pitcher name_ids. Field-exact goldens + a differential "
+        "check against a literal reference-code simulation live in "
+        "tests/test_scrape_pipeline.py.",
+)
+def scrape_star_plays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scraping import pipeline as P
+
+    rows = []
+    for nid in STAR_GAMES:
+        with open(f"{FIXTURES}/GamePage/{nid}.shtml", encoding="utf-8") as f:
+            rows.append((nid, f.read()))
+    pages = spark.createDataFrame(rows, "name_id string, html string")
+    # cache: the parse UDF output feeds the player dim, the star build
+    # and the final joins — parse each page once, not per consumer
+    parsed = P.parse_game_pages(pages).cache()
+    players = P.mock_players_from_games(parsed).cache()
+    star = P.build_star(spark, parsed, players)
+    nid = players.select(F.col("id"), F.col("name_id"))
+    b = nid.select(F.col("id").alias("batter_id"), F.col("name_id").alias("batter_name_id"))
+    p = nid.select(F.col("id").alias("pitcher_id"), F.col("name_id").alias("pitcher_name_id"))
+    g = star["game"].select(F.col("id").alias("game_id"), F.col("name_id").alias("game_name_id"))
+    return (
+        star["play"]
+        .join(F.broadcast(b), "batter_id")
+        .join(F.broadcast(p), "pitcher_id")
+        .join(F.broadcast(g), "game_id")
+        .select(
+            "game_name_id", "play_num", "inning_half", "start_outs",
+            "start_on_base", "desc", "pitch_ct",
+            "batter_name_id", "pitcher_name_id",
+        )
+    )
+
+
+@register(
+    "scrape_star_games",
+    oracle=None,
+    doc="Game + team + venue dimensions from the fixture ETL (dim "
+        "upserts J4, FK resolution J1/J5, scalar transforms F9-F15).",
+)
+def scrape_star_games(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scraping import pipeline as P
+
+    rows = []
+    for nid in STAR_GAMES:
+        with open(f"{FIXTURES}/GamePage/{nid}.shtml", encoding="utf-8") as f:
+            rows.append((nid, f.read()))
+    pages = spark.createDataFrame(rows, "name_id string, html string")
+    parsed = P.parse_game_pages(pages).cache()
+    players = P.mock_players_from_games(parsed).cache()
+    star = P.build_star(spark, parsed, players)
+    v = star["venue"].select(F.col("id").alias("venue_id"), F.col("name").alias("venue_name"))
+    ta = star["team"].select(F.col("id").alias("away_team_id"), F.col("abbreviation").alias("away_abbr"))
+    th = star["team"].select(F.col("id").alias("home_team_id"), F.col("abbreviation").alias("home_abbr"))
+    return (
+        star["game"]
+        .join(F.broadcast(v), "venue_id", "left")
+        .join(F.broadcast(ta), "away_team_id")
+        .join(F.broadcast(th), "home_team_id")
+        .select(
+            "name_id", "local_start_time", "time_of_day", "field_type",
+            F.col("date").cast("string").alias("date"),
+            "venue_name", "away_abbr", "home_abbr",
+        )
+    )
+
+
+@register(
+    "scrape_player_dim",
+    oracle=None,
+    doc="Player dimension from fixture player-page HTML: parse UDF + "
+        "handedness enum encode + name_id-keyed dim upsert.",
+)
+def scrape_player_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+
+    from ..scraping import pipeline as P
+
+    rows = []
+    for f in sorted(glob.glob(f"{FIXTURES}/PlayerPage/*.shtml"))[:20]:
+        with open(f, encoding="utf-8") as fh:
+            rows.append((os.path.basename(f)[:-6], fh.read()))
+    pages = spark.createDataFrame(rows, "name_id string, html string")
+    parsed = P.parse_player_pages(pages)
+    return P.players_dim_from_parsed(parsed).select(
+        "id", "name", "name_id", "bats", "throws"
+    )
