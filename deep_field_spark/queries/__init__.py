@@ -61,5 +61,6 @@ def load_registry() -> dict[str, Query]:
         from . import events  # noqa: F401
         from . import multimodal  # noqa: F401
         from . import scrape  # noqa: F401
+        from . import udfs  # noqa: F401
         _LOADED = True
     return REGISTRY

@@ -99,6 +99,47 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_watermark",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+    doc="dropDuplicatesWithinWatermark over a simulated at-least-once "
+        "stream (events unioned with itself): exactly-once output with "
+        "watermark-bounded dedup state (SURVEY §2.9).",
+)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SW.dedup_within_watermark(spark, sf_dir)
+
+
+@register(
+    "map_funcs_events",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type, count(*) AS cnt
+      FROM events GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(count(*) AS INT) AS n_types,
+           max(CASE WHEN event_type = 'click' THEN cnt END) AS click_cnt,
+           max(CASE WHEN event_type = 'purchase' THEN cnt END) AS purchase_cnt
+    FROM per GROUP BY user_id
+    """,
+    doc="Map-function battery (SURVEY §2.8 parity): per-user counts "
+        "assembled into a MAP via map_from_entries, then probed with "
+        "element_at/map_keys — reduced to plain columns so the oracle "
+        "needs no map-type semantics.",
+)
+def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    m = F.map_from_entries(F.sort_array(F.collect_list(F.struct("event_type", "cnt"))))
+    g = per.groupBy("user_id").agg(m.alias("m"))
+    return g.select(
+        "user_id",
+        F.size(F.map_keys(F.col("m"))).cast("int").alias("n_types"),
+        F.element_at(F.col("m"), "click").alias("click_cnt"),
+        F.element_at(F.col("m"), "purchase").alias("purchase_cnt"),
+    )
+
+
+@register(
     "streaming_stateful_counts",
     oracle="SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id",
     doc="Custom stateful streaming operator (applyInPandasWithState): "

@@ -1,0 +1,125 @@
+"""UDAF / UDTF surface (SURVEY §2.10 parity).
+
+The reference's "UDFs" are its row-at-a-time transforms (re-expressed
+as column expressions elsewhere); these cover the remaining Python
+extension points a Spark user has:
+
+  - pandas grouped-agg UDAF (Arrow-batched, one scalar per group)
+  - Python UDTF (one row → many rows) via LATERAL join
+
+Determinism discipline: the UDAF sums pre-scaled int64 cents (exact,
+order-independent) rather than floats, so the DuckDB oracle matches
+bit-for-bit; the UDTF split regex avoids lookbehind (RE2-compatible)
+so both engines split identically.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from ..catalog import table
+from . import register
+
+
+def _make_sum_cents():
+    """Grouped-agg pandas UDAF: exact int64 sum per group. Arrow moves
+    each group's column as one batch; int addition is order-free so
+    partial-agg scheduling can never change the answer. (Built lazily:
+    the decorator needs an active SparkSession.)"""
+
+    @pandas_udf("bigint")
+    def _sum_cents(cents: pd.Series) -> int:
+        return int(cents.sum())
+
+    @pandas_udf("bigint")
+    def _count_rows(cents: pd.Series) -> int:
+        # Spark refuses mixing pandas grouped-aggs with JVM aggregates
+        # in one agg(), so the count is a pandas UDAF too.
+        return int(len(cents))
+
+    return _sum_cents, _count_rows
+
+
+@register(
+    "udaf_grouped_pandas",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / (100.0 * count(*)), 4) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Pandas grouped-agg UDAF (SURVEY §2.10): per-event-type average "
+        "via an Arrow-batched int64-cents sum UDAF — exact arithmetic, "
+        "hash-checked. At scale the UDAF cost is one Arrow transfer per "
+        "group partition; prefer built-ins unless custom logic is real.",
+)
+def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    sum_cents, count_rows = _make_sum_cents()
+    out = ev.groupBy("event_type").agg(
+        count_rows(F.col("cents")).alias("n"),
+        sum_cents(F.col("cents")).alias("sum_cents"),
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round(F.col("sum_cents").cast("double") / (100.0 * F.col("n")), 4).alias(
+            "avg_value"
+        ),
+    )
+
+
+def _make_split_sentences():
+    """Python UDTF: one document row → one row per sentence (built
+    lazily — the decorator needs an active SparkSession)."""
+
+    @udtf(returnType="sentence_num int, sentence string, n_chars int")
+    class _SplitSentences:
+        def eval(self, text: str):  # noqa: D102
+            if text is None:
+                return
+            for i, s in enumerate(re.split(r"\.\s+", text)):
+                yield i, s, len(s)
+
+    return _SplitSentences
+
+
+@register(
+    "udtf_sentences",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, string_split_regex(text, '\\.\\s+') AS parts
+      FROM documents WHERE doc_id % 20 = 0),
+    u AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(parts) + 1),
+                    i -> struct_pack(num := i - 1, s := parts[i]))) AS x
+      FROM s)
+    SELECT doc_id, CAST(x.num AS INT) AS sentence_num, x.s AS sentence,
+           CAST(strlen(x.s) AS INT) AS n_chars
+    FROM u
+    """,
+    doc="Python UDTF via LATERAL join (SURVEY §2.10): sentence splitting "
+        "— the one-page→many-rows shape the reference's play extraction "
+        "has (its production twin is the ARRAY<STRUCT>+explode parse "
+        "UDF, which is the faster Arrow path; the UDTF is the API-parity "
+        "form). RE2-safe split regex so DuckDB replays it exactly.",
+)
+def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    docs.createOrReplaceTempView("udtf_docs")
+    spark.udtf.register("split_sentences", _make_split_sentences())
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.sentence_num, t.sentence, t.n_chars
+        FROM udtf_docs d, LATERAL split_sentences(d.text) t
+        """
+    )

@@ -119,6 +119,23 @@ def _count_state(key, pdfs, state: GroupState):
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "last_ts": [last_ts]})
 
 
+def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark over an at-least-once stream.
+
+    The stream is the events source unioned with itself (simulated
+    redelivery); dedup on event_id within a 1h watermark returns each
+    event exactly once. State is bounded by the watermark horizon —
+    the scale contract that plain dropDuplicates on a stream lacks.
+    """
+    doubled = events_stream(spark, sf_dir).unionByName(events_stream(spark, sf_dir))
+    dd = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return _run_to_memory(dd, "append")
+
+
 def stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: running per-user event counts via
     applyInPandasWithState (the Python stateful-processing surface —
