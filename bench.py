@@ -56,6 +56,10 @@ HEADLINE = [
     "text_fingerprint",
     "knn_brute_force",
     "ann_lsh_bucket",
+    "ann_ivf_cells",
+    "multimodal_frame_sample",
+    "udaf_grouped_pandas",
+    "map_funcs_events",
     # runs LAST: its parse-UDF + many-small-stage profile floods the
     # JVM code cache and makes the next heavy-codegen query pay ~3x
     # one-time JIT cost (measured); keeping it at the end isolates that

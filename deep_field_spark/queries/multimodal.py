@@ -33,6 +33,64 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           md5(substring(text, 1, 256)) AS digest,
+           CAST(least(strlen(text), 256) AS INT) AS n_bytes,
+           16 AS width, 16 AS height
+    FROM documents
+    """,
+    doc="Image-resize plumbing (mapInPandas, decode stubbed): payloads "
+        "deterministically downsampled to width*height bytes with "
+        "metadata propagation — digest + dims hash-checked (the fixture "
+        "corpus is ASCII, so byte and char offsets agree).",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = MM.binary_corpus(spark, sf_dir)
+    resized = MM.resize_images(corpus, width=16, height=16, fake=True)
+    return resized.select(
+        "doc_id",
+        F.md5("payload").alias("digest"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH chunks AS (
+      SELECT doc_id, text,
+             CAST(ceil(strlen(text) / 64.0) AS INT) AS n_chunks
+      FROM documents),
+    frames AS (
+      SELECT doc_id,
+             CAST(x AS INT) // 4 AS frame_idx,
+             substring(text, CAST(x AS INT) * 64 + 1, 64) AS frame
+      FROM chunks, unnest(range(0, n_chunks)) AS t(x)
+      WHERE CAST(x AS INT) % 4 = 0)
+    SELECT doc_id, frame_idx, md5(frame) AS digest,
+           CAST(strlen(frame) AS INT) AS n_bytes
+    FROM frames
+    """,
+    doc="Video frame-sampling plumbing (one row → many frame rows, the "
+        "UDTF shape via mapInPandas; decode stubbed): every 4th 64-byte "
+        "chunk becomes a frame; the exploded row set is hash-checked.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = MM.binary_corpus(spark, sf_dir)
+    frames = MM.sample_frames(corpus, frame_bytes=64, every_n=4, fake=True)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5("payload").alias("digest"),
+        F.octet_length("payload").cast("int").alias("n_bytes"),
+    )
+
+
+@register(
     "multimodal_feature_extract",
     oracle=None,  # mapInPandas + python md5-derived floats — rows-only check
     doc="mapInPandas feature extraction over binary payloads (decode "

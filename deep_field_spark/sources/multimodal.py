@@ -80,6 +80,84 @@ def decode_payload(payload: bytes, mime: str):
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("n_bytes", T.IntegerType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+    """mapInPandas image resize. Real decode/resample is stubbed (no
+    codecs in the container); the fake path is a deterministic byte
+    truncation to width*height so the full Spark plumbing — schema,
+    Arrow batches, metadata propagation — runs and is oracle-checkable.
+    """
+    target = width * height
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("no image codec available; use fake=True")
+            out_payload = [bytes(p)[:target] for p in pdf["payload"]]
+            metas = [
+                {"mime": m["mime"], "n_bytes": len(p), "width": width, "height": height}
+                for m, p in zip(pdf["meta"], out_payload)
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": out_payload, "meta": metas}
+            )
+
+    return df.mapInPandas(op, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int = 64, every_n: int = 4, fake: bool = True
+) -> DataFrame:
+    """mapInPandas frame sampling: one video row → many frame rows (the
+    UDTF shape). Fake path: the payload splits into fixed-size chunks
+    and every ``every_n``-th chunk is a 'frame' — deterministic, so the
+    exploded row set is hash-checkable; a real decoder slots into the
+    same iterator without touching the plan."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("no video codec available; use fake=True")
+            ids, idxs, payloads = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                n_chunks = (len(b) + frame_bytes - 1) // frame_bytes
+                for ci in range(0, n_chunks, every_n):
+                    ids.append(doc_id)
+                    idxs.append(ci // every_n)
+                    payloads.append(b[ci * frame_bytes:(ci + 1) * frame_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "payload": payloads})
+
+    return df.mapInPandas(op, schema=FRAME_SCHEMA)
+
+
 def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
