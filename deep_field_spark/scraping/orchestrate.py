@@ -1,0 +1,119 @@
+"""Stage-DAG orchestration: the reference's recursive DFS scrape
+(nodes.py:36-48, post-order insert) re-expressed as batch stages in
+dependency order — players before games before plays — with anti-join
+work-skipping instead of per-link DB probes.
+
+  1. cache read (S3)                 pages by type
+  2. schedule parse (P4)             game-link frontier
+  3. frontier anti-join (J3/O2)      skip games already in the star
+  4. game parse (P1/P5-P8, E1/E2)    metas + rosters + raw plays
+  5. player frontier (J3)            roster name_ids not yet in the dim
+  6. player parse / mock fill (E4)   the reference REFUSES to insert a
+                                     game whose players are missing
+                                     (pages.py:100-104); offline runs
+                                     over partial caches may instead
+                                     mock-fill like its test harness
+                                     (tests/utils.py:37-52)
+  7. star build (J1-J5, W1-W4, F*)
+  8. sinks (S7-S9 sqlite, parquet)
+
+The scrape counter (A1, nodes.py:27-34) generalizes to per-stage
+counts returned alongside the star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import cache as C
+from . import pipeline as P
+from . import sqlite_sink as SS
+
+
+class DependencyError(ValueError):
+    """A game's roster references players absent from the player dim
+    (the reference's unresolved-dependency ValueError, pages.py:104)."""
+
+
+def scrape_from_cache(
+    spark: SparkSession,
+    cache_root: str,
+    db_path: str | None = None,
+    parquet_root: str | None = None,
+    existing: dict[str, DataFrame] | None = None,
+    allow_mock_players: bool = True,
+) -> tuple[dict[str, DataFrame], dict[str, int]]:
+    """Run the full ETL over a page cache; returns (star, counters).
+
+    Hermetic by construction (the fallback chain's web stage never
+    engages); resume = pass the previous run's star as ``existing`` —
+    the anti-joins skip everything already present (O2/E5).
+    """
+    counters: dict[str, int] = {}
+    pages = C.read_cache(spark, cache_root).cache()
+    for r in pages.groupBy("page_type").agg(F.count("*").alias("n")).collect():
+        counters[f"pages_{r.page_type}"] = r.n
+
+    # 2-3: schedule → game frontier (games not already built)
+    sched = pages.filter(F.col("page_type") == "SchedulePage").select("name_id", "html")
+    game_links = P.parse_schedule_pages(sched).filter(F.col("error").isNull())
+    counters["schedule_links"] = game_links.count()
+
+    game_pages = pages.filter(F.col("page_type") == "GamePage").select("name_id", "html")
+    if existing and "game" in existing:
+        game_pages = game_pages.join(
+            existing["game"].select(F.col("name_id")), "name_id", "left_anti"
+        )
+    counters["game_pages_to_parse"] = game_pages.count()
+
+    # 4: parse + quarantine
+    parsed = P.parse_game_pages(game_pages).cache()
+    ok = parsed.filter(F.col("error").isNull())
+    counters["games_parsed"] = ok.count()
+    counters["games_quarantined"] = parsed.filter(F.col("error").isNotNull()).count()
+
+    # 5-6: player dim — parsed player pages first, roster mocks for the rest
+    existing_players = existing.get("player") if existing else None
+    player_pages = pages.filter(F.col("page_type") == "PlayerPage").select(
+        "name_id", "html"
+    )
+    if existing_players is not None:
+        player_pages = player_pages.join(
+            existing_players.select("name_id"), "name_id", "left_anti"
+        )
+    parsed_players = P.parse_player_pages(player_pages)
+    players = P.players_dim_from_parsed(parsed_players, existing=existing_players)
+    counters["players_from_pages"] = players.count()
+
+    roster_ids = P.roster_names(ok).select("name_id").distinct()
+    missing = roster_ids.join(players.select("name_id"), "name_id", "left_anti")
+    n_missing = missing.count()
+    counters["players_mock_filled"] = n_missing
+    if n_missing:
+        if not allow_mock_players:
+            sample = [r.name_id for r in missing.limit(5).collect()]
+            raise DependencyError(
+                f"{n_missing} roster players missing from the player dim; "
+                f"first: {sample}"
+            )
+        mock_source = P.roster_names(ok).join(missing, "name_id", "left_semi")
+        rows = mock_source.select(
+            "name_id",
+            F.col("roster_name").alias("name"),
+            F.lit(1).cast("smallint").alias("bats"),
+            F.lit(1).cast("smallint").alias("throws"),
+        )
+        players = P.upsert_dim(rows, players, ["name_id"])
+
+    # 7: star build
+    star = P.build_star(spark, parsed, players, existing=existing)
+    counters["plays"] = star["play"].count()
+    counters["games"] = star["game"].count()
+
+    # 8: sinks
+    if db_path is not None:
+        SS.write_star(star, db_path)
+    if parquet_root is not None:
+        SS.write_star_parquet(star, parquet_root)
+    return star, counters
