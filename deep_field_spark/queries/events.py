@@ -140,6 +140,35 @@ def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY event_type
+    """,
+    doc="Two-stage salted aggregation for skewed keys: partial agg on "
+        "(key, salt16) spreads a hot key over 16 reducers, final agg "
+        "re-combines. Result identical to the plain groupBy (oracle). "
+        "event_type has 5 values — exactly the shape that melts a "
+        "single reducer at 100 TB; AQE skew handling covers joins, "
+        "salting covers aggregations with algebraic combiners.",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.pmod(F.xxhash64("event_id"), F.lit(16)).alias("salt"),
+    )
+    partial = ev.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"), F.sum("cents").alias("pc")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"), F.sum("pc").alias("sum_cents")
+    )
+
+
+@register(
     "streaming_stateful_counts",
     oracle="SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id",
     doc="Custom stateful streaming operator (applyInPandasWithState): "
