@@ -79,15 +79,21 @@ def range_join_bucketed(
     right_lo: Column,
     right_hi: Column,
     bucket_width: float,
+    equi_keys: list[str] | None = None,
     extra_cond: Column | None = None,
 ) -> DataFrame:
     """Join rows where ``right_lo <= left_val <= right_hi`` via bucket
     equi-join: explode each right interval into the buckets it spans,
-    equi-join on bucket, then apply the exact range predicate.
+    equi-join on (bucket + any equi keys), then apply the exact range
+    predicate as a residual filter.
 
-    Requires interval spans to be bounded (spans >> bucket_width explode
-    into many rows — pick bucket_width near the median span).
+    This is the scale form of a time-range join: the plain non-equi
+    condition alone hash-partitions on nothing, while the bucket key
+    (plus real equi keys like user_id) gives the shuffle a partition
+    key whose fan-out is bounded by span/bucket_width. Pick
+    bucket_width near the median interval span.
     """
+    keys = ["__bucket"] + (equi_keys or [])
     lb = left.withColumn("__bucket", F.floor(left_val / bucket_width))
     rb = right.withColumn(
         "__bucket",
@@ -98,4 +104,4 @@ def range_join_bucketed(
     cond = (left_val >= right_lo) & (left_val <= right_hi)
     if extra_cond is not None:
         cond = cond & extra_cond
-    return lb.join(rb, on="__bucket").filter(cond).drop("__bucket")
+    return lb.join(rb, on=keys).filter(cond).drop("__bucket")
