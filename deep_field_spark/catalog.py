@@ -57,6 +57,25 @@ def fix_nanos_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's default parallelism when the
+    input has fewer partitions — and ONLY then.
+
+    The local testdata is one single-row-group parquet file per table,
+    so every scan is one task and per-row compute (shingling, hashing,
+    cosine) would serialize on one core. On a cluster a fact table has
+    ≥ cores splits and this is a no-op, so the shuffle it introduces
+    exists only where the data is small enough not to matter. Use it
+    in compute-bound operators, never between a filter and its scan
+    (it would block pushdown).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_csv(
     spark: SparkSession, path: str, schema: str | None = None, header: bool = True
 ) -> DataFrame:

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..catalog import spread
 from ..functions import texting
 
 
@@ -45,7 +46,7 @@ def shingle_expr(text_col: str, ngram: int) -> F.Column:
 
 
 def shingled(df: DataFrame, text_col: str, id_col: str, ngram: int) -> DataFrame:
-    return df.select(F.col(id_col), shingle_expr(text_col, ngram).alias("shingles"))
+    return spread(df).select(F.col(id_col), shingle_expr(text_col, ngram).alias("shingles"))
 
 
 def exploded_shingles(df: DataFrame, text_col: str, id_col: str, ngram: int) -> DataFrame:
@@ -59,7 +60,7 @@ def exploded_shingles(df: DataFrame, text_col: str, id_col: str, ngram: int) -> 
     twice across a codegen boundary. With explode directly over the
     inline expression the plan keeps one evaluation.
     """
-    return df.select(
+    return spread(df).select(
         F.col(id_col), F.explode(shingle_expr(text_col, ngram)).alias("shingle")
     )
 
@@ -222,7 +223,7 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """
     hi_digits = ["8", "9", "a", "b", "c", "d", "e", "f"]
     tok = texting.tokens(F.col(text_col))
-    exploded = df.select(
+    exploded = spread(df).select(
         F.col(id_col), F.explode(F.array_distinct(tok)).alias("t")
     ).select(id_col, F.md5("t").alias("h"))
     votes = exploded.select(

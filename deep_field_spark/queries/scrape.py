@@ -108,10 +108,14 @@ def scrape_star_plays(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(f"{FIXTURES}/GamePage/{nid}.shtml", encoding="utf-8") as f:
             rows.append((nid, f.read()))
     pages = spark.createDataFrame(rows, "name_id string, html string")
-    # cache: the parse UDF output feeds the player dim, the star build
-    # and the final joins — parse each page once, not per consumer
+    # cache + eager count: the parse UDF output feeds the player dim,
+    # the star build and the final joins — without materializing first,
+    # the branches of the single final job would each re-run the UDF
+    # (cache population races within one job)
     parsed = P.parse_game_pages(pages).cache()
+    parsed.count()
     players = P.mock_players_from_games(parsed).cache()
+    players.count()
     star = P.build_star(spark, parsed, players)
     nid = players.select(F.col("id"), F.col("name_id"))
     b = nid.select(F.col("id").alias("batter_id"), F.col("name_id").alias("batter_name_id"))

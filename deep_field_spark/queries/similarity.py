@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..functions import vectors
 from . import register
 
@@ -58,7 +58,7 @@ _COS_SQL = f"{_DOT_SQL} / ({_NORM_SQL.format(t='a')} * {_NORM_SQL.format(t='b')}
         "the queries, scan the corpus once, per-query heap via window.",
 )
 def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -131,7 +131,7 @@ def _pair_cos_sql(a: str, b: str) -> str:
         "trained and ncells grows to √n, same plan.",
 )
 def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     cent = emb.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
@@ -196,7 +196,7 @@ def _bucket_sql(tbl: str) -> str:
         "n_planes / multi-probe; candidate cost drops 2**n_planes-fold.",
 )
 def ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     bucketed = emb.withColumn(
         "bucket", vectors.hyperplane_sign_bucket(F.col("embedding"), DIM, N_PLANES)
     )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..functions import texting
 from . import register
 
@@ -163,7 +163,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a previously aliased array makes InferFiltersFromGenerate re-derive
     # (and re-evaluate) the whole tokenize+shingle pipeline in a pushed
     # filter; this shape keeps one evaluation (see operators/dedup.py).
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"))
     sh = F.array_distinct(texting.word_ngrams(texting.tokens(F.col("text")), 4))
     return (
         docs.select("doc_id", F.explode(sh).alias("s"))

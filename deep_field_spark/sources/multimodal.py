@@ -55,7 +55,9 @@ FEATURE_SCHEMA = T.StructType(
 def binary_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize a binary-payload table from documents.text (the
     container has no real media; utf-8 bytes stand in for payloads)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..catalog import spread
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return docs.select(
         "doc_id",
         F.encode("text", "utf-8").alias("payload"),
