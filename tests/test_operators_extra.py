@@ -1,0 +1,101 @@
+"""Targeted operator tests: DF-capped inverted index, fetch rate
+limiter timing, streaming file-sink (production topology)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from deep_field_spark.operators import dedup as D
+from deep_field_spark.scraping import cache as C
+
+
+def test_ngram_jaccard_df_cap_recall(spark, sf_dir):
+    """With a generous cap the capped path returns exactly the exact
+    path's pairs (the cap only prunes corpus-hot shingles)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.3).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(
+            docs, "text", "doc_id", 3, 0.3, max_df=1000
+        ).collect()
+    }
+    assert capped == exact
+    # an aggressive cap may only lose pairs, never invent or mis-score
+    tight = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(
+            docs, "text", "doc_id", 3, 0.3, max_df=2
+        ).collect()
+    }
+    assert tight <= exact
+
+
+def test_fetch_rate_limiter_enforces_delay(spark):
+    frontier = spark.createDataFrame(
+        [(f"https://x/p{i:011d}.shtml", f"p{i:011d}ab", "PlayerPage", True)
+         for i in range(4)],
+        "url string, name_id string, page_type string, is_cachable boolean",
+    )
+    t0 = time.monotonic()
+    out = C.fetch_pages(frontier, lambda url: "<html/>", delay=0.3)
+    rows = out.collect()
+    elapsed = time.monotonic() - t0
+    assert len(rows) == 4 and all(r.error is None for r in rows)
+    # 4 fetches, 3 enforced gaps of 0.3 s (global: single partition)
+    assert elapsed >= 0.9, elapsed
+
+
+def test_streaming_file_sink_append(spark, sf_dir, tmp_path):
+    """The production streaming topology: watermark + append mode into
+    a parquet file sink with a checkpoint — not the memory harness.
+    Append mode only emits windows the watermark has closed, so the
+    tail windows of the bounded input are withheld (correct streaming
+    semantics, asserted as a subset of the batch result)."""
+    from deep_field_spark.streaming.windows import events_stream
+
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("wstart"), "event_type", "n")
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.wstart, r.event_type, r.n)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        (r.wstart, r.event_type, r.n)
+        for r in (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select(F.timestamp_micros(F.expr("ts div 1000")).alias("ts"), "event_type")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("window.start").alias("wstart"), "event_type", "n")
+            .collect()
+        )
+    }
+    assert got, "file sink produced no closed windows"
+    assert got <= batch
+    # everything strictly before the final watermark must have emitted
+    assert len(got) >= len(batch) - 10 * 2  # last hour windows x types margin
+    assert os.path.isdir(out_dir)
