@@ -20,6 +20,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from deep_field_spark.queries import load_registry
@@ -75,6 +77,17 @@ def main() -> None:
 
     # warm the JVM + parquet footers once so timings measure the queries
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    # warm the Python worker pool + Arrow serializers: the first pandas
+    # UDF in a session pays worker fork + pandas/pyarrow import on every
+    # core (~2-10 s) — a per-session constant, not a per-query cost
+    from pyspark.sql.functions import col, pandas_udf  # noqa: PLC0415
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(256, numPartitions=32).select(_warm(col("id"))).count()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -213,15 +213,19 @@ def upsert_dim(
     """
     order_cols = order_cols or natural_key
     fresh = new_rows.dropDuplicates(natural_key)
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
     if existing is not None:
         fresh = fresh.join(existing, on=natural_key, how="left_anti")
-        base = existing.select(F.max("id")).first()[0] or 0
-    else:
-        base = 0
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
-    fresh = fresh.withColumn("id", (F.row_number().over(w) + F.lit(base)).cast("long"))
-    if existing is not None:
+        # the id base stays inside the plan (1-row broadcast aggregate)
+        # — no driver-side action per upsert, so a multi-dim build is
+        # one job instead of one job per dimension
+        base = existing.agg(F.coalesce(F.max("id"), F.lit(0)).alias("_id_base"))
+        fresh = fresh.crossJoin(F.broadcast(base)).withColumn(
+            "id", (F.row_number().over(w) + F.col("_id_base")).cast("long")
+        ).drop("_id_base")
         fresh = existing.unionByName(fresh)
+    else:
+        fresh = fresh.withColumn("id", F.row_number().over(w).cast("long"))
     return fresh
 
 
