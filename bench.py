@@ -58,6 +58,7 @@ HEADLINE = [
     "text_fingerprint",
     "knn_brute_force",
     "ann_lsh_bucket",
+    "ann_lsh_multiprobe",
     "ann_ivf_cells",
     "multimodal_frame_sample",
     "udaf_grouped_pandas",

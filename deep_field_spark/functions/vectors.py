@@ -45,6 +45,25 @@ def hyperplane_signs(dim: int, n_planes: int) -> list[list[float]]:
     ]
 
 
+def hyperplane_projections(vec: Column, dim: int, n_planes: int) -> list[Column]:
+    """Per-plane signed projections ``vec · plane_j`` (double, index-
+    ordered accumulation). The sign gives the bucket bit; the magnitude
+    is the margin multi-probe uses to pick which bits to flip."""
+    all_signs = hyperplane_signs(dim, n_planes)
+    return [
+        F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(s) for s in all_signs[j]]),
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for j in range(n_planes)
+    ]
+
+
 def hyperplane_sign_bucket(vec: Column, dim: int, n_planes: int) -> Column:
     """Random-hyperplane LSH bucket id (deterministic seed).
 
@@ -52,18 +71,7 @@ def hyperplane_sign_bucket(vec: Column, dim: int, n_planes: int) -> Column:
     collide with high probability, giving the scale path for ANN: group
     by bucket, brute-force only within buckets.
     """
-    all_signs = hyperplane_signs(dim, n_planes)
     bucket = F.lit(0)
-    for j in range(n_planes):
-        signs = all_signs[j]
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(s) for s in signs]),
-                lambda x, s: x.cast("double") * s,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    for j, proj in enumerate(hyperplane_projections(vec, dim, n_planes)):
         bucket = bucket + F.when(proj >= 0, F.lit(1 << j)).otherwise(0)
     return bucket
