@@ -118,14 +118,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_bits_sql() -> str:
-    hi = "('8','9','a','b','c','d','e','f')"
-    terms = [
-        f"CASE WHEN list_aggregate(list_transform(uniq, t -> CASE WHEN "
-        f"substring(md5(t), {i + 1}, 1) IN {hi} THEN 1 ELSE -1 END), 'sum') > 0 "
-        f"THEN {1 << i} ELSE 0 END"
-        for i in range(32)
-    ]
-    return " + ".join(terms)
+    """64 bit-terms OR'd together; bit i votes on nibble i//2's bit3
+    (even i) or bit2 (odd i) — the exact arithmetic of
+    operators/dedup.simhash_table. Bit 63 is the long sign bit, so the
+    terms combine with | (a sum would be wrong for negative values) and
+    the 1<<63 literal is spelled (-max-1)."""
+    hi8 = "('8','9','a','b','c','d','e','f')"
+    hi4 = "('4','5','6','7','c','d','e','f')"
+    terms = []
+    for i in range(64):
+        hi = hi8 if i % 2 == 0 else hi4
+        bit = "(-9223372036854775807 - 1)" if i == 63 else f"(1::BIGINT << {i})"
+        terms.append(
+            f"(CASE WHEN list_aggregate(list_transform(uniq, t -> CASE WHEN "
+            f"substring(md5(t), {i // 2 + 1}, 1) IN {hi} THEN 1 ELSE -1 END), 'sum') > 0 "
+            f"THEN {bit} ELSE 0::BIGINT END)"
+        )
+    return " | ".join(terms)
 
 
 @register(
@@ -136,7 +145,7 @@ def _simhash_bits_sql() -> str:
     SELECT doc_id, CAST({_simhash_bits_sql()} AS BIGINT) AS simhash
     FROM u
     """,
-    doc="32-bit SimHash per document (bit-majority over token hashes); "
+    doc="64-bit SimHash per document (bit-majority over token hashes); "
         "near-dups are pairs within small hamming distance — pigeonhole "
         "blocks give the candidate join at scale (dedup_simhash_pairs).",
 )
@@ -158,7 +167,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
     doc="SimHash near-dup pairs within hamming<=3 via pigeonhole "
-        "blocking (4 blocks of 8 bits — any pair within radius agrees "
+        "blocking (4 blocks of 16 bits — any pair within radius agrees "
         "on one block exactly, so recall is total without O(n²)). The "
         "oracle brute-forces all pairs: identical output proves the "
         "blocked plan loses nothing.",
