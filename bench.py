@@ -56,6 +56,10 @@ HEADLINE = [
     "text_token_stats",
     "text_quality_score",
     "text_fingerprint",
+    "text_gopher_filters",
+    "text_repetition_ratio",
+    "decontam_ngram_overlap",
+    "corpus_split_assign",
     "knn_brute_force",
     "ann_lsh_bucket",
     "ann_lsh_multiprobe",

@@ -56,6 +56,7 @@ def load_registry() -> dict[str, Query]:
     if not _LOADED:
         from . import relational  # noqa: F401
         from . import text  # noqa: F401
+        from . import curation  # noqa: F401
         from . import dedup  # noqa: F401
         from . import similarity  # noqa: F401
         from . import events  # noqa: F401

@@ -1,0 +1,220 @@
+"""Corpus-curation operators — the filter/sample/decontaminate stages a
+large-scale training-data pipeline runs between raw scrape and dedup.
+
+All scan-speed column expressions or inverted-index joins; nothing here
+shuffles more than one row per (doc, key). Every query has a DuckDB
+oracle replaying the identical arithmetic.
+
+  text_gopher_filters   — Gopher-style per-doc quality gates.
+  text_repetition_ratio — top-bigram / duplicate-bigram repetition
+                          signals (Gopher §A2 repetition heuristics).
+  decontam_ngram_overlap— benchmark-contamination flagging via a
+                          distinct-n-gram semi-join (broadcast the
+                          benchmark set; bloom filter at 100 TB).
+  corpus_split_assign   — deterministic hash split (train/val/test)
+                          stable under reshuffling and re-runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import spread, table
+from ..functions import texting
+from . import register
+from .text import STOPWORDS_SQL, TOKS_SQL
+
+MIN_WORDS, MAX_WORDS = 50, 100_000
+MIN_MWL, MAX_MWL = 3.0, 10.0
+MIN_ALPHA_RATIO = 0.8
+MIN_STOPWORDS = 2
+
+BENCH_MAX_ID = 20  # doc_id < 20 plays the "benchmark" set
+DECONTAM_NGRAM = 5
+
+# split thresholds over a 0..255 bucket: ~80/10/10
+TRAIN_LT, VAL_LT = 205, 230
+
+
+@register(
+    "text_gopher_filters",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    s AS (SELECT doc_id, toks,
+                 CAST(len(toks) AS INT) AS n_words,
+                 CAST(list_aggregate(list_transform(toks,
+                      x -> CAST(len(x) AS DOUBLE)), 'sum') AS DOUBLE)
+                   / len(toks) AS mwl,
+                 CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))
+                      AS DOUBLE) / len(toks) AS alpha_ratio,
+                 CAST(len(list_filter(toks, x -> list_contains({STOPWORDS_SQL}, x)))
+                      AS INT) AS n_stop
+          FROM t WHERE len(toks) > 0)
+    SELECT doc_id, n_words, round(mwl, 4) AS mean_word_len,
+           round(alpha_ratio, 4) AS alpha_word_ratio, n_stop,
+           CAST(CASE WHEN n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+                      AND mwl BETWEEN {MIN_MWL} AND {MAX_MWL}
+                      AND alpha_ratio >= {MIN_ALPHA_RATIO}
+                      AND n_stop >= {MIN_STOPWORDS}
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM s
+    """,
+    doc="Gopher-style quality gates per document: word-count bounds, "
+        "mean-word-length bounds, alphabetic-word fraction, stopword "
+        "presence — pure column expressions, scan-speed at 100 TB.",
+)
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = texting.tokens(F.col("text"))
+    d = docs.select("doc_id", tok.alias("toks")).filter(F.size("toks") > 0)
+    mwl = (
+        F.aggregate(F.col("toks"), F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double"))
+        / F.size("toks")
+    )
+    alpha_ratio = (
+        F.size(F.filter(F.col("toks"), lambda x: x.rlike("^[a-z]+$"))).cast("double")
+        / F.size("toks")
+    )
+    stop_arr = F.array(*[F.lit(w) for w in texting.EN_STOPWORDS])
+    n_stop = F.size(F.filter(F.col("toks"), lambda x: F.array_contains(stop_arr, x)))
+    s = d.select(
+        "doc_id",
+        F.size("toks").cast("int").alias("n_words"),
+        mwl.alias("mwl"),
+        alpha_ratio.alias("alpha_ratio"),
+        n_stop.cast("int").alias("n_stop"),
+    )
+    keep = (
+        F.col("n_words").between(MIN_WORDS, MAX_WORDS)
+        & F.col("mwl").between(MIN_MWL, MAX_MWL)
+        & (F.col("alpha_ratio") >= MIN_ALPHA_RATIO)
+        & (F.col("n_stop") >= MIN_STOPWORDS)
+    )
+    return s.select(
+        "doc_id",
+        "n_words",
+        F.round("mwl", 4).alias("mean_word_len"),
+        F.round("alpha_ratio", 4).alias("alpha_word_ratio"),
+        "n_stop",
+        F.when(keep, 1).otherwise(0).cast("int").alias("keep"),
+    )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1])) AS gram
+          FROM t WHERE len(toks) >= 2),
+    c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(n) AS INT) AS n_bigrams,
+           CAST(count(*) AS INT) AS n_distinct,
+           round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS top_bigram_ratio,
+           round(CAST(sum(n) - count(*) AS DOUBLE) / sum(n), 4) AS dup_bigram_ratio
+    FROM c GROUP BY doc_id
+    """,
+    doc="Repetition signals per doc (Gopher-style): share of the single "
+        "most frequent bigram, and fraction of duplicated bigram slots. "
+        "Explode → two-level hash agg, map-side partial combine — one "
+        "shuffle keyed on (doc, gram), linear at corpus scale.",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"))
+    grams = texting.word_ngrams(texting.tokens(F.col("text")), 2)
+    c = (
+        docs.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("n"))
+    )
+    return c.groupBy("doc_id").agg(
+        F.sum("n").cast("int").alias("n_bigrams"),
+        F.count("*").cast("int").alias("n_distinct"),
+        F.round(F.max("n").cast("double") / F.sum("n"), 4).alias("top_bigram_ratio"),
+        F.round((F.sum("n") - F.count("*")).cast("double") / F.sum("n"), 4).alias(
+            "dup_bigram_ratio"
+        ),
+    )
+
+
+_DISTINCT_GRAMS_SQL = f"""
+    SELECT doc_id,
+           unnest(list_distinct(CASE WHEN len(toks) >= {DECONTAM_NGRAM}
+                THEN list_transform(range(1, len(toks) - {DECONTAM_NGRAM - 2}),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          || ' ' || toks[i+3] || ' ' || toks[i+4])
+                ELSE CAST([] AS VARCHAR[]) END)) AS gram
+    FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)
+"""
+
+
+@register(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH grams AS ({_DISTINCT_GRAMS_SQL}),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < {BENCH_MAX_ID}),
+    hits AS (SELECT g.doc_id, g.gram FROM grams g
+             JOIN bench b ON g.gram = b.gram
+             WHERE g.doc_id >= {BENCH_MAX_ID})
+    SELECT doc_id, CAST(count(*) AS INT) AS n_shared_grams
+    FROM hits GROUP BY doc_id
+    """,
+    doc="Benchmark decontamination: flag corpus documents sharing any "
+        f"distinct {DECONTAM_NGRAM}-gram with the benchmark set "
+        "(doc_id < 20 stands in). Inverted-index semi-join — the "
+        "benchmark gram set is small and broadcasts; at 100 TB the "
+        "same plan with a bloom filter on the gram key avoids even "
+        "the broadcast join for the 99% non-matching grams.",
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"))
+    sh = F.array_distinct(
+        texting.word_ngrams(texting.tokens(F.col("text")), DECONTAM_NGRAM)
+    )
+    grams = docs.select("doc_id", F.explode(sh).alias("gram"))
+    bench = grams.filter(F.col("doc_id") < BENCH_MAX_ID).select("gram").distinct()
+    corpus = grams.filter(F.col("doc_id") >= BENCH_MAX_ID)
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("n_shared_grams"))
+    )
+
+
+@register(
+    "corpus_split_assign",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+    b AS (SELECT doc_id,
+                 CAST(16 * (strpos('0123456789abcdef', substring(h, 1, 1)) - 1)
+                    + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) AS INT)
+                   AS bucket
+          FROM h)
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < {TRAIN_LT} THEN 'train'
+                WHEN bucket < {VAL_LT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    doc="Deterministic train/val/test assignment by content-independent "
+        "hash of the stable id — reproducible across runs, partitions "
+        "and cluster sizes (never use rand() or row position for "
+        "splits at scale). ~80/10/10 on a 0..255 md5 bucket.",
+)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+        "int"
+    )
+    b = docs.select("doc_id", bucket.alias("bucket"))
+    return b.select(
+        "doc_id",
+        "bucket",
+        F.when(F.col("bucket") < TRAIN_LT, "train")
+        .when(F.col("bucket") < VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
