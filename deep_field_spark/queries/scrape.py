@@ -108,30 +108,33 @@ def scrape_star_plays(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(f"{FIXTURES}/GamePage/{nid}.shtml", encoding="utf-8") as f:
             rows.append((nid, f.read()))
     pages = spark.createDataFrame(rows, "name_id string, html string")
-    # cache + eager count: the parse UDF output feeds the player dim,
-    # the star build and the final joins — without materializing first,
-    # the branches of the single final job would each re-run the UDF
-    # (cache population races within one job)
-    parsed = P.parse_game_pages(pages).cache()
-    parsed.count()
-    players = P.mock_players_from_games(parsed).cache()
-    players.count()
-    star = P.build_star(spark, parsed, players)
-    nid = players.select(F.col("id"), F.col("name_id"))
-    b = nid.select(F.col("id").alias("batter_id"), F.col("name_id").alias("batter_name_id"))
-    p = nid.select(F.col("id").alias("pitcher_id"), F.col("name_id").alias("pitcher_name_id"))
-    g = star["game"].select(F.col("id").alias("game_id"), F.col("name_id").alias("game_name_id"))
-    return (
-        star["play"]
-        .join(F.broadcast(b), "batter_id")
-        .join(F.broadcast(p), "pitcher_id")
-        .join(F.broadcast(g), "game_id")
-        .select(
-            "game_name_id", "play_num", "inning_half", "start_outs",
-            "start_on_base", "desc", "pitch_ct",
-            "batter_name_id", "pitcher_name_id",
-        )
-    )
+    with P.fixture_scale(spark):
+        # cache + eager count: the parse UDF output feeds the player dim,
+        # the star build and the final joins — without materializing first,
+        # the branches of the single final job would each re-run the UDF
+        # (cache population races within one job)
+        parsed = P.parse_game_pages(pages).cache()
+        parsed.count()
+        players = P.mock_players_from_games(parsed).cache()
+        players.count()
+        star = P.build_star(spark, parsed, players)
+        nid = players.select(F.col("id"), F.col("name_id"))
+        b = nid.select(F.col("id").alias("batter_id"), F.col("name_id").alias("batter_name_id"))
+        p = nid.select(F.col("id").alias("pitcher_id"), F.col("name_id").alias("pitcher_name_id"))
+        g = star["game"].select(F.col("id").alias("game_id"), F.col("name_id").alias("game_name_id"))
+        out = (
+            star["play"]
+            .join(F.broadcast(b), "batter_id")
+            .join(F.broadcast(p), "pitcher_id")
+            .join(F.broadcast(g), "game_id")
+            .select(
+                "game_name_id", "play_num", "inning_half", "start_outs",
+                "start_on_base", "desc", "pitch_ct",
+                "batter_name_id", "pitcher_name_id",
+            )
+        ).cache()
+        out.count()  # materialize inside the fixture-scale scope
+    return out
 
 
 @register(
@@ -148,23 +151,26 @@ def scrape_star_games(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(f"{FIXTURES}/GamePage/{nid}.shtml", encoding="utf-8") as f:
             rows.append((nid, f.read()))
     pages = spark.createDataFrame(rows, "name_id string, html string")
-    parsed = P.parse_game_pages(pages).cache()
-    players = P.mock_players_from_games(parsed).cache()
-    star = P.build_star(spark, parsed, players)
-    v = star["venue"].select(F.col("id").alias("venue_id"), F.col("name").alias("venue_name"))
-    ta = star["team"].select(F.col("id").alias("away_team_id"), F.col("abbreviation").alias("away_abbr"))
-    th = star["team"].select(F.col("id").alias("home_team_id"), F.col("abbreviation").alias("home_abbr"))
-    return (
-        star["game"]
-        .join(F.broadcast(v), "venue_id", "left")
-        .join(F.broadcast(ta), "away_team_id")
-        .join(F.broadcast(th), "home_team_id")
-        .select(
-            "name_id", "local_start_time", "time_of_day", "field_type",
-            F.col("date").cast("string").alias("date"),
-            "venue_name", "away_abbr", "home_abbr",
-        )
-    )
+    with P.fixture_scale(spark):
+        parsed = P.parse_game_pages(pages).cache()
+        players = P.mock_players_from_games(parsed).cache()
+        star = P.build_star(spark, parsed, players)
+        v = star["venue"].select(F.col("id").alias("venue_id"), F.col("name").alias("venue_name"))
+        ta = star["team"].select(F.col("id").alias("away_team_id"), F.col("abbreviation").alias("away_abbr"))
+        th = star["team"].select(F.col("id").alias("home_team_id"), F.col("abbreviation").alias("home_abbr"))
+        out = (
+            star["game"]
+            .join(F.broadcast(v), "venue_id", "left")
+            .join(F.broadcast(ta), "away_team_id")
+            .join(F.broadcast(th), "home_team_id")
+            .select(
+                "name_id", "local_start_time", "time_of_day", "field_type",
+                F.col("date").cast("string").alias("date"),
+                "venue_name", "away_abbr", "home_abbr",
+            )
+        ).cache()
+        out.count()
+    return out
 
 
 @register(
@@ -184,7 +190,10 @@ def scrape_player_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(f, encoding="utf-8") as fh:
             rows.append((os.path.basename(f)[:-6], fh.read()))
     pages = spark.createDataFrame(rows, "name_id string, html string")
-    parsed = P.parse_player_pages(pages)
-    return P.players_dim_from_parsed(parsed).select(
-        "id", "name", "name_id", "bats", "throws"
-    )
+    with P.fixture_scale(spark):
+        parsed = P.parse_player_pages(pages)
+        out = P.players_dim_from_parsed(parsed).select(
+            "id", "name", "name_id", "bats", "throws"
+        ).cache()
+        out.count()
+    return out
