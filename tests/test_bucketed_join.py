@@ -9,6 +9,7 @@ import uuid
 import pytest
 from pyspark.sql import functions as F
 
+from deep_field_spark import sinks
 from deep_field_spark.catalog import table
 
 
@@ -27,12 +28,14 @@ def test_bucketed_join_has_no_exchange(no_broadcast, sf_dir):
     suffix = uuid.uuid4().hex[:8]
     t_orders, t_cust = f"b_orders_{suffix}", f"b_cust_{suffix}"
     try:
-        (table(spark, sf_dir, "orders")
-         .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-         .saveAsTable(t_orders))
-        (table(spark, sf_dir, "customer")
-         .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-         .saveAsTable(t_cust))
+        sinks.write_bucketed(
+            table(spark, sf_dir, "orders"), t_orders,
+            ["o_custkey"], 8, sort_cols=["o_custkey"],
+        )
+        sinks.write_bucketed(
+            table(spark, sf_dir, "customer"), t_cust,
+            ["c_custkey"], 8, sort_cols=["c_custkey"],
+        )
         joined = spark.table(t_orders).join(
             spark.table(t_cust),
             F.col("o_custkey") == F.col("c_custkey"),
