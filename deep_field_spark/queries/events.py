@@ -99,6 +99,24 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+    doc="Stream-stream interval join (purchases × same-user clicks "
+        "within 30 min) with watermarks on BOTH sides — the only "
+        "stream-stream join shape whose state stays bounded; oracle is "
+        "the batch twin of the same interval predicate.",
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SW.purchase_click_attribution(spark, sf_dir)
+
+
+@register(
     "streaming_dedup_watermark",
     oracle="SELECT event_id, user_id, event_type FROM events",
     doc="dropDuplicatesWithinWatermark over a simulated at-least-once "

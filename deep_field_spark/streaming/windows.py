@@ -136,6 +136,44 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(dd, "append")
 
 
+def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding 30 minutes.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both sides — the two requirements that let Spark expire
+    join state instead of buffering both streams forever. State per
+    side is (watermark + interval) wide regardless of stream length:
+    the only stream-stream join shape that survives at 100 TB/day.
+    """
+    ev = events_stream(spark, sf_dir).select("event_id", "user_id", "ts", "event_type")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).select("purchase_id", "click_id", "user_id")
+    return _run_to_memory(joined, "append")
+
+
 def stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: running per-user event counts via
     applyInPandasWithState (the Python stateful-processing surface —
