@@ -407,6 +407,71 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_range_7d",
+    oracle="""
+    WITH d AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS BIGINT)
+               AS day
+      FROM orders WHERE o_custkey <= 200)
+    SELECT o_custkey, o_orderkey, day,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                 OVER (PARTITION BY o_custkey ORDER BY day
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                 AS DOUBLE), 2) AS rev_7d
+    FROM d
+    """,
+    doc="Event-time RANGE frame: per-customer rolling 7-day revenue — "
+        "the frame is bounded by the ORDER BY value (days), not row "
+        "count, so same-day orders aggregate together and gaps skip. "
+        "Decimal in-frame sum keeps the result order-independent.",
+)
+def window_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    d = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-6, 0)
+    return d.select(
+        "o_custkey",
+        "o_orderkey",
+        "day",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double"), 2
+        ).alias("rev_7d"),
+    )
+
+
+@register(
+    "percentiles_by_type",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact linear-interpolated percentiles per group (Spark "
+        "`percentile` == DuckDB `quantile_cont`). The exact form needs "
+        "a per-group sort — at 100 TB swap in approx_percentile "
+        "(t-digest sketch, mergeable, one pass) and keep this as the "
+        "small-group/audit path.",
+)
+def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@register(
     "window_rank_lag",
     oracle="""
     SELECT o_custkey, o_orderkey,
