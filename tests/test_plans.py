@@ -51,12 +51,30 @@ def test_agg_is_partial_final(spark, sf_dir):
 @pytest.mark.parametrize(
     "name",
     ["dedup_embedding_cosine", "dedup_minhash_lsh", "ann_lsh_bucket",
-     "dedup_simhash_pairs", "dedup_ngram_jaccard"],
+     "ann_lsh_multiprobe", "dedup_simhash_pairs", "dedup_ngram_jaccard"],
 )
 def test_scale_paths_have_no_nested_loop_join(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "BroadcastNestedLoopJoin" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+def test_decontam_broadcasts_benchmark_grams(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "decontam_ngram_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_ratio_has_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_repetition_ratio")
+    # partial (doc, gram) agg before the exchange — map-side combine
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_range_window_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "window_range_7d")
+    # one hash-partitioning exchange on the window key, nothing else
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_ivf_crossjoin_broadcasts_only_centroids(spark, sf_dir):
