@@ -49,10 +49,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(table(spark, sf_dir, "documents"), "text", "doc_id")
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH {_SHINGLES_CTE},
+# Shared by the dedup_minhash_lsh oracle and the components oracle —
+# one definition so the pair set can never diverge between them.
+_MINHASH_CAND_CTE = f"""
+    {_SHINGLES_CTE},
     sig AS (SELECT doc_id, shingles,
                    list_transform(range(0, {NUM_HASHES}),
                         s -> list_aggregate(list_transform(shingles,
@@ -68,6 +68,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                     a.shingles AS sa, b.shingles AS sb
              FROM keyed a JOIN keyed b
                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_MINHASH_CAND_CTE}
     SELECT id_a, id_b,
            round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
                  / len(list_distinct(list_concat(sa, sb))), 6) AS jaccard
@@ -115,6 +122,45 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), "text", "doc_id",
         ngram=NGRAM, threshold=JACCARD_THRESHOLD,
     )
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CAND_CTE},
+    mh_pairs AS (
+      SELECT id_a, id_b FROM cand
+      WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa, sb))) >= {MINHASH_THRESHOLD}),
+    edges AS (SELECT id_a AS s, id_b AS d FROM mh_pairs
+              UNION SELECT id_b, id_a FROM mh_pairs),
+    verts AS (SELECT DISTINCT s AS v FROM edges),
+    reach AS (
+      SELECT v, v AS m FROM verts
+      UNION
+      SELECT e.s, r.m FROM edges e JOIN reach r ON r.v = e.d)
+    SELECT v AS doc_id, min(m) AS component FROM reach GROUP BY v
+    """,
+    doc="Near-dup cluster formation: connected components over the "
+        "MinHash pair set via distributed min-label propagation "
+        "(operators/components.py) — the transitive-closure step that "
+        "turns pairwise candidates into keep-one-per-cluster groups "
+        "(A~B, B~C fold together even though (A,C) was never a "
+        "candidate). Rounds = cluster diameter (shallow for near-dup "
+        "graphs); state localCheckpointed per round so the plan stays "
+        "flat. The oracle computes the exact closure with a recursive "
+        "CTE — identical components prove the propagation converged.",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    pairs = D.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), "text", "doc_id",
+        ngram=NGRAM, num_hashes=NUM_HASHES, bands=BANDS,
+        threshold=MINHASH_THRESHOLD,
+    )
+    comp = connected_components(pairs)
+    return comp.select(F.col("v").alias("doc_id"), F.col("comp").alias("component"))
 
 
 MAX_DF = 5

@@ -99,3 +99,31 @@ def test_streaming_file_sink_append(spark, sf_dir, tmp_path):
     # everything strictly before the final watermark must have emitted
     assert len(got) >= len(batch) - 10 * 2  # last hour windows x types margin
     assert os.path.isdir(out_dir)
+
+
+class TestConnectedComponents:
+    def test_chain_and_islands(self, spark):
+        from deep_field_spark.operators.components import connected_components
+
+        # chain 1-2-3-4 (diameter 3, needs >1 round), island {10,11},
+        # and a triangle {20,21,22} with a redundant edge
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+            "id_a long, id_b long",
+        )
+        got = {(r.v, r.comp) for r in connected_components(pairs).collect()}
+        assert got == {
+            (1, 1), (2, 1), (3, 1), (4, 1),
+            (10, 10), (11, 10),
+            (20, 20), (21, 20), (22, 20),
+        }
+
+    def test_long_path_converges(self, spark):
+        from deep_field_spark.operators.components import connected_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+        )
+        comp = connected_components(pairs)
+        assert comp.select("comp").distinct().count() == 1
+        assert comp.count() == 31
