@@ -185,6 +185,102 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_pipeline_e2e",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, text, {TOKS_SQL} AS toks FROM documents),
+    q AS (SELECT doc_id, source, text, toks,
+                 CAST(len(toks) AS INT) AS n_words,
+                 CAST(list_aggregate(list_transform(toks,
+                      x -> CAST(len(x) AS DOUBLE)), 'sum') AS DOUBLE)
+                   / len(toks) AS mwl,
+                 CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))
+                      AS DOUBLE) / len(toks) AS alpha_ratio,
+                 CAST(len(list_filter(toks, x -> list_contains({STOPWORDS_SQL}, x)))
+                      AS INT) AS n_stop
+          FROM t WHERE len(toks) > 0),
+    kept AS (SELECT * FROM q
+             WHERE n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+               AND mwl BETWEEN {MIN_MWL} AND {MAX_MWL}
+               AND alpha_ratio >= {MIN_ALPHA_RATIO}
+               AND n_stop >= {MIN_STOPWORDS}),
+    deduped AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+    final AS (SELECT k.doc_id, k.source, k.n_words,
+                     md5(CAST(k.doc_id AS VARCHAR)) AS h
+              FROM kept k JOIN deduped d ON k.doc_id = d.doc_id),
+    split AS (SELECT doc_id, source, n_words,
+                     CASE WHEN 16 * (strpos('0123456789abcdef', substring(h, 1, 1)) - 1)
+                             + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1)
+                             < {TRAIN_LT} THEN 'train'
+                          WHEN 16 * (strpos('0123456789abcdef', substring(h, 1, 1)) - 1)
+                             + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1)
+                             < {VAL_LT} THEN 'val'
+                          ELSE 'test' END AS split
+              FROM final)
+    SELECT split, source,
+           CAST(count(*) AS INT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_tokens
+    FROM split GROUP BY split, source
+    """,
+    doc="The training-data pipeline end-to-end as ONE declarative plan: "
+        "quality-gate → exact-dedup (keep lowest id per digest) → "
+        "deterministic split → per-(split, source) doc/token budget. "
+        "Composing the stages declaratively (instead of materializing "
+        "between them) lets Catalyst collapse the whole thing into a "
+        "scan → project → two hash-agg/join stages — the filters run "
+        "inside the parquet scan pass, and nothing writes to storage "
+        "until the end. The shape every curation run at 100 TB wants.",
+)
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = texting.tokens(F.col("text"))
+    d = docs.select("doc_id", "source", "text", tok.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    mwl = (
+        F.aggregate(F.col("toks"), F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double"))
+        / F.size("toks")
+    )
+    alpha_ratio = (
+        F.size(F.filter(F.col("toks"), lambda x: x.rlike("^[a-z]+$"))).cast("double")
+        / F.size("toks")
+    )
+    stop_arr = F.array(*[F.lit(w) for w in texting.EN_STOPWORDS])
+    n_stop = F.size(F.filter(F.col("toks"), lambda x: F.array_contains(stop_arr, x)))
+    q = d.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size("toks").cast("int").alias("n_words"),
+        mwl.alias("mwl"),
+        alpha_ratio.alias("alpha_ratio"),
+        n_stop.cast("int").alias("n_stop"),
+    )
+    kept = q.filter(
+        F.col("n_words").between(MIN_WORDS, MAX_WORDS)
+        & F.col("mwl").between(MIN_MWL, MAX_MWL)
+        & (F.col("alpha_ratio") >= MIN_ALPHA_RATIO)
+        & (F.col("n_stop") >= MIN_STOPWORDS)
+    )
+    deduped = kept.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    final = kept.join(deduped.select("doc_id"), "doc_id")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    split = final.select(
+        "source",
+        "n_words",
+        F.when(bucket < TRAIN_LT, "train")
+        .when(bucket < VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return split.groupBy("split", "source").agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_tokens"),
+    )
+
+
+@register(
     "corpus_split_assign",
     oracle=f"""
     WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),

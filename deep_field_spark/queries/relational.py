@@ -448,6 +448,42 @@ def window_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_analytics_suite",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ntile(4) OVER w AS INT)            AS quartile,
+           round(percent_rank() OVER w, 6)         AS pct_rank,
+           round(cume_dist() OVER w, 6)            AS cdist,
+           round(first_value(o_totalprice) OVER w, 2) AS first_price,
+           round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+    FROM orders
+    WHERE o_custkey <= 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="Analytic-function breadth in one window pass: ntile, "
+        "percent_rank, cume_dist, first/nth_value over an unbounded "
+        "frame. One shuffle on the partition key serves all five.",
+)
+def window_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    # rank-family functions require the default frame; value functions
+    # take the full frame — same partition/order, so both specs share
+    # one shuffle + sort in a single Window operator
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(wo).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(wo), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(wo), 6).alias("cdist"),
+        _r2(F.first("o_totalprice").over(wf)).alias("first_price"),
+        _r2(F.nth_value("o_totalprice", 2).over(wf)).alias("second_price"),
+    )
+
+
+@register(
     "percentiles_by_type",
     oracle="""
     SELECT event_type,
