@@ -17,7 +17,7 @@ oracle replaying the identical arithmetic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import spread, table
@@ -261,8 +261,15 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("alpha_ratio") >= MIN_ALPHA_RATIO)
         & (F.col("n_stop") >= MIN_STOPWORDS)
     )
-    deduped = kept.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
-    final = kept.join(deduped.select("doc_id"), "doc_id")
+    # keep-lowest-id per digest as a window (one full-row shuffle on
+    # the digest) rather than groupBy-min + join-back (a slim shuffle
+    # PLUS a second full-row shuffle and a second scan)
+    wdig = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    final = (
+        kept.withColumn("rn", F.row_number().over(wdig))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
     bucket = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
     ).cast("int")
