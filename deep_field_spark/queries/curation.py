@@ -287,6 +287,71 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# tiny per-language stopword dimension — at scale this is a real table
+# (hundreds of languages × top-k stopwords) and the join shape is
+# identical: broadcast the dimension, inverted join on the token
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": texting.EN_STOPWORDS,
+    "de": ("der", "die", "das", "und", "nicht", "ist", "ich", "du", "wir", "ein"),
+    "fr": ("le", "la", "les", "et", "ne", "pas", "est", "je", "tu", "un"),
+}
+
+
+@register(
+    "text_lang_id_multi",
+    oracle=f"""
+    WITH sw(lang, word) AS (VALUES {", ".join(
+        f"('{lang}', '{w}')" for lang, ws in sorted(LANG_STOPWORDS.items()) for w in ws
+    )}),
+    t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    base AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    inv AS (SELECT doc_id, n, unnest(toks) AS w FROM base),
+    hits AS (SELECT doc_id, s.lang, count(*) AS c, max(n) AS n
+             FROM inv JOIN sw s ON w = s.word GROUP BY 1, 2),
+    best AS (SELECT doc_id, lang, c, n,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY c DESC, lang) AS rn
+             FROM hits)
+    SELECT b.doc_id,
+           coalesce(x.lang, 'und') AS pred_lang,
+           round(coalesce(CAST(x.c AS DOUBLE) / x.n, 0.0), 4) AS score
+    FROM base b LEFT JOIN (SELECT * FROM best WHERE rn = 1) x USING (doc_id)
+    """,
+    doc="Multi-language lang-ID: a broadcast (lang, stopword) dimension "
+        "inverted-joins the token stream; per-(doc, lang) hit densities "
+        "argmax to a prediction, zero-hit docs fall back to 'und'. The "
+        "production shape of text_lang_id's single-language heuristic — "
+        "growing the language inventory changes the dimension table, "
+        "not the plan.",
+)
+def text_lang_id_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"))
+    tok = texting.tokens(F.col("text"))
+    base = docs.select("doc_id", tok.alias("toks")).filter(F.size("toks") > 0)
+    base = base.select("doc_id", "toks", F.size("toks").alias("n"))
+    sw = spark.createDataFrame(
+        [(lang, w) for lang, ws in sorted(LANG_STOPWORDS.items()) for w in ws],
+        "lang string, word string",
+    )
+    inv = base.select("doc_id", "n", F.explode("toks").alias("w"))
+    hits = (
+        inv.join(F.broadcast(sw), inv.w == sw.word)
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("c"), F.max("n").alias("n"))
+    )
+    wb = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "lang")
+    best = hits.withColumn("rn", F.row_number().over(wb)).filter(F.col("rn") == 1)
+    return base.join(
+        best.select("doc_id", "lang", "c", F.col("n").alias("bn")), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("lang"), F.lit("und")).alias("pred_lang"),
+        F.round(
+            F.coalesce(F.col("c").cast("double") / F.col("bn"), F.lit(0.0)), 4
+        ).alias("score"),
+    )
+
+
 @register(
     "corpus_split_assign",
     oracle=f"""
