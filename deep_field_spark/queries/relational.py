@@ -883,17 +883,23 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "correlated_scalar_subquery",
     oracle="""
     SELECT p_partkey, p_retailprice,
-           (SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
-                         / count(l_extendedprice), 2)
+           (SELECT CASE WHEN count(l_extendedprice) = 0 THEN NULL ELSE
+                CAST((200 * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000)
+                             AS BIGINT)
+                      + 1000000 * count(l_extendedprice))
+                     // (2000000 * count(l_extendedprice)) AS DOUBLE) / 100 END
             FROM lineitem
             WHERE l_partkey = p_partkey) AS avg_sold_price
     FROM part
     """,
     doc="Correlated scalar subquery (Catalyst de-correlates to an "
         "aggregate + left outer join — the set-based form of the "
-        "reference's per-row point lookups J1). The avg uses the exact "
-        "decimal-sum discipline (_davg) on BOTH engines so partial-agg "
-        "summation order can never flip the 2-dp rounding.",
+        "reference's per-row point lookups J1). The 2-dp average is "
+        "computed ENTIRELY in integer arithmetic (micros → half-up "
+        "cents via floor((200S + 10^6 n)/(2·10^6 n))): decimal sums "
+        "alone are not enough when the exact ratio lands ON a rounding "
+        "boundary — engines' round() disagree on the epsilon-below "
+        "double (hit at partkey 809, ratio exactly 52471.495).",
 )
 def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Unique view names: bare names collide when queries interleave on a
@@ -903,8 +909,11 @@ def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT p_partkey, p_retailprice,
-               (SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
-                             / count(l_extendedprice), 2)
+               (SELECT CASE WHEN count(l_extendedprice) = 0 THEN NULL ELSE
+                    CAST((200 * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000)
+                                 AS BIGINT)
+                          + 1000000 * count(l_extendedprice))
+                         DIV (2000000 * count(l_extendedprice)) AS DOUBLE) / 100 END
                 FROM csq_lineitem
                 WHERE l_partkey = p_partkey) AS avg_sold_price
         FROM csq_part
