@@ -23,6 +23,23 @@ def tokens(col: Column | str) -> Column:
     return F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != F.lit(""))
 
 
+def has_tokens(col: Column | str) -> Column:
+    """Cheap scan-level equivalent of ``size(tokens(c)) > 0``.
+
+    ``tokens`` keeps exactly the maximal runs of non-``\\s`` characters,
+    so the array is non-empty iff the text contains any ``\\S`` char
+    (NULL text → NULL → filtered, same as the size test). Filtering on
+    this BEFORE projecting ``tokens(...)`` matters for plan shape:
+    ``.select(tokens.alias("toks")).filter(size("toks") > 0)`` gets
+    rewritten by PushDownPredicate into Filter(size(tokens(text)))
+    under the Project, and codegen does not share the subexpression
+    across that boundary — every row tokenizes twice. A plain rlike
+    predicate pushes to the scan and leaves one tokenizer eval.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike(r"\S")
+
+
 def word_ngrams(tok: Column, n: int, sep: str = " ") -> Column:
     """Word n-gram shingles from a token array (order-preserving).
 

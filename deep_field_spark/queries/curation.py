@@ -67,7 +67,7 @@ TRAIN_LT, VAL_LT = 205, 230
 def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     tok = texting.tokens(F.col("text"))
-    d = docs.select("doc_id", tok.alias("toks")).filter(F.size("toks") > 0)
+    d = docs.filter(texting.has_tokens("text")).select("doc_id", tok.alias("toks"))
     mwl = (
         F.aggregate(F.col("toks"), F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double"))
         / F.size("toks")
@@ -233,8 +233,8 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     tok = texting.tokens(F.col("text"))
-    d = docs.select("doc_id", "source", "text", tok.alias("toks")).filter(
-        F.size("toks") > 0
+    d = docs.filter(texting.has_tokens("text")).select(
+        "doc_id", "source", "text", tok.alias("toks")
     )
     mwl = (
         F.aggregate(F.col("toks"), F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double"))
@@ -327,7 +327,7 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 def text_lang_id_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(table(spark, sf_dir, "documents"))
     tok = texting.tokens(F.col("text"))
-    base = docs.select("doc_id", tok.alias("toks")).filter(F.size("toks") > 0)
+    base = docs.filter(texting.has_tokens("text")).select("doc_id", tok.alias("toks"))
     base = base.select("doc_id", "toks", F.size("toks").alias("n"))
     sw = spark.createDataFrame(
         [(lang, w) for lang, ws in sorted(LANG_STOPWORDS.items()) for w in ws],

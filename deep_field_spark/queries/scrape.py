@@ -152,8 +152,13 @@ def scrape_star_games(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append((nid, f.read()))
     pages = spark.createDataFrame(rows, "name_id string, html string")
     with P.fixture_scale(spark):
+        # eager counts for the same reason as scrape_star_plays: the
+        # final job's dim/plays branches all consume parsed + players,
+        # and cache population races within one job
         parsed = P.parse_game_pages(pages).cache()
+        parsed.count()
         players = P.mock_players_from_games(parsed).cache()
+        players.count()
         star = P.build_star(spark, parsed, players)
         v = star["venue"].select(F.col("id").alias("venue_id"), F.col("name").alias("venue_name"))
         ta = star["team"].select(F.col("id").alias("away_team_id"), F.col("abbreviation").alias("away_abbr"))

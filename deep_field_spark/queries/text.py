@@ -40,7 +40,7 @@ BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     tok = texting.tokens(F.col("text"))
-    d = docs.select("doc_id", tok.alias("toks")).filter(F.size("toks") > 0)
+    d = docs.filter(texting.has_tokens("text")).select("doc_id", tok.alias("toks"))
     total_len = F.aggregate(
         F.col("toks"), F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
     )
@@ -91,13 +91,13 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     tok = texting.tokens(F.col("text"))
-    d = docs.select(
+    d = docs.filter(texting.has_tokens("text")).select(
         "doc_id",
         "n_chars",
         tok.alias("toks"),
         F.octet_length(F.regexp_replace("text", "[^a-zA-Z ]", "")).alias("n_alpha"),
         F.octet_length("text").alias("n_raw"),
-    ).filter(F.size("toks") > 0)
+    )
     stop_arr = F.array(*[F.lit(w) for w in texting.EN_STOPWORDS])
     n_stop = F.size(F.filter(F.col("toks"), lambda x: F.array_contains(stop_arr, x)))
     return d.select(
@@ -124,7 +124,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     tok = texting.tokens(F.col("text"))
-    d = docs.select("doc_id", "lang", tok.alias("toks")).filter(F.size("toks") > 0)
+    d = docs.filter(texting.has_tokens("text")).select("doc_id", "lang", tok.alias("toks"))
     stop_arr = F.array(*[F.lit(w) for w in texting.EN_STOPWORDS])
     ratio = F.size(F.filter(F.col("toks"), lambda x: F.array_contains(stop_arr, x))).cast(
         "double"

@@ -168,7 +168,12 @@ def resolve_pages(
                 f"mode); first missing: {sample}"
             )
         return hit_out
-    fetched = fetch_pages(misses, fetch_fn, delay)
+    # Materialize the fetch exactly once: write_cache is an eager action
+    # and the returned union is consumed by the caller — without the
+    # checkpoint each would re-run the rate-limited web fetch (doubling
+    # live requests and crawl delay, and racing page content between the
+    # cache files and the returned rows).
+    fetched = fetch_pages(misses, fetch_fn, delay).localCheckpoint()
     ok = fetched.filter(F.col("error").isNull())
     if cache_root is not None:
         write_cache(ok.filter(F.col("is_cachable")), cache_root)

@@ -55,10 +55,27 @@ def scrape_from_cache(
     for r in pages.groupBy("page_type").agg(F.count("*").alias("n")).collect():
         counters[f"pages_{r.page_type}"] = r.n
 
-    # 2-3: schedule → game frontier (games not already built)
+    # 2-3: schedule → game frontier. In a cache-only run the frontier is
+    # the coverage signal: links the schedules reference that the cache
+    # does not yet hold are exactly what a subsequent online run must
+    # fetch (O2 resume). One action computes both counters.
     sched = pages.filter(F.col("page_type") == "SchedulePage").select("name_id", "html")
-    game_links = P.parse_schedule_pages(sched).filter(F.col("error").isNull())
-    counters["schedule_links"] = game_links.count()
+    game_links = (
+        P.parse_schedule_pages(sched)
+        .filter(F.col("error").isNull())
+        .filter(F.col("page_type") == "GamePage")
+        .select("name_id")
+    )
+    uncached = game_links.join(
+        pages.filter(F.col("page_type") == "GamePage").select("name_id"),
+        "name_id",
+        "left_anti",
+    )
+    link_stats = game_links.agg(
+        F.count("*").alias("links"),
+    ).crossJoin(uncached.agg(F.count("*").alias("missing"))).first()
+    counters["schedule_links"] = link_stats["links"]
+    counters["frontier_not_in_cache"] = link_stats["missing"]
 
     game_pages = pages.filter(F.col("page_type") == "GamePage").select("name_id", "html")
     if existing and "game" in existing:
@@ -83,7 +100,11 @@ def scrape_from_cache(
             existing_players.select("name_id"), "name_id", "left_anti"
         )
     parsed_players = P.parse_player_pages(player_pages)
-    players = P.players_dim_from_parsed(parsed_players, existing=existing_players)
+    # cache: this lineage (player-parse UDF + surrogate-id window) is
+    # driven by several downstream actions (count, missing anti-join,
+    # mock upsert, star build, sink writes) — uncached it would re-run
+    # the parse per action
+    players = P.players_dim_from_parsed(parsed_players, existing=existing_players).cache()
     counters["players_from_pages"] = players.count()
 
     roster_ids = P.roster_names(ok).select("name_id").distinct()
@@ -104,7 +125,7 @@ def scrape_from_cache(
             F.lit(1).cast("smallint").alias("bats"),
             F.lit(1).cast("smallint").alias("throws"),
         )
-        players = P.upsert_dim(rows, players, ["name_id"])
+        players = P.upsert_dim(rows, players, ["name_id"]).cache()
 
     # 7: star build
     star = P.build_star(spark, parsed, players, existing=existing)

@@ -193,6 +193,9 @@ def _meta_texts(meta: Node) -> dict[str, str | None]:
         ):
             tod_field = text
         if venue is None and text.startswith("Venue: "):
+            # split(": ")[1], NOT split(": ", 1): a venue containing
+            # ": " is truncated at the second colon — exact parity with
+            # the reference (bbref_pages.py:419), kept bug-for-bug.
             venue = text.split(": ")[1]
     out: dict[str, str | None] = {
         "date_text": date_text,

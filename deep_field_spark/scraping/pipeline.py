@@ -160,7 +160,7 @@ def page_type_expr(url: F.Column, name_id: F.Column) -> F.Column:
     """Regex page-type dispatch (bbref_pages.py:65-75, P3)."""
     return (
         F.when(name_id.rlike(r"^[A-Z0-9]{3}[0-9]{9}$"), "GamePage")
-        .when(name_id.rlike(r"^[\w\.']+\d\d"), "PlayerPage")
+        .when(name_id.rlike(r"^[\w\.']+\d\d$"), "PlayerPage")
         .when(url.contains("schedule"), "SchedulePage")
     )
 
@@ -240,7 +240,22 @@ def upsert_dim(
     ids must be stable across re-runs for idempotent resume, E5/O2).
     """
     order_cols = order_cols or natural_key
-    fresh = new_rows.dropDuplicates(natural_key)
+    # Dedupe on the natural key picking the FIRST row by the non-key
+    # columns' sort order — dropDuplicates keeps an arbitrary row per
+    # key, which would make dim attributes depend on partition scan
+    # order when the same key arrives with differing attributes.
+    attr_cols = [c for c in new_rows.columns if c not in natural_key]
+    if attr_cols:
+        dw = Window.partitionBy(*natural_key).orderBy(
+            *[F.col(c).asc_nulls_last() for c in attr_cols]
+        )
+        fresh = (
+            new_rows.withColumn("_rn", F.row_number().over(dw))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        fresh = new_rows.dropDuplicates(natural_key)
     w = Window.orderBy(*[F.col(c) for c in order_cols])
     if existing is not None:
         fresh = fresh.join(existing, on=natural_key, how="left_anti")
@@ -508,6 +523,19 @@ def build_star(
     games = upsert_dim(game_rows, existing.get("game"), ["name_id"])
 
     plays = resolve_plays(ok, players_dim)
+    # E1/E4 quarantine: a play whose batter/pitcher name resolves to no
+    # roster id would reach the sinks as a NULL FK (the SQLite schema is
+    # NOT NULL there; the star queries would silently drop it). The
+    # reference raises KeyError and rolls back the whole page
+    # (bbref_pages.py:679-687, 367-372) — mirrored here at the same
+    # granularity: every play of an affected game is quarantined, before
+    # surrogate-id assignment so play ids stay dense and deterministic.
+    bad_games = (
+        plays.filter(F.col("batter_id").isNull() | F.col("pitcher_id").isNull())
+        .select("game_name_id")
+        .distinct()
+    )
+    plays = plays.join(F.broadcast(bad_games), "game_name_id", "left_anti")
     g = games.select(F.col("name_id").alias("game_name_id"), F.col("id").alias("game_id"))
     play_rows = plays.join(F.broadcast(g), "game_name_id").drop("game_name_id")
     pw = Window.orderBy("game_id", "play_num")
