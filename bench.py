@@ -60,6 +60,7 @@ HEADLINE = [
     "text_repetition_ratio",
     "decontam_ngram_overlap",
     "corpus_split_assign",
+    "pii_redact",
     "curation_pipeline_e2e",
     "knn_brute_force",
     "ann_lsh_bucket",

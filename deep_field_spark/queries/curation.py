@@ -386,3 +386,107 @@ def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# --- PII redaction ---------------------------------------------------
+# The synthetic corpus carries no PII, so the query deterministically
+# plants PII-shaped tokens (pure function of doc_id, identical in the
+# oracle) and then detects/redacts them. The detector/redactor is the
+# operator under test; the planting is the harness.
+
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\(\d{3}\) \d{3}-\d{4}"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_AUG_SQL = """
+    text
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' call (555) 123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+            ELSE '' END
+"""
+
+
+@register(
+    "pii_redact",
+    oracle=f"""
+    WITH a AS (SELECT doc_id, {_AUG_SQL} AS aug FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(aug, '{EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(aug, '{PHONE_RE}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(aug, '{IP_RE}')) AS INT) AS n_ips,
+           CAST(CASE WHEN regexp_matches(aug, '{EMAIL_RE}')
+                       OR regexp_matches(aug, '{PHONE_RE}')
+                       OR regexp_matches(aug, '{IP_RE}')
+                THEN 1 ELSE 0 END AS INT) AS pii_flag,
+           md5(regexp_replace(regexp_replace(regexp_replace(aug,
+               '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g'),
+               '{IP_RE}', '<IP>', 'g')) AS redacted_md5
+    FROM a
+    """,
+    doc="PII detection + redaction (emails, NANP phones, IPv4) as pure "
+        "regexp column expressions — scan-speed, JVM codegen, zero "
+        "shuffle; the redacted text is md5-fingerprinted so the oracle "
+        "verifies the exact redacted bytes, not just the counts. At "
+        "100 TB this runs in the same single pass as the other quality "
+        "signals.",
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(""),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" call (555) 123-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 7) % 256).cast("string"),
+            ),
+        ).otherwise(""),
+    )
+    a = docs.select("doc_id", aug.alias("aug"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), EMAIL_RE, "<EMAIL>"),
+            PHONE_RE,
+            "<PHONE>",
+        ),
+        IP_RE,
+        "<IP>",
+    )
+    return a.select(
+        "doc_id",
+        F.regexp_count(F.col("aug"), F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("aug"), F.lit(PHONE_RE)).cast("int").alias("n_phones"),
+        F.regexp_count(F.col("aug"), F.lit(IP_RE)).cast("int").alias("n_ips"),
+        F.when(
+            F.col("aug").rlike(EMAIL_RE)
+            | F.col("aug").rlike(PHONE_RE)
+            | F.col("aug").rlike(IP_RE),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("pii_flag"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )
