@@ -61,6 +61,7 @@ HEADLINE = [
     "decontam_ngram_overlap",
     "corpus_split_assign",
     "pii_redact",
+    "corpus_pack_sequences",
     "curation_pipeline_e2e",
     "knn_brute_force",
     "ann_lsh_bucket",

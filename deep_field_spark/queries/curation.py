@@ -490,3 +490,52 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pii_flag"),
         F.md5(redacted.cast("binary")).alias("redacted_md5"),
     )
+
+
+PACK_CTX = 2048  # tokens per training context window
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source,
+                      CAST(len({TOKS_SQL}) AS INT) AS n_tokens
+               FROM documents),
+    w AS (SELECT doc_id, source, n_tokens,
+                 CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum
+          FROM t WHERE n_tokens > 0)
+    SELECT doc_id, source, n_tokens,
+           CAST((cum - n_tokens) // {PACK_CTX} AS BIGINT) AS pack_id,
+           CAST((cum - n_tokens) % {PACK_CTX} AS INT) AS pack_offset
+    FROM w
+    """,
+    doc=f"Greedy sequence packing for training: stream-concatenate each "
+        f"source's documents (stable doc_id order) and split the token "
+        f"stream into {PACK_CTX}-token context windows; every doc gets "
+        "the (pack_id, offset) where it starts. One shuffle keyed on "
+        "source; at 100 TB the partition key widens to (source, shard) "
+        "so no single source serializes through one task — packing only "
+        "needs per-shard contiguity, not global order.",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_tok = F.size(texting.tokens(F.col("text"))).cast("int")
+    t = (
+        docs.filter(texting.has_tokens("text"))
+        .select("doc_id", "source", n_tok.alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("n_tokens").over(w).cast("long")
+    start = (cum - F.col("n_tokens")).alias("start")
+    return t.select("doc_id", "source", "n_tokens", start).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(F.col("start") / PACK_CTX).cast("long").alias("pack_id"),
+        (F.col("start") % PACK_CTX).cast("int").alias("pack_offset"),
+    )
