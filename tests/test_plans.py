@@ -99,3 +99,15 @@ def test_theta_join_keeps_equi_partitioning(spark, sf_dir):
 def test_semi_anti_joins_planned(spark, sf_dir):
     assert "LeftSemi" in _plan(spark, sf_dir, "join_semi")
     assert "LeftAnti" in _plan(spark, sf_dir, "join_anti")
+
+
+def test_pii_redact_is_scan_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pii_redact")
+    assert "Exchange" not in plan  # zero shuffle: regexps in the scan pass
+    assert "BatchScan" in plan or "FileScan" in plan or "Scan parquet" in plan
+
+
+def test_pack_sequences_single_window_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "corpus_pack_sequences")
+    assert plan.count("Exchange hashpartitioning") == 1  # the source window
+    assert "Window" in plan
