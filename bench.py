@@ -50,6 +50,7 @@ HEADLINE = [
     "sessionize_events",
     "events_tumbling_hourly",
     "appearance_windows_events",
+    "events_funnel_steps",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -67,6 +68,7 @@ HEADLINE = [
     "ann_lsh_bucket",
     "ann_lsh_multiprobe",
     "ann_ivf_cells",
+    "embedding_quantize_int8",
     "multimodal_frame_sample",
     "udaf_grouped_pandas",
     "map_funcs_events",

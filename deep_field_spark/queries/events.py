@@ -195,3 +195,71 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SW.stateful_user_counts(spark, sf_dir)
+
+
+@register(
+    "events_funnel_steps",
+    oracle="""
+    WITH s1 AS (SELECT user_id, min(ts) AS view_ts
+                FROM events WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS click_ts
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.view_ts
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.click_ts
+           GROUP BY e.user_id)
+    SELECT s1.user_id, s1.view_ts, s2.click_ts, s3.purchase_ts,
+           CAST(1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END
+                AS INT) AS reached_step
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s2.user_id = s3.user_id
+    """,
+    doc="Ordered funnel (view → click → purchase): per user, the "
+        "earliest event of each step strictly after the previous "
+        "step's timestamp. Three conditional-min aggregations joined "
+        "on user_id — every shuffle is keyed on user_id, so AQE "
+        "coalesces them onto one exchange footprint; no per-user "
+        "event arrays are ever materialized (at 100 TB a power user "
+        "with 10M events costs three partial-agg rows, not a 10M "
+        "element list).",
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    reached = (
+        F.lit(1)
+        + F.when(F.col("click_ts").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("purchase_ts").isNotNull(), 1).otherwise(0)
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            reached.cast("int").alias("reached_step"),
+        )
+    )

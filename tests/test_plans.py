@@ -111,3 +111,14 @@ def test_pack_sequences_single_window_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "corpus_pack_sequences")
     assert plan.count("Exchange hashpartitioning") == 1  # the source window
     assert "Window" in plan
+
+
+def test_quantize_is_scan_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "embedding_quantize_int8")
+    assert "Exchange" not in plan  # per-row quantization, zero shuffle
+
+
+def test_funnel_no_nested_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_funnel_steps")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
