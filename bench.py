@@ -51,6 +51,7 @@ HEADLINE = [
     "events_tumbling_hourly",
     "appearance_windows_events",
     "events_funnel_steps",
+    "events_cohort_retention",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

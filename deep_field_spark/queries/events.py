@@ -263,3 +263,33 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             reached.cast("int").alias("reached_step"),
         )
     )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+               FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.day) AS INT) AS day_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention: users grouped by first-seen day, counted at "
+        "each day offset they return. first-touch agg + distinct "
+        "activity days + one join, all keyed on user_id (AQE reuses "
+        "the exchange); the final rollup is tiny (days x offsets). At "
+        "100 TB the only big shuffle is the per-user distinct, which "
+        "partial-aggregates map-side.",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    f = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("cohort_day"))
+    a = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    return (
+        a.join(f, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").cast("int").alias("day_offset"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
