@@ -64,6 +64,7 @@ HEADLINE = [
     "corpus_split_assign",
     "pii_redact",
     "corpus_pack_sequences",
+    "corpus_mixture_sample",
     "curation_pipeline_e2e",
     "knn_brute_force",
     "ann_lsh_bucket",

@@ -539,3 +539,57 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("start") / PACK_CTX).cast("long").alias("pack_id"),
         (F.col("start") % PACK_CTX).cast("int").alias("pack_offset"),
     )
+
+
+# Target mixture: upsample-by-keeping-all for low source ids, thin the
+# long tail. Acceptance threshold over the same 0..255 md5 bucket the
+# split assignment uses; weight = fraction of the source kept.
+MIXTURE_DEFAULT = 64  # keep 25% of unlisted sources
+MIXTURE_WEIGHTS = {"src0": 256, "src1": 192, "src2": 128, "src3": 96}
+
+_MIX_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {t}" for s, t in sorted(MIXTURE_WEIGHTS.items()))
+    + f" ELSE {MIXTURE_DEFAULT} END"
+)
+
+
+@register(
+    "corpus_mixture_sample",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, source,
+                      md5(CAST(doc_id AS VARCHAR)) AS h
+               FROM documents),
+    b AS (SELECT doc_id, source,
+                 CAST(16 * (strpos('0123456789abcdef', substring(h, 1, 1)) - 1)
+                    + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) AS INT)
+                   AS bucket
+          FROM h)
+    SELECT doc_id, source, bucket,
+           CAST({_MIX_CASE} AS INT) AS threshold,
+           CAST(CASE WHEN bucket < {_MIX_CASE} THEN 1 ELSE 0 END AS INT) AS sampled
+    FROM b
+    """,
+    doc="Deterministic source-mixture sampling: each source gets an "
+        "acceptance threshold over a content-independent md5 bucket of "
+        "the stable id, thinning over-represented sources to a target "
+        "mixture. Same reproducibility contract as the split assigner "
+        "— no rand(), stable under repartitioning, re-runs and "
+        "cluster-size changes; scan-speed, zero shuffle.",
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+        "int"
+    )
+    thr = F.lit(MIXTURE_DEFAULT)
+    for s, t in sorted(MIXTURE_WEIGHTS.items(), reverse=True):
+        thr = F.when(F.col("source") == s, t).otherwise(thr)
+    b = docs.select("doc_id", "source", bucket.alias("bucket"), thr.cast("int").alias("threshold"))
+    return b.select(
+        "doc_id",
+        "source",
+        "bucket",
+        "threshold",
+        F.when(F.col("bucket") < F.col("threshold"), 1).otherwise(0).cast("int").alias("sampled"),
+    )
