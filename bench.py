@@ -52,6 +52,7 @@ HEADLINE = [
     "appearance_windows_events",
     "events_funnel_steps",
     "events_cohort_retention",
+    "events_anomaly_zscore",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -9,7 +9,7 @@ streaming operators too, not just rows-only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -292,4 +292,73 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(f, "user_id")
         .groupBy("cohort_day", F.datediff("day", "cohort_day").cast("int").alias("day_offset"))
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH h AS (SELECT date_trunc('hour', ts) AS wstart, event_type,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+    w AS (SELECT wstart, event_type, n,
+                 sum(n) OVER f AS s,
+                 sum(n * n) OVER f AS ss,
+                 count(n) OVER f AS c
+          FROM h
+          WINDOW f AS (PARTITION BY event_type ORDER BY epoch(wstart)
+                       RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING))
+    SELECT wstart, event_type, n,
+           CAST(c AS INT) AS n_trailing,
+           round(CAST(s AS DOUBLE) / c, 4) AS trailing_mean,
+           round(CASE WHEN c >= 2
+                       AND (ss - CAST(s AS DOUBLE) * s / c) / (c - 1) > 0
+                 THEN (n - CAST(s AS DOUBLE) / c)
+                      / sqrt((ss - CAST(s AS DOUBLE) * s / c) / (c - 1))
+                 END, 4) AS zscore
+    FROM w
+    """,
+    doc="Trailing-window anomaly detection: hourly per-type counts "
+        "z-scored against the preceding 24 h (event-time RANGE frame "
+        "that excludes the current hour). Mean/variance are computed "
+        "from integer-exact sum and sum-of-squares — bit-identical "
+        "across engines and partial-agg orders, unlike builtin stddev. "
+        "One shuffle to the hourly rollup (tiny: hours x types), then "
+        "a per-type window — at 100 TB the rollup IS the reduction; "
+        "the window input is thousands of rows regardless of input "
+        "size.",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    h = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("wstart"), "event_type"
+        ).agg(F.count("*").alias("n"))
+    )
+    f = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("wstart"))
+        .rangeBetween(-86400, -3600)
+    )
+    w = h.select(
+        "wstart",
+        "event_type",
+        "n",
+        F.sum("n").over(f).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(f).alias("ss"),
+        F.count("n").over(f).alias("c"),
+    )
+    sd = F.col("s").cast("double")
+    var = (F.col("ss") - sd * F.col("s") / F.col("c")) / (F.col("c") - 1)
+    z = F.when(
+        (F.col("c") >= 2) & (var > 0),
+        (F.col("n") - sd / F.col("c")) / F.sqrt(var),
+    )
+    return w.select(
+        "wstart",
+        "event_type",
+        "n",
+        F.col("c").cast("int").alias("n_trailing"),
+        F.round(sd / F.col("c"), 4).alias("trailing_mean"),
+        F.round(z, 4).alias("zscore"),
     )
