@@ -122,3 +122,15 @@ def test_funnel_no_nested_loop(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_funnel_steps")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mixture_sample_is_scan_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "corpus_mixture_sample")
+    assert "Exchange" not in plan
+
+
+def test_cohort_and_anomaly_no_nested_loop(spark, sf_dir):
+    for name in ("events_cohort_retention", "events_anomaly_zscore"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
