@@ -59,6 +59,7 @@ HEADLINE = [
     "text_token_stats",
     "text_quality_score",
     "text_fingerprint",
+    "text_tfidf_topk",
     "text_gopher_filters",
     "text_repetition_ratio",
     "decontam_ngram_overlap",

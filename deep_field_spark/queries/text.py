@@ -173,3 +173,61 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("int").alias("n_shingles"),
         )
     )
+
+
+TFIDF_TOP_K = 3
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM t GROUP BY 1, 2),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+    scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                      tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS tfidf
+               FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY tfidf DESC, term) AS rk
+               FROM scored)
+    SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf,
+           CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {TFIDF_TOP_K}
+    """,
+    doc="TF-IDF: term frequency per (doc, term), document frequency "
+        "per term, tfidf = tf * ln(N/df); top-3 terms per doc by a "
+        "fully-specified order (score desc, term asc). Two hash aggs "
+        "(both partial/final) + a term-keyed join where the df side "
+        "is orders of magnitude smaller than the tf side and "
+        "broadcast-eligible; the per-doc top-k is a bounded window. "
+        "Integer tf/df into double ln keeps the score bit-identical "
+        "across engines and partition orders.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", F.explode(texting.tokens(F.col("text"))).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = tf.select(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * F.log(F.col("n").cast("double") / F.col("df"))).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", F.round("tfidf", 6).alias("tfidf"),
+                F.col("rk").cast("int").alias("rk"))
+    )
