@@ -67,6 +67,7 @@ HEADLINE = [
     "pii_redact",
     "corpus_pack_sequences",
     "corpus_mixture_sample",
+    "corpus_group_sample",
     "curation_pipeline_e2e",
     "knn_brute_force",
     "ann_lsh_bucket",

@@ -593,3 +593,37 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "threshold",
         F.when(F.col("bucket") < F.col("threshold"), 1).otherwise(0).cast("int").alias("sampled"),
     )
+
+
+GROUP_SAMPLE_K = 5
+
+
+@register(
+    "corpus_group_sample",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h
+               FROM documents),
+    r AS (SELECT doc_id, source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+                   AS rk
+          FROM h)
+    SELECT doc_id, source, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= {GROUP_SAMPLE_K}
+    """,
+    doc=f"Deterministic uniform sample of {GROUP_SAMPLE_K} docs per "
+        "source: the k smallest md5(doc_id) values per group — an "
+        "order statistic over a content-independent hash, so the "
+        "sample is uniform, stable across runs/partitionings, and "
+        "composable (k' < k is a prefix). One window shuffle keyed on "
+        "source; at 100 TB use the two-stage form (per-partition "
+        "top-k, then merge) that TakeOrdered applies globally.",
+)
+def corpus_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("h"))
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        h.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= GROUP_SAMPLE_K)
+        .select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
+    )
