@@ -53,6 +53,7 @@ HEADLINE = [
     "events_funnel_steps",
     "events_cohort_retention",
     "events_anomaly_zscore",
+    "events_transition_matrix",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -362,3 +362,40 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sd / F.col("c"), 4).alias("trailing_mean"),
         F.round(z, 4).alias("zscore"),
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH s AS (SELECT user_id, event_type,
+                      lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS next_type
+               FROM events)
+    SELECT event_type, next_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(count(*) AS DOUBLE)
+                 / sum(count(*)) OVER (PARTITION BY event_type), 6) AS p
+    FROM s WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    doc="First-order transition matrix over per-user event sequences: "
+        "lead() over (user, time) pairs each event with its successor, "
+        "then a (from, to) count and a row-normalized probability. One "
+        "shuffle keyed on user_id for the sequence window, then a "
+        "tiny (types x types) rollup — the window is the only wide "
+        "stage and it partial-sorts within partitions at 100 TB.",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    c = s.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("event_type")
+    return c.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wt), 6).alias("p"),
+    )
