@@ -55,6 +55,7 @@ HEADLINE = [
     "events_anomaly_zscore",
     "events_transition_matrix",
     "dedup_exact",
+    "dedup_incremental_batch",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_token_stats",

@@ -377,3 +377,46 @@ def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 4).alias("cos_sim"),
         )
     )
+
+
+INCR_BATCH_MIN_ID = 400  # doc_id >= 400 plays the newly-crawled batch
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+    corpus AS (SELECT * FROM d WHERE doc_id < {INCR_BATCH_MIN_ID}),
+    batch AS (SELECT * FROM d WHERE doc_id >= {INCR_BATCH_MIN_ID}),
+    hit AS (SELECT b.doc_id, min(c.doc_id) AS dup_of
+            FROM batch b JOIN corpus c ON b.digest = c.digest
+            GROUP BY b.doc_id)
+    SELECT b.doc_id, hit.dup_of,
+           CAST(CASE WHEN hit.doc_id IS NULL THEN 1 ELSE 0 END AS INT) AS is_new
+    FROM batch b LEFT JOIN hit ON b.doc_id = hit.doc_id
+    """,
+    doc="Incremental ingestion dedup: a newly-crawled batch checked "
+        "against the existing corpus by content digest — each new doc "
+        "either maps to its earliest duplicate or is flagged new. The "
+        "join ships (id, digest) pairs only, never text; at 100 TB "
+        "the corpus side is a bucketed digest table so each daily "
+        "batch joins against it with zero corpus shuffle, and the "
+        "same frontier anti-join keeps re-runs idempotent (the "
+        "scrape pipeline's resume pattern applied to corpus growth).",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text")).alias("digest")
+    )
+    corpus = d.filter(F.col("doc_id") < INCR_BATCH_MIN_ID)
+    batch = d.filter(F.col("doc_id") >= INCR_BATCH_MIN_ID)
+    hit = (
+        batch.join(corpus.select(F.col("digest"), F.col("doc_id").alias("cid")), "digest")
+        .groupBy(batch.doc_id)
+        .agg(F.min("cid").alias("dup_of"))
+    )
+    return batch.join(hit, "doc_id", "left").select(
+        "doc_id",
+        "dup_of",
+        F.when(F.col("dup_of").isNull(), 1).otherwise(0).cast("int").alias("is_new"),
+    )
