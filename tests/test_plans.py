@@ -134,3 +134,24 @@ def test_cohort_and_anomaly_no_nested_loop(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_tfidf_df_join_and_bounded_topk(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_tfidf_topk")
+    # the only nested-loop is the 1-row scalar N broadcast; the
+    # (term) df join must be a hash join, and the top-k a window
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+    assert "Window" in plan
+
+
+def test_incremental_dedup_hash_joins_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_incremental_batch")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_transition_matrix_no_nested_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_transition_matrix")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
