@@ -352,14 +352,26 @@ def text_lang_id_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 0..255 content-independent bucket of the stable id — the one
+# definition shared by split assignment and mixture sampling, so a
+# future hash swap (xxhash64 at scale) cannot desynchronize them.
+_BUCKET_FROM_H_SQL = (
+    "CAST(16 * (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) "
+    "+ (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) AS INT)"
+)
+
+
+def _md5_bucket():
+    return F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+
+
 @register(
     "corpus_split_assign",
     oracle=f"""
     WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
-    b AS (SELECT doc_id,
-                 CAST(16 * (strpos('0123456789abcdef', substring(h, 1, 1)) - 1)
-                    + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) AS INT)
-                   AS bucket
+    b AS (SELECT doc_id, {_BUCKET_FROM_H_SQL} AS bucket
           FROM h)
     SELECT doc_id, bucket,
            CASE WHEN bucket < {TRAIN_LT} THEN 'train'
@@ -374,10 +386,7 @@ def text_lang_id_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
-        "int"
-    )
-    b = docs.select("doc_id", bucket.alias("bucket"))
+    b = docs.select("doc_id", _md5_bucket().alias("bucket"))
     return b.select(
         "doc_id",
         "bucket",
@@ -416,20 +425,21 @@ _AUG_SQL = """
 @register(
     "pii_redact",
     oracle=f"""
-    WITH a AS (SELECT doc_id, {_AUG_SQL} AS aug FROM documents)
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(aug, '{EMAIL_RE}')) AS INT) AS n_emails,
-           CAST(len(regexp_extract_all(aug, '{PHONE_RE}')) AS INT) AS n_phones,
-           CAST(len(regexp_extract_all(aug, '{IP_RE}')) AS INT) AS n_ips,
-           CAST(CASE WHEN regexp_matches(aug, '{EMAIL_RE}')
-                       OR regexp_matches(aug, '{PHONE_RE}')
-                       OR regexp_matches(aug, '{IP_RE}')
+    WITH a AS (SELECT doc_id, {_AUG_SQL} AS aug FROM documents),
+    c AS (SELECT doc_id,
+                 CAST(len(regexp_extract_all(aug, '{EMAIL_RE}')) AS INT) AS n_emails,
+                 CAST(len(regexp_extract_all(aug, '{PHONE_RE}')) AS INT) AS n_phones,
+                 CAST(len(regexp_extract_all(aug, '{IP_RE}')) AS INT) AS n_ips,
+                 md5(regexp_replace(regexp_replace(regexp_replace(aug,
+                     '{EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{PHONE_RE}', '<PHONE>', 'g'),
+                     '{IP_RE}', '<IP>', 'g')) AS redacted_md5
+          FROM a)
+    SELECT doc_id, n_emails, n_phones, n_ips,
+           CAST(CASE WHEN n_emails + n_phones + n_ips > 0
                 THEN 1 ELSE 0 END AS INT) AS pii_flag,
-           md5(regexp_replace(regexp_replace(regexp_replace(aug,
-               '{EMAIL_RE}', '<EMAIL>', 'g'),
-               '{PHONE_RE}', '<PHONE>', 'g'),
-               '{IP_RE}', '<IP>', 'g')) AS redacted_md5
-    FROM a
+           redacted_md5
+    FROM c
     """,
     doc="PII detection + redaction (emails, NANP phones, IPv4) as pure "
         "regexp column expressions — scan-speed, JVM codegen, zero "
@@ -474,21 +484,25 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         IP_RE,
         "<IP>",
     )
-    return a.select(
+    # the flag derives from the counts already computed — three extra
+    # full-text rlike scans per row would double the regex work
+    c = a.select(
         "doc_id",
         F.regexp_count(F.col("aug"), F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
         F.regexp_count(F.col("aug"), F.lit(PHONE_RE)).cast("int").alias("n_phones"),
         F.regexp_count(F.col("aug"), F.lit(IP_RE)).cast("int").alias("n_ips"),
-        F.when(
-            F.col("aug").rlike(EMAIL_RE)
-            | F.col("aug").rlike(PHONE_RE)
-            | F.col("aug").rlike(IP_RE),
-            1,
-        )
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )
+    return c.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        F.when(F.col("n_emails") + F.col("n_phones") + F.col("n_ips") > 0, 1)
         .otherwise(0)
         .cast("int")
         .alias("pii_flag"),
-        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+        "redacted_md5",
     )
 
 
@@ -522,10 +536,11 @@ PACK_CTX = 2048  # tokens per training context window
 def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     n_tok = F.size(texting.tokens(F.col("text"))).cast("int")
-    t = (
-        docs.filter(texting.has_tokens("text"))
-        .select("doc_id", "source", n_tok.alias("n_tokens"))
-        .filter(F.col("n_tokens") > 0)
+    # has_tokens ⟺ n_tokens > 0 and stays a scan-level rlike; a second
+    # filter(n_tokens > 0) would be pushed below the Project and
+    # re-evaluate the tokenizer per row (texting.has_tokens docstring)
+    t = docs.filter(texting.has_tokens("text")).select(
+        "doc_id", "source", n_tok.alias("n_tokens")
     )
     w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -560,10 +575,7 @@ _MIX_CASE = (
     WITH h AS (SELECT doc_id, source,
                       md5(CAST(doc_id AS VARCHAR)) AS h
                FROM documents),
-    b AS (SELECT doc_id, source,
-                 CAST(16 * (strpos('0123456789abcdef', substring(h, 1, 1)) - 1)
-                    + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) AS INT)
-                   AS bucket
+    b AS (SELECT doc_id, source, {_BUCKET_FROM_H_SQL} AS bucket
           FROM h)
     SELECT doc_id, source, bucket,
            CAST({_MIX_CASE} AS INT) AS threshold,
@@ -579,13 +591,12 @@ _MIX_CASE = (
 )
 def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
-        "int"
-    )
     thr = F.lit(MIXTURE_DEFAULT)
     for s, t in sorted(MIXTURE_WEIGHTS.items(), reverse=True):
         thr = F.when(F.col("source") == s, t).otherwise(thr)
-    b = docs.select("doc_id", "source", bucket.alias("bucket"), thr.cast("int").alias("threshold"))
+    b = docs.select(
+        "doc_id", "source", _md5_bucket().alias("bucket"), thr.cast("int").alias("threshold")
+    )
     return b.select(
         "doc_id",
         "source",

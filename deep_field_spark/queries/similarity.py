@@ -375,13 +375,18 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round("scale", 6).alias("scale"),
         F.transform(F.col("embedding"), lambda x: qexpr(x).cast("int")).alias("q"),
+        # guard the empty array: F.aggregate folds [] to the 0.0 seed
+        # while the oracle's list_aggregate yields NULL — align on NULL
         F.round(
-            F.sqrt(
-                F.aggregate(
-                    F.col("embedding"),
-                    F.lit(0.0),
-                    lambda acc, x: acc + err_term(x),
-                )
+            F.when(
+                F.size("embedding") > 0,
+                F.sqrt(
+                    F.aggregate(
+                        F.col("embedding"),
+                        F.lit(0.0),
+                        lambda acc, x: acc + err_term(x),
+                    )
+                ),
             ),
             6,
         ).alias("recon_err"),

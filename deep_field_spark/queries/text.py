@@ -11,7 +11,7 @@ index-ordered accumulation) so every query is hash-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import spread, table
@@ -206,8 +206,6 @@ TFIDF_TOP_K = 3
         "across engines and partition orders.",
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window  # noqa: PLC0415
-
     docs = spread(table(spark, sf_dir, "documents"))
     t = docs.select("doc_id", F.explode(texting.tokens(F.col("text"))).alias("term"))
     tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
