@@ -40,8 +40,36 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def ensure_nanos_conf(spark: SparkSession) -> None:
-    """Runtime-set the TIMESTAMP(NANOS)-as-long reader conf (idempotent)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Runtime session normalization (idempotent).
+
+    pyspark 4.1 reads parquet TIMESTAMP(NANOS) natively as TIMESTAMP_NTZ
+    (the legacy nanosAsLong conf is a no-op at runtime there, but harmless
+    and still honored by older builds, so keep setting it). Session TZ is
+    pinned to UTC so any NTZ<->LTZ cast is the exact identity on the naive
+    value — this makes ``ts_micros`` deterministic on every session,
+    including the driver's externally built one.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def ts_micros(col):
+    """Microseconds-since-epoch for TIMESTAMP *or* TIMESTAMP_NTZ columns.
+
+    ``F.unix_micros`` rejects TIMESTAMP_NTZ (what parquet TIMESTAMP(NANOS)
+    reads as under pyspark 4.1), so cast through timestamp_ltz first: a
+    no-op for LTZ inputs, and with the session TZ pinned to UTC (see
+    ensure_nanos_conf) an exact naive-as-UTC epoch for NTZ inputs —
+    matching DuckDB's ``epoch_us`` on the same naive values.
+    """
+    from pyspark.sql import functions as F
+
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.unix_micros(col.cast("timestamp_ltz"))
 
 
 def fix_nanos_ts(df: DataFrame) -> DataFrame:

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..catalog import ts_micros
+
 
 def sessionize(df: DataFrame, user_col: str, ts_col: str, gap_minutes: int,
                tiebreak_col: str) -> DataFrame:
@@ -19,10 +21,12 @@ def sessionize(df: DataFrame, user_col: str, ts_col: str, gap_minutes: int,
     prev_ts = F.lag(ts_col).over(w)
     # Microsecond-precision gap test (unix_timestamp truncates to whole
     # seconds and would disagree with epoch_us oracles on sub-second gaps).
+    # ts_micros (not unix_micros) so TIMESTAMP_NTZ inputs — how parquet
+    # TIMESTAMP(NANOS) reads under pyspark 4.1 — work on any session.
     gap_us = gap_minutes * 60 * 1_000_000
     new_session = F.when(
         prev_ts.isNull()
-        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)) > gap_us),
+        | ((ts_micros(F.col(ts_col)) - ts_micros(prev_ts)) > gap_us),
         1,
     ).otherwise(0)
     return df.withColumn(

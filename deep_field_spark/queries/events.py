@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import table, ts_micros
 from ..streaming import windows as SW
 from . import register
 
@@ -335,10 +335,11 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("hour", "ts").alias("wstart"), "event_type"
         ).agg(F.count("*").alias("n"))
     )
+    # ts_micros (NTZ-safe), so range bounds are in microseconds.
     f = (
         Window.partitionBy("event_type")
-        .orderBy(F.unix_timestamp("wstart"))
-        .rangeBetween(-86400, -3600)
+        .orderBy(ts_micros(F.col("wstart")))
+        .rangeBetween(-86400 * 1_000_000, -3600 * 1_000_000)
     )
     w = h.select(
         "wstart",

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import table, ts_micros
 from ..operators.asof import asof_join_backward
 from ..operators.sessionize import sessionize
 from ..operators.topk import top_k_per_group
@@ -321,8 +321,8 @@ def join_theta_self(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = table(spark, sf_dir, "events").alias("a")
     b = table(spark, sf_dir, "events").alias("b")
-    a_us = F.unix_micros(F.col("a.ts"))
-    b_us = F.unix_micros(F.col("b.ts"))
+    a_us = ts_micros(F.col("a.ts"))
+    b_us = ts_micros(F.col("b.ts"))
     return (
         a.join(
             b,
@@ -355,7 +355,7 @@ def join_range_events_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.asof import range_join_bucketed
 
     ev = table(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts"))
+    us = ts_micros(F.col("ts"))
     b = ev.select(F.col("event_id").alias("id_b"), "user_id", us.alias("b_us"))
     a = ev.select(
         F.col("event_id").alias("id_a"),

@@ -48,7 +48,12 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_nanos_conf(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = spark.readStream.schema(schema).format("parquet").load(_stream_dir(sf_dir))
-    return fix_nanos_ts(raw)
+    ev = fix_nanos_ts(raw)
+    # Watermarks require TIMESTAMP (LTZ); pyspark 4.1 reads parquet
+    # TIMESTAMP(NANOS) as TIMESTAMP_NTZ. Session TZ is pinned to UTC by
+    # ensure_nanos_conf, so this cast is the exact identity on the naive
+    # value (and a no-op where ts is already LTZ).
+    return ev.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
 
 
 def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:

@@ -8,6 +8,7 @@ import time
 
 from pyspark.sql import functions as F
 
+from deep_field_spark.catalog import table
 from deep_field_spark.operators import dedup as D
 from deep_field_spark.scraping import cache as C
 
@@ -86,8 +87,8 @@ def test_streaming_file_sink_append(spark, sf_dir, tmp_path):
     batch = {
         (r.wstart, r.event_type, r.n)
         for r in (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-            .select(F.timestamp_micros(F.expr("ts div 1000")).alias("ts"), "event_type")
+            table(spark, sf_dir, "events")
+            .select(F.col("ts").cast("timestamp_ltz").alias("ts"), "event_type")
             .groupBy(F.window("ts", "1 hour"), "event_type")
             .agg(F.count("*").alias("n"))
             .select(F.col("window.start").alias("wstart"), "event_type", "n")
