@@ -64,6 +64,9 @@ HEADLINE = [
     "text_tfidf_topk",
     "text_gopher_filters",
     "text_repetition_ratio",
+    "text_chunk_overlap",
+    "text_vocab_topk",
+    "curation_source_profile",
     "decontam_ngram_overlap",
     "corpus_split_assign",
     "pii_redact",

@@ -88,6 +88,8 @@ _PRIORITY = [
     "multimodal_feature_extract",
     # UDF/UDAF/UDTF surface
     "udaf_grouped_pandas", "udtf_sentences",
+    # round-3 training-data additions
+    "text_chunk_overlap", "text_vocab_topk", "curation_source_profile",
 ]
 
 

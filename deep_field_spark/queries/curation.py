@@ -638,3 +638,50 @@ def corpus_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= GROUP_SAMPLE_K)
         .select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
     )
+
+
+@register(
+    "curation_source_profile",
+    oracle="""
+    WITH d AS (SELECT source, lang, n_chars,
+                      CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1 ELSE 0 END
+                        AS len_ok,
+                      md5(text) AS digest
+               FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS avg_chars,
+           CAST(sum(len_ok) AS BIGINT) AS n_len_ok,
+           CAST(count(*) - count(DISTINCT digest) AS BIGINT) AS n_exact_dups
+    FROM d GROUP BY source
+    """,
+    doc="Per-source curation dashboard: doc counts, language spread, "
+        "size stats, length-gate pass count, and within-source exact-"
+        "duplicate count (n_docs - distinct content digests). One "
+        "partial/final hash agg keyed on source — the distinct "
+        "aggregates expand per-key but sources are few, so the "
+        "reduction happens map-side and the shuffle carries one row "
+        "per (source, lang/digest) partial. The mean uses integer "
+        "sum / count (bit-identical across partial-agg orders).",
+)
+def curation_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.when(F.col("n_chars").between(100, 5000), 1).otherwise(0).alias("len_ok"),
+        F.md5("text").alias("digest"),
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count("*"), 2
+        ).alias("avg_chars"),
+        F.sum("len_ok").alias("n_len_ok"),
+        (F.count("*") - F.countDistinct("digest")).alias("n_exact_dups"),
+    )

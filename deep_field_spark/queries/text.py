@@ -175,6 +175,95 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_W = 64       # tokens per chunk
+CHUNK_STRIDE = 48  # stride between chunk starts (overlap = W - stride)
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    s AS (SELECT doc_id, toks,
+                 unnest(range(0, len(toks), {CHUNK_STRIDE})) AS start
+          FROM t WHERE len(toks) > 0)
+    SELECT doc_id,
+           CAST(start // {CHUNK_STRIDE} AS INT) AS chunk_id,
+           CAST(least({CHUNK_W}, len(toks) - start) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(list_slice(toks, start + 1, start + {CHUNK_W}), ' '))
+             AS chunk_md5
+    FROM s
+    """,
+    doc=f"Overlapping token-window chunking ({CHUNK_W}-token chunks, "
+        f"stride {CHUNK_STRIDE}) — the standard pre-training / RAG "
+        "segmentation step. sequence+explode+slice: a narrow per-row "
+        "generator with NO shuffle; output rows ≈ input tokens / "
+        "stride, so a 100 TB corpus chunks at scan speed and each "
+        "chunk row stays small (the md5 stands in for shipping chunk "
+        "text to the compare layer).",
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = texting.tokens(F.col("text"))
+    # Single-select explode of the inline (toks, start) pair — same
+    # one-evaluation discipline as text_fingerprint: aliasing the array
+    # first would let InferFiltersFromGenerate re-derive the tokenize.
+    d = docs.filter(texting.has_tokens("text")).select(
+        "doc_id", toks.alias("toks")
+    )
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE))
+    e = d.select("doc_id", "toks", F.explode(starts).alias("start"))
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, CHUNK_W)
+    return e.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+        F.least(F.lit(CHUNK_W), F.size("toks") - F.col("start"))
+        .cast("int")
+        .alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+VOCAB_TOP_K = 100
+
+
+@register(
+    "text_vocab_topk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest(list_distinct({TOKS_SQL})) AS term
+               FROM documents),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY 1),
+    r AS (SELECT term, df,
+                 row_number() OVER (ORDER BY df DESC, term) AS rk
+          FROM df)
+    SELECT term, df, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= {VOCAB_TOP_K}
+    """,
+    doc=f"Corpus vocabulary: top-{VOCAB_TOP_K} terms by document "
+        "frequency (distinct per doc, so stopword-stuffed docs don't "
+        "dominate), fully-specified order (df desc, term asc). "
+        "Explode-distinct → partial/final hash agg → global top-k via "
+        "TakeOrderedAndProject: the reduction to #distinct-terms rows "
+        "happens map-side, and the final sort never materializes the "
+        "full term table on one node — the vocabulary-building shape "
+        "that survives a 100 TB corpus.",
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id", F.explode(F.array_distinct(texting.tokens(F.col("text")))).alias("term")
+    )
+    df = t.groupBy("term").agg(F.count("*").alias("df"))
+    # orderBy+limit → TakeOrderedAndProject (per-partition heaps, merge
+    # on the driver of K rows only); the rank window runs AFTER the
+    # limit, over ≤K rows — never a global single-partition sort of the
+    # full term table.
+    top = df.orderBy(F.col("df").desc(), "term").limit(VOCAB_TOP_K)
+    w = Window.orderBy(F.col("df").desc(), "term")
+    return top.select(
+        "term", "df", F.row_number().over(w).cast("int").alias("rk")
+    )
+
+
 TFIDF_TOP_K = 3
 
 
