@@ -87,7 +87,7 @@ def fix_nanos_ts(df: DataFrame) -> DataFrame:
 
 def spread(df: DataFrame) -> DataFrame:
     """Repartition up to the session's default parallelism when the
-    input has fewer partitions — and ONLY then.
+    scan would have fewer splits — and ONLY then.
 
     The local testdata is one single-row-group parquet file per table,
     so every scan is one task and per-row compute (shingling, hashing,
@@ -96,12 +96,43 @@ def spread(df: DataFrame) -> DataFrame:
     exists only where the data is small enough not to matter. Use it
     in compute-bound operators, never between a filter and its scan
     (it would block pushdown).
+
+    The split count is estimated from local input-file sizes vs
+    maxPartitionBytes (``inputFiles()`` is a metadata call, ~ms). The
+    previous exact probe — ``df.rdd.getNumPartitions()`` — converts
+    the whole plan to an RDD through py4j, ~1 s of driver time per
+    call; with 15 call sites that tax rode every bench/driver run.
+    Non-local storage (hdfs/s3 paths we cannot stat) means a real
+    cluster scan whose splits come from the source: exactly the case
+    where spread must be a no-op anyway.
     """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    import os
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+        paths = []
+        for f in files:
+            u = urlparse(f)
+            if u.scheme not in ("", "file"):
+                return df  # remote storage: splits come from the source
+            paths.append(u.path or f)
+        if not paths:
+            return df
+        raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        max_pb = int("".join(ch for ch in raw if ch.isdigit()) or "134217728")
+        # one split per file minimum; large files split by maxPartitionBytes
+        approx = sum(max(1, os.path.getsize(p) // max_pb) for p in paths)
+        if approx < target:
+            return df.repartition(target)
+        return df
+    except Exception:
+        # exact-but-costly fallback for plans inputFiles() can't serve
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+        return df
 
 
 def read_csv(
