@@ -43,6 +43,7 @@ def scrape_from_cache(
     parquet_root: str | None = None,
     existing: dict[str, DataFrame] | None = None,
     allow_mock_players: bool = True,
+    year_range: tuple[int, int] | None = None,
 ) -> tuple[dict[str, DataFrame], dict[str, int]]:
     """Run the full ETL over a page cache; returns (star, counters).
 
@@ -78,6 +79,11 @@ def scrape_from_cache(
     counters["frontier_not_in_cache"] = link_stats["missing"]
 
     game_pages = pages.filter(F.col("page_type") == "GamePage").select("name_id", "html")
+    if year_range is not None:
+        # game name_ids embed the date: ABC2017101200 → chars 4-7 are the
+        # year (the CLI's per-year scrape scope, scraper.py:51-60).
+        yr = F.substring("name_id", 4, 4).cast("int")
+        game_pages = game_pages.filter(yr.between(*year_range))
     if existing and "game" in existing:
         game_pages = game_pages.join(
             existing["game"].select(F.col("name_id")), "name_id", "left_anti"
