@@ -155,3 +155,22 @@ def test_transition_matrix_no_nested_loop(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_transition_matrix")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_chunk_overlap_is_shuffle_free(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_chunk_overlap")
+    # pure generator: tokenize once, explode starts, slice — no exchange
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Generate") == 1  # one explode; tokenize not re-derived
+
+
+def test_vocab_topk_take_ordered_not_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_vocab_topk")
+    assert "TakeOrderedAndProject" in plan
+    # the full term table must never funnel through one partition
+    assert "Exchange SinglePartition" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_source_profile_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "curation_source_profile")
+    assert plan.index("HashAggregate") < plan.index("Exchange")
