@@ -85,6 +85,26 @@ def fix_nanos_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def _parse_bytes(v: str) -> int:
+    """Spark byte-string conf value → bytes ('128m', '134217728b', '1g').
+    A bare number is bytes. Unknown suffixes fall back to the 128 MiB
+    default rather than misreading the magnitude."""
+    s = v.strip().lower()
+    for suffix, mult in (
+        ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+        ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            num = s[: -len(suffix)].strip()
+            if num.isdigit():
+                return int(num) * mult
+            break
+    if s.isdigit():
+        return int(s)
+    return 128 * 1024 * 1024
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Repartition up to the session's default parallelism when the
     scan would have fewer splits — and ONLY then.
@@ -122,9 +142,12 @@ def spread(df: DataFrame) -> DataFrame:
         if not paths:
             return df
         raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        max_pb = int("".join(ch for ch in raw if ch.isdigit()) or "134217728")
-        # one split per file minimum; large files split by maxPartitionBytes
-        approx = sum(max(1, os.path.getsize(p) // max_pb) for p in paths)
+        max_pb = _parse_bytes(raw)
+        # Spark bin-packs small files and splits large ones, so the split
+        # count tracks ceil(total / maxPartitionBytes) — per-file floors
+        # would miss the bin-packing (32 tiny files = ~1 real partition).
+        total = sum(os.path.getsize(p) for p in paths)
+        approx = max(1, -(-total // max_pb))
         if approx < target:
             return df.repartition(target)
         return df

@@ -17,6 +17,13 @@ def sessionize(df: DataFrame, user_col: str, ts_col: str, gap_minutes: int,
                tiebreak_col: str) -> DataFrame:
     """Add a 1-based ``session_id`` per user: a new session starts when
     the gap since the previous event exceeds ``gap_minutes``."""
+    # Pin session TZ to UTC so ts_micros on TIMESTAMP_NTZ inputs is
+    # well-defined even when this operator is the first library call on
+    # an externally built session (NTZ→LTZ casts are non-injective
+    # across DST folds in local timezones).
+    from ..catalog import ensure_nanos_conf
+
+    ensure_nanos_conf(df.sparkSession)
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
     prev_ts = F.lag(ts_col).over(w)
     # Microsecond-precision gap test (unix_timestamp truncates to whole

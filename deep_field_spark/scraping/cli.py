@@ -22,8 +22,10 @@ Parity pieces:
   - db-name sanitization (script_utils.py:29-39): basename only,
     ``.db`` suffix enforced.
   - Crawl-delay guardrail (scraper.py:34-44): delays below 3.0 s warn
-    and clamp (the reference also punishes with a 15 s sleep; with no
-    online stage here the clamp is recorded for the injected fetcher).
+    and clamp (the reference also punishes with a 15 s sleep). Offline
+    runs have no fetch stage, so the effective value is surfaced in the
+    printed counters for the operator wiring in a fetch-enabled run
+    (cache.fetch_pages takes it as its token-bucket rate).
 """
 
 from __future__ import annotations
@@ -91,7 +93,7 @@ def main(argv: list[str] | None = None) -> int:
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
-    clamp_crawl_delay(args.crawl_delay)
+    crawl_delay = clamp_crawl_delay(args.crawl_delay)
 
     from ..session import get_spark
     from .orchestrate import scrape_from_cache
@@ -108,6 +110,7 @@ def main(argv: list[str] | None = None) -> int:
         )
     finally:
         spark.stop()
+    counters["crawl_delay_secs"] = crawl_delay
     for k in sorted(counters):
         print(f"{k}: {counters[k]}")
     return 0

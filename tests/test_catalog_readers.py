@@ -56,3 +56,25 @@ def test_json_corrupt_record_quarantine(spark):
         assert len(rows) == 3
         bad = [r for r in rows if r._corrupt_record is not None]
         assert len(bad) == 1  # malformed row quarantined, job survives
+
+
+def test_parse_bytes_conf_values():
+    """spread()'s split estimate must understand Spark byte-strings —
+    misreading '128m' as 128 bytes silently disabled the repartition."""
+    from deep_field_spark.catalog import _parse_bytes
+
+    assert _parse_bytes("128m") == 128 * 1024 * 1024
+    assert _parse_bytes("134217728b") == 134217728
+    assert _parse_bytes("134217728") == 134217728
+    assert _parse_bytes("2g") == 2 << 30
+    assert _parse_bytes("64k") == 64 * 1024
+    # unknown junk falls back to the 128 MiB default, never a tiny number
+    assert _parse_bytes("oops") == 128 * 1024 * 1024
+
+
+def test_spread_repartitions_small_local_scan(spark, sf_dir):
+    from deep_field_spark.catalog import spread, table
+
+    d = spread(table(spark, sf_dir, "documents"))
+    target = spark.sparkContext.defaultParallelism
+    assert d.rdd.getNumPartitions() >= min(target, 2)

@@ -13,15 +13,13 @@ Usage: python tools/driver_sim.py [sf_dir] [only_prefix ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TABLES = (
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-)
+from deep_field_spark.catalog import TABLES  # noqa: E402
 
 
 def norm_cell(v):
