@@ -68,9 +68,9 @@ _PRIORITY = [
     "sessionize_events", "join_range_events", "join_range_events_bucketed",
     "asof_join_purchases",
     # streaming surface
-    "streaming_tumbling_hourly", "streaming_session_window",
-    "streaming_stateful_counts", "streaming_stream_join",
-    "streaming_dedup_watermark",
+    "streaming_tumbling_hourly", "streaming_sliding_30m",
+    "streaming_session_window", "streaming_stateful_counts",
+    "streaming_stream_join", "streaming_dedup_watermark",
     # event analytics
     "events_tumbling_hourly", "events_sliding_30m", "events_funnel_steps",
     "events_cohort_retention", "events_anomaly_zscore",

@@ -56,14 +56,17 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_sliding_30m",
-    oracle="""
+SLIDING_ORACLE = """
     SELECT make_timestamp((epoch_us(ts) // 1800000000 - off) * 1800000000) AS wstart,
            count(*) AS n
     FROM events, unnest([0, 1]) AS t(off)
     GROUP BY 1
-    """,
+"""
+
+
+@register(
+    "events_sliding_30m",
+    oracle=SLIDING_ORACLE,
     doc="Sliding windows (1h wide, 30m slide): each event lands in "
         "exactly two windows; Spark's window() expands via Expand — "
         "shuffle volume is 2× the tumbling case, not a range join.",
@@ -96,6 +99,17 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SW.session_window_counts(spark, sf_dir, "30 minutes")
+
+
+@register(
+    "streaming_sliding_30m",
+    oracle=SLIDING_ORACLE,
+    doc="Structured Streaming twin of events_sliding_30m: watermarked "
+        "sliding windows (1h wide, 30m slide) via Expand; same bounded-"
+        "input result set ⇒ same oracle.",
+)
+def streaming_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SW.sliding_counts(spark, sf_dir, "1 hour", "30 minutes")
 
 
 @register(

@@ -89,6 +89,22 @@ def tumbling_counts(spark: SparkSession, sf_dir: str, width: str = "1 hour") -> 
     )
 
 
+def sliding_counts(
+    spark: SparkSession, sf_dir: str, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked sliding-window counts: each event lands in
+    width/slide windows via Expand (shuffle volume scales with that
+    factor, not with a range join)."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width, slide))
+        .agg(F.count("*").alias("n"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(F.col("window.start").alias("wstart"), "n")
+
+
 def session_window_counts(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
     """Session windows per user (gap-merged), counts per session."""
     ev = events_stream(spark, sf_dir)
