@@ -87,7 +87,7 @@ _PRIORITY = [
     "multimodal_binary_meta", "multimodal_resize", "multimodal_frame_sample",
     "multimodal_feature_extract",
     # UDF/UDAF/UDTF surface
-    "udaf_grouped_pandas", "udtf_sentences",
+    "udaf_grouped_pandas", "udtf_sentences", "grouped_map_interarrival",
     # round-3 training-data additions
     "text_chunk_overlap", "text_vocab_topk", "curation_source_profile",
 ]

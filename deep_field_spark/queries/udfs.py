@@ -123,3 +123,59 @@ def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs d, LATERAL split_sentences(d.text) t
         """
     )
+
+
+def _median_gap_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map body: per-user median inter-arrival gap in µs.
+
+    Deterministic by construction: the group sorts on (us, event_id)
+    before differencing, so partition/arrival order cannot change the
+    answer; int64 µs in, exact median (avg of two middles at even
+    counts) out.
+    """
+    pdf = pdf.sort_values(["us", "event_id"])
+    gaps = pdf["us"].diff().dropna()
+    if len(gaps) == 0:
+        return pd.DataFrame(columns=["user_id", "n_gaps", "median_gap_us"])
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_gaps": [int(len(gaps))],
+            "median_gap_us": [round(float(gaps.median()), 1)],
+        }
+    )
+
+
+@register(
+    "grouped_map_interarrival",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+               AS gap
+      FROM events)
+    SELECT user_id,
+           CAST(count(gap) AS INT) AS n_gaps,
+           round(median(gap), 1) AS median_gap_us
+    FROM g WHERE gap IS NOT NULL GROUP BY user_id
+    """,
+    doc="Grouped-map applyInPandas (SURVEY §2.10 — the stateless "
+        "grouped twin of applyInPandasWithState): per-user median "
+        "inter-arrival gap. Median needs the whole sorted group — "
+        "exactly the computation grouped-map exists for. Timestamps "
+        "enter the UDF pre-converted to int64 µs (ts_micros), so the "
+        "Arrow batch carries plain longs and the arithmetic is exact "
+        "on any session/timestamp type. One shuffle on user_id; group "
+        "size bounds worker memory (a power-user group must fit one "
+        "pandas frame — the documented applyInPandas contract).",
+)
+def grouped_map_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import ts_micros
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", ts_micros(F.col("ts")).alias("us")
+    )
+    return ev.groupBy("user_id").applyInPandas(
+        _median_gap_fn, "user_id long, n_gaps int, median_gap_us double"
+    )
