@@ -77,6 +77,7 @@ _PRIORITY = [
     "events_transition_matrix", "map_funcs_events", "skew_salted_agg",
     # dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_components",
+    "dedup_keep_canonical",
     "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped", "dedup_simhash",
     "dedup_simhash_pairs", "dedup_embedding_cosine",
     "dedup_embedding_cosine_exact", "dedup_incremental_batch",

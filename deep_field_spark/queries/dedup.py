@@ -8,7 +8,7 @@ exactly hash-checkable, not just "approximately similar".
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -124,10 +124,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_components",
-    oracle=f"""
-    WITH RECURSIVE {_MINHASH_CAND_CTE},
+# Exact transitive closure over the verified MinHash pair set — shared
+# by the components oracle and the canonical-selection oracle.
+_COMPONENTS_CLOSURE = f"""
     mh_pairs AS (
       SELECT id_a, id_b FROM cand
       WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
@@ -138,8 +137,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach AS (
       SELECT v, v AS m FROM verts
       UNION
-      SELECT e.s, r.m FROM edges e JOIN reach r ON r.v = e.d)
-    SELECT v AS doc_id, min(m) AS component FROM reach GROUP BY v
+      SELECT e.s, r.m FROM edges e JOIN reach r ON r.v = e.d),
+    comp AS (SELECT v AS doc_id, min(m) AS component FROM reach GROUP BY v)
+"""
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CAND_CTE},
+    {_COMPONENTS_CLOSURE}
+    SELECT doc_id, component FROM comp
     """,
     doc="Near-dup cluster formation: connected components over the "
         "MinHash pair set via distributed min-label propagation "
@@ -161,6 +169,52 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = connected_components(pairs)
     return comp.select(F.col("v").alias("doc_id"), F.col("comp").alias("component"))
+
+
+@register(
+    "dedup_keep_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CAND_CTE},
+    {_COMPONENTS_CLOSURE},
+    ranked AS (
+      SELECT c.doc_id, c.component,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rk
+      FROM comp c JOIN documents d USING (doc_id))
+    SELECT doc_id, component,
+           CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INT) AS keep
+    FROM ranked
+    """,
+    doc="Canonical-document selection — the dedup finishing step: "
+        "within each near-dup cluster keep exactly one representative, "
+        "chosen by a fully-specified order (longest n_chars, then "
+        "lowest doc_id). Downstream filters keep=1 and unions the "
+        "untouched singleton docs. The per-cluster window shuffles on "
+        "component — clusters are tiny by construction (LSH bands "
+        "bound them), so partitions stay balanced at 100 TB; the doc "
+        "join is on doc_id, the natural co-partitioning key.",
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    pairs = D.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), "text", "doc_id",
+        ngram=NGRAM, num_hashes=NUM_HASHES, bands=BANDS,
+        threshold=MINHASH_THRESHOLD,
+    )
+    comp = connected_components(pairs).select(
+        F.col("v").alias("doc_id"), F.col("comp").alias("component")
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = comp.join(docs, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return j.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id",
+        "component",
+        F.when(F.col("rk") == 1, 1).otherwise(0).cast("int").alias("keep"),
+    )
 
 
 MAX_DF = 5
