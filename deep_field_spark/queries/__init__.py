@@ -91,6 +91,7 @@ _PRIORITY = [
     "udaf_grouped_pandas", "udtf_sentences", "grouped_map_interarrival",
     # round-3 training-data additions
     "text_chunk_overlap", "text_vocab_topk", "curation_source_profile",
+    "text_unigram_logprob",
 ]
 
 

@@ -318,3 +318,53 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", F.round("tfidf", 6).alias("tfidf"),
                 F.col("rk").cast("int").alias("rk"))
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM t GROUP BY 1, 2),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(sum(tf) AS BIGINT) AS n FROM tf),
+    contrib AS (
+      SELECT tf.doc_id, tf.tf,
+             CAST(tf.tf * -ln(CAST(df.df AS DOUBLE) / n.n)
+                  AS DECIMAL(28,9)) AS nll
+      FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(CAST(sum(nll) AS DOUBLE) / sum(tf), 4) AS avg_nll
+    FROM contrib GROUP BY doc_id
+    """,
+    doc="Unigram log-probability quality score (the perplexity-proxy "
+        "filter of CCNet-style pipelines): per-token average negative "
+        "log document-frequency probability — low avg_nll = generic "
+        "high-frequency text, high = rare-token/noisy text. Same "
+        "two-agg + broadcast-df join shape as TF-IDF; the per-term "
+        "contributions are cast to DECIMAL(28,9) before the per-doc "
+        "sum, so the result is independent of partial-agg order (a "
+        "double sum would flip low bits under re-partitioning).",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", F.explode(texting.tokens(F.col("text"))).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = tf.select(F.sum("tf").alias("n"))
+    contrib = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tf",
+            (
+                F.col("tf") * -F.log(F.col("df").cast("double") / F.col("n"))
+            ).cast("decimal(28,9)").alias("nll"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.round(F.sum("nll").cast("double") / F.sum("tf"), 4).alias("avg_nll"),
+    )
