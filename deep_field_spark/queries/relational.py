@@ -652,17 +652,35 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct",
-    oracle=None,  # HLL sketches differ across engines — rows-only check
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           count(*)                  AS n,
+           TRUE                      AS hll_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
     doc="approx_count_distinct (HyperLogLog++): the 100 TB path for "
-        "distinct counting — constant memory, one pass, no expand.",
+        "distinct counting — constant memory, one pass, no expand. "
+        "HLL sketches differ across engines, so the sketch VALUE is not "
+        "hash-comparable; instead the row carries the exact countDistinct "
+        "(deterministic, oracle-matched) plus hll_within_5pct, a bound "
+        "the driver hash-checks against a literal TRUE: rsd=0.01 makes "
+        "a 5% relative-error miss a ~5-sigma event, so the contract is "
+        "stable while still proving the sketch actually ran and landed.",
 )
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    est = F.approx_count_distinct("l_partkey", 0.01)
+    exact = F.countDistinct("l_partkey")
     return (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+            exact.alias("exact_parts"),
             F.count("*").alias("n"),
+            (
+                F.abs(est.cast("double") - exact.cast("double"))
+                <= 0.05 * exact.cast("double")
+            ).alias("hll_within_5pct"),
         )
     )
 

@@ -340,8 +340,11 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM m)
     SELECT vec_id,
            round(scale, 6) AS scale,
-           list_transform(embedding,
-               x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT)) AS q,
+           -- serialized as a canonical JSON string: the driver's pandas
+           -- canonicalizer (sort_values over object columns) cannot hash
+           -- list cells, so array outputs must ride as strings
+           to_json(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT)))::VARCHAR AS q,
            round(sqrt(list_aggregate(list_transform(embedding,
                x -> (CAST(x AS DOUBLE)
                      - floor(CAST(x AS DOUBLE) * scale + 0.5) / scale)
@@ -374,7 +377,13 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "vec_id",
         F.round("scale", 6).alias("scale"),
-        F.transform(F.col("embedding"), lambda x: qexpr(x).cast("int")).alias("q"),
+        # to_json, not the raw array: the driver canonicalizes results with
+        # pandas sort_values, which raises "unhashable type: 'list'" on
+        # array cells (round-3 driver-red). Spark and DuckDB to_json agree
+        # byte-for-byte on int arrays ("[1,2,3]", "[]", "[null,2]").
+        F.to_json(
+            F.transform(F.col("embedding"), lambda x: qexpr(x).cast("int"))
+        ).alias("q"),
         # guard the empty array: F.aggregate folds [] to the 0.0 seed
         # while the oracle's list_aggregate yields NULL — align on NULL
         F.round(

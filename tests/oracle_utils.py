@@ -53,10 +53,27 @@ def _key(row):
     return tuple((x is None, str(x)) for x in row)
 
 
+def driver_canon_check(cols, rows) -> None:
+    """Reproduce the driver's pandas canonicalization, which is stricter
+    than this module's tuple-izing comparator: the driver sorts a pandas
+    DataFrame via ``sort_values`` over every column, and pandas hashes
+    object cells — so a list/array output column raises ``TypeError:
+    unhashable type: 'list'`` (the round-3 driver-red the local harness
+    failed to predict). Called on the RAW spark rows before _norm
+    tuple-izes lists away.
+    """
+    import pandas as pd
+
+    order = sorted(cols)
+    pd.DataFrame(list(rows) or None, columns=list(cols))[order].sort_values(by=order)
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
     sdf = spark_df
     scols = list(sdf.columns)
-    srows = [tuple(_norm(v) for v in r) for r in sdf.collect()]
+    raw = sdf.collect()
+    driver_canon_check(scols, [tuple(r) for r in raw])
+    srows = [tuple(_norm(v) for v in r) for r in raw]
 
     res = con.execute(sql)
     dcols = [d[0] for d in res.description]

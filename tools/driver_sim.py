@@ -47,6 +47,23 @@ def norm_rows(cols, rows):
     return out
 
 
+def driver_canon_probe(cols, rows):
+    """Reproduce the driver's pandas-based canonicalization, which is
+    STRICTER than this sim's tuple-izing comparator: the driver sorts a
+    pandas DataFrame with ``sort_values`` over every column, and pandas
+    factorizes object columns through a hash table — so a list/array
+    cell raises ``TypeError: unhashable type: 'list'`` (the round-3
+    driver-red on embedding_quantize_int8 that this sim failed to
+    predict). Raises the same TypeError the driver would.
+    """
+    import pandas as pd
+
+    order = sorted(cols)
+    pdf = pd.DataFrame(rows or None, columns=cols)
+    # identical to the driver's _canon: sort_values over all columns
+    pdf[order].sort_values(by=order)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     prefixes = sys.argv[2:]
@@ -110,6 +127,13 @@ def main() -> int:
             continue
         if len(rows) != len(orows):
             print(f"FAIL  {name}: ROWS spark={len(rows)} oracle={len(orows)} [{spark_s:.1f}s]")
+            n_fail += 1
+            continue
+        try:
+            driver_canon_probe(cols, rows)
+            driver_canon_probe(ocols, orows)
+        except TypeError as e:
+            print(f"FAIL  {name}: DRIVER-CANON {type(e).__name__}: {str(e)[:120]}")
             n_fail += 1
             continue
         a = norm_rows(cols, rows)
