@@ -39,6 +39,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.ids import dense_ids, max_id_base
+
 from . import parse
 
 
@@ -233,11 +235,16 @@ def upsert_dim(
     order_cols: list[str] | None = None,
 ) -> DataFrame:
     """get_or_create, set-based: dedupe new rows on the natural key,
-    anti-join against the existing dim, assign surrogate ids as
-    max(existing.id) + row_number over a deterministic order, union.
+    anti-join against the existing dim, assign dense surrogate ids
+    above max(existing.id), union.
 
     Deterministic by construction (never monotonically_increasing_id —
     ids must be stable across re-runs for idempotent resume, E5/O2).
+    Ids come from operators.ids.dense_ids — hash-bucketed two-phase
+    prefix sum, so there is no partition-less WindowExec even when a
+    backfill delta is fact-table-sized; the id order is
+    (hash bucket of order_cols, order_cols), deterministic though not
+    globally order_cols-sorted.
     """
     order_cols = order_cols or natural_key
     # Dedupe on the natural key picking the FIRST row by the non-key
@@ -256,19 +263,15 @@ def upsert_dim(
         )
     else:
         fresh = new_rows.dropDuplicates(natural_key)
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
     if existing is not None:
         fresh = fresh.join(existing, on=natural_key, how="left_anti")
         # the id base stays inside the plan (1-row broadcast aggregate)
         # — no driver-side action per upsert, so a multi-dim build is
         # one job instead of one job per dimension
-        base = existing.agg(F.coalesce(F.max("id"), F.lit(0)).alias("_id_base"))
-        fresh = fresh.crossJoin(F.broadcast(base)).withColumn(
-            "id", (F.row_number().over(w) + F.col("_id_base")).cast("long")
-        ).drop("_id_base")
+        fresh = dense_ids(fresh, order_cols, base=max_id_base(existing))
         fresh = existing.unionByName(fresh)
     else:
-        fresh = fresh.withColumn("id", F.row_number().over(w).cast("long"))
+        fresh = dense_ids(fresh, order_cols)
     return fresh
 
 
@@ -538,18 +541,22 @@ def build_star(
     plays = plays.join(F.broadcast(bad_games), "game_name_id", "left_anti")
     g = games.select(F.col("name_id").alias("game_name_id"), F.col("id").alias("game_id"))
     play_rows = plays.join(F.broadcast(g), "game_name_id").drop("game_name_id")
-    pw = Window.orderBy("game_id", "play_num")
     existing_plays = existing.get("play")
-    base = 0
+    base = None
     if existing_plays is not None:
-        base = existing_plays.select(F.max("id")).first()[0] or 0
+        # id base in-plan (1-row broadcast aggregate), consistent with
+        # the dims — no driver-side .first() job per incremental build
+        base = max_id_base(existing_plays)
         new_games = games.join(existing_plays.select("game_id").distinct(),
                                games.id == F.col("game_id"), "left_anti")
         play_rows = play_rows.join(
             F.broadcast(new_games.select(F.col("id").alias("game_id"))), "game_id"
         )
-    play_rows = play_rows.withColumn(
-        "id", (F.row_number().over(pw) + F.lit(base)).cast("long")
+    # fact-table surrogate ids WITHOUT a global window: bucket by the
+    # game key so each game's plays stay id-contiguous, rank within
+    # bucket, broadcast per-bucket offsets back (operators/ids.py)
+    play_rows = dense_ids(
+        play_rows, ["game_id", "play_num"], bucket_cols=["game_id"], base=base
     ).select(
         "id", "game_id", "inning_half", "start_outs", "start_on_base",
         "play_num", "desc", "pitch_ct", "batter_id", "pitcher_id",

@@ -308,3 +308,73 @@ class TestCacheSource:
         # S4 write-through for cachable only
         assert os.path.exists(f"{root}/GamePage/FAKE123456789.shtml")
         assert not os.path.exists(f"{root}/SchedulePage/nocache-schedule.shtml")
+
+class TestStarPlanShape:
+    """Plan pins for the 100 TB shape of the star build: surrogate-id
+    assignment must never fall into a partition-less WindowExec (the
+    round-3 scale defect — a global ``Window.orderBy`` pulls the whole
+    play fact table through one task)."""
+
+    @staticmethod
+    def _global_window_nodes(plan: str) -> list[str]:
+        """Window nodes with no partition spec. WindowExec prints
+        ``Window [exprs], [partSpec], [orderSpec]`` — three top-level
+        bracket groups when both specs exist. Two groups is ambiguous:
+        partition-less (2nd group is the ORDER spec, carries ASC/DESC)
+        vs order-less (2nd group is the partition spec, plain exprs) —
+        only the former moves all rows to one partition."""
+        bad = []
+        for line in plan.splitlines():
+            s = line.lstrip(" +-:*(0123456789)")
+            if not s.startswith("Window "):
+                continue
+            groups: list[str] = []
+            depth = 0
+            start = 0
+            for i, ch in enumerate(s):
+                if ch == "[":
+                    if depth == 0:
+                        start = i
+                    depth += 1
+                elif ch == "]":
+                    depth -= 1
+                    if depth == 0:
+                        groups.append(s[start : i + 1])
+            if len(groups) < 3 and any(
+                " ASC" in g or " DESC" in g for g in groups[1:]
+            ):
+                bad.append(s)
+        return bad
+
+    def _assert_no_global_window(self, df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        bad = self._global_window_nodes(plan)
+        assert not bad, "partition-less WindowExec:\n" + "\n".join(bad)
+
+    def test_initial_build_has_no_global_window(self, was_star):
+        for name, df in was_star.items():
+            self._assert_no_global_window(df)
+
+    def test_incremental_build_has_no_global_window(self, spark, was_star):
+        parsed = P.parse_game_pages(_pages_df(spark, "GamePage", ["CHN201710110"]))
+        players2 = P.mock_players_from_games(parsed, existing=was_star["player"])
+        star2 = P.build_star(spark, parsed, players2, existing=was_star)
+        for name, df in star2.items():
+            self._assert_no_global_window(df)
+
+    def test_detector_catches_partition_less_window(self, spark):
+        """The detector itself must flag a genuinely global window —
+        otherwise the two pins above prove nothing."""
+        from pyspark.sql import Window as W
+
+        df = spark.range(10).withColumn(
+            "rn", F.row_number().over(W.orderBy("id"))
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert self._global_window_nodes(plan), plan
+        # ...and must NOT flag a partitioned window with no order spec
+        ok = spark.range(10).withColumn(
+            "n", F.count(F.lit(1)).over(W.partitionBy(F.col("id") % 3))
+        )
+        okplan = ok._jdf.queryExecution().executedPlan().toString()
+        assert not self._global_window_nodes(okplan), okplan
