@@ -507,31 +507,42 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_CTX = 2048  # tokens per training context window
+PACK_SHARDS = 16  # parallelism within one source's packing window
 
 
 @register(
     "corpus_pack_sequences",
     oracle=f"""
     WITH t AS (SELECT doc_id, source,
-                      CAST(len({TOKS_SQL}) AS INT) AS n_tokens
+                      CAST(len({TOKS_SQL}) AS INT) AS n_tokens,
+                      CAST((16 * (strpos('0123456789abcdef',
+                                substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                            + (strpos('0123456789abcdef',
+                                substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))
+                           % {PACK_SHARDS} AS INT) AS shard
                FROM documents),
-    w AS (SELECT doc_id, source, n_tokens,
-                 CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+    w AS (SELECT doc_id, source, shard, n_tokens,
+                 CAST(sum(n_tokens) OVER (PARTITION BY source, shard
+                      ORDER BY doc_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                       AS BIGINT) AS cum
           FROM t WHERE n_tokens > 0)
-    SELECT doc_id, source, n_tokens,
+    SELECT doc_id, source, shard, n_tokens,
            CAST((cum - n_tokens) // {PACK_CTX} AS BIGINT) AS pack_id,
            CAST((cum - n_tokens) % {PACK_CTX} AS INT) AS pack_offset
     FROM w
     """,
-    doc=f"Greedy sequence packing for training: stream-concatenate each "
-        f"source's documents (stable doc_id order) and split the token "
-        f"stream into {PACK_CTX}-token context windows; every doc gets "
-        "the (pack_id, offset) where it starts. One shuffle keyed on "
-        "source; at 100 TB the partition key widens to (source, shard) "
-        "so no single source serializes through one task — packing only "
-        "needs per-shard contiguity, not global order.",
+    doc=f"Greedy sequence packing for training: concatenate each "
+        f"(source, shard)'s documents (stable doc_id order) and split "
+        f"the token stream into {PACK_CTX}-token context windows; every "
+        "doc gets the (shard, pack_id, offset) where it starts. The "
+        f"shard — md5(doc_id) bucket % {PACK_SHARDS}, content-"
+        "independent and replayed verbatim by the oracle — widens the "
+        "window key to (source, shard) so no single source serializes "
+        "through one task at 100 TB: packing only needs per-shard "
+        "contiguity, a pack is addressed (source, shard, pack_id), and "
+        "the cost is at most one partially-filled tail pack per shard. "
+        "One shuffle, properly partitioned.",
 )
 def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -540,16 +551,20 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter(n_tokens > 0) would be pushed below the Project and
     # re-evaluate the tokenizer per row (texting.has_tokens docstring)
     t = docs.filter(texting.has_tokens("text")).select(
-        "doc_id", "source", n_tok.alias("n_tokens")
+        "doc_id",
+        "source",
+        (_md5_bucket() % PACK_SHARDS).cast("int").alias("shard"),
+        n_tok.alias("n_tokens"),
     )
-    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+    w = Window.partitionBy("source", "shard").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = F.sum("n_tokens").over(w).cast("long")
     start = (cum - F.col("n_tokens")).alias("start")
-    return t.select("doc_id", "source", "n_tokens", start).select(
+    return t.select("doc_id", "source", "shard", "n_tokens", start).select(
         "doc_id",
         "source",
+        "shard",
         "n_tokens",
         F.floor(F.col("start") / PACK_CTX).cast("long").alias("pack_id"),
         (F.col("start") % PACK_CTX).cast("int").alias("pack_offset"),
@@ -625,16 +640,31 @@ GROUP_SAMPLE_K = 5
         "source: the k smallest md5(doc_id) values per group — an "
         "order statistic over a content-independent hash, so the "
         "sample is uniform, stable across runs/partitionings, and "
-        "composable (k' < k is a prefix). One window shuffle keyed on "
-        "source; at 100 TB use the two-stage form (per-partition "
-        "top-k, then merge) that TakeOrdered applies globally.",
+        "composable (k' < k is a prefix). Two-stage exact top-k: "
+        "stage 1 keeps ≤ k rows per (source, md5-shard) behind a "
+        "partitioned window, stage 2 merges the ≤ k·shards survivors "
+        "per source — the union of per-shard top-ks contains the "
+        "global top-k, so the result is identical to the one-window "
+        "form (same oracle) while no source ever streams through a "
+        "single task at full width.",
 )
 def corpus_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    h = docs.select("doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("h"))
+    h = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        (_md5_bucket() % PACK_SHARDS).cast("int").alias("_shard"),
+    )
+    pre = Window.partitionBy("source", "_shard").orderBy("h", "doc_id")
+    survivors = (
+        h.withColumn("_prk", F.row_number().over(pre))
+        .filter(F.col("_prk") <= GROUP_SAMPLE_K)
+        .drop("_prk", "_shard")
+    )
     w = Window.partitionBy("source").orderBy("h", "doc_id")
     return (
-        h.withColumn("rk", F.row_number().over(w))
+        survivors.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= GROUP_SAMPLE_K)
         .select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
     )

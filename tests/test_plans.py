@@ -180,3 +180,24 @@ def test_source_profile_partial_agg(spark, sf_dir):
     # of the first occurrences is vacuous — the final agg always
     # prints above its exchange.)
     assert "HashAggregate" in plan[plan.index("Exchange"):]
+
+
+def test_pack_sequences_window_is_sharded(spark, sf_dir):
+    """The packing cumsum must be keyed (source, shard), never source
+    alone — one hot source must not serialize through a single task."""
+    plan = _plan(spark, sf_dir, "corpus_pack_sequences")
+    import re
+    wins = [l for l in plan.splitlines() if re.search(r"\bWindow\b", l)]
+    assert wins, plan
+    for w in wins:
+        assert "shard" in w, w
+
+
+def test_group_sample_is_two_stage_topk(spark, sf_dir):
+    """Exact per-source top-k via shard-partitioned partial top-k then
+    merge: two Window nodes, the first keyed (source, _shard)."""
+    plan = _plan(spark, sf_dir, "corpus_group_sample")
+    import re
+    wins = [l for l in plan.splitlines() if re.search(r"\bWindow\b", l)]
+    assert len(wins) == 2, plan
+    assert any("_shard" in w for w in wins), plan
