@@ -38,6 +38,30 @@ CRAWL_DELAY_SECS = 3.0
 FetchFn = Callable[[str], str]  # url -> html
 
 
+def default_fetcher(
+    user_agent: str = "deep-field-spark/0.1 (+research use)",
+    timeout: float = 30.0,
+) -> FetchFn:
+    """Stdlib HTTP fetcher for S1 live mode (reference pages.py:187-189
+    uses requests.get; requests isn't available here and a GET with a
+    UA header needs nothing beyond urllib).
+
+    Raises on HTTP/socket errors — the token-bucket wrapper
+    (_rate_limited_fetch) converts exceptions into error-column rows,
+    so one dead URL quarantines that page instead of killing the batch
+    (E3). Only engaged behind the CLI's explicit ``--online`` flag;
+    offline/hermetic stays the default everywhere.
+    """
+    import urllib.request
+
+    def fetch(url: str) -> str:
+        req = urllib.request.Request(url, headers={"User-Agent": user_agent})
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return resp.read().decode("utf-8", errors="replace")
+
+    return fetch
+
+
 def read_cache(
     spark: SparkSession, root: str, page_type: str | None = None
 ) -> DataFrame:

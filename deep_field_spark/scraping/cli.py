@@ -5,13 +5,14 @@ Reference: ``python -m deepfield.scraper <start_year> [end_year]
 is the Spark twin::
 
     python -m deep_field_spark <start_year> [end_year]
-        [--cache ROOT] [-d DB] [--parquet ROOT] [-c DELAY]
+        [--cache ROOT] [-d DB] [--parquet ROOT] [-c DELAY] [--online]
 
 Differences by design:
   - Offline-first: pages come from the HTML cache (S3); the web stage
-    of the fallback chain only engages when a fetcher is injected
-    programmatically (cache.resolve_pages) — hermetic like the
-    reference's TESTING mode (pages.py:254-257).
+    of the fallback chain only engages behind the explicit ``--online``
+    flag (stdlib fetcher, cache.default_fetcher) or when a fetcher is
+    injected programmatically — hermetic like the reference's TESTING
+    mode (pages.py:254-257) unless the operator opts in.
   - The per-year DFS loop becomes one batch run filtered to the year
     range (orchestrate.scrape_from_cache) — same effective insert
     order, dataset-parallel.
@@ -22,10 +23,10 @@ Parity pieces:
   - db-name sanitization (script_utils.py:29-39): basename only,
     ``.db`` suffix enforced.
   - Crawl-delay guardrail (scraper.py:34-44): delays below 3.0 s warn
-    and clamp (the reference also punishes with a 15 s sleep). Offline
-    runs have no fetch stage, so the effective value is surfaced in the
-    printed counters for the operator wiring in a fetch-enabled run
-    (cache.fetch_pages takes it as its token-bucket rate).
+    and clamp (the reference also punishes with a 15 s sleep). The
+    clamped value IS the token-bucket rate of the ``--online`` fetch
+    stages (cache.fetch_pages); offline runs have no fetch stage and
+    only surface it in the printed counters.
 """
 
 from __future__ import annotations
@@ -78,6 +79,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("-d", "--db", default="stats.db", help="SQLite output db name")
     p.add_argument("--parquet", default=None, help="optional parquet star root")
     p.add_argument("-c", "--crawl-delay", type=float, default=MIN_CRAWL_DELAY)
+    p.add_argument("--online", action="store_true",
+                   help="fetch missing schedules and uncached game links "
+                        "over HTTP (stdlib fetcher, rate-limited to the "
+                        "crawl delay) and write them through to the cache; "
+                        "default is fully offline/hermetic")
     p.add_argument("--strict-players", action="store_true",
                    help="refuse games whose roster players are not in the "
                         "cache (the reference's dependency check) instead "
@@ -96,6 +102,7 @@ def main(argv: list[str] | None = None) -> int:
     crawl_delay = clamp_crawl_delay(args.crawl_delay)
 
     from ..session import get_spark
+    from .cache import default_fetcher
     from .orchestrate import scrape_from_cache
 
     spark = get_spark("deep_field_spark_scraper")
@@ -107,6 +114,8 @@ def main(argv: list[str] | None = None) -> int:
             parquet_root=args.parquet,
             allow_mock_players=not args.strict_players,
             year_range=years,
+            fetch_fn=default_fetcher() if args.online else None,
+            crawl_delay=crawl_delay,
         )
     finally:
         spark.stop()

@@ -44,17 +44,62 @@ def scrape_from_cache(
     existing: dict[str, DataFrame] | None = None,
     allow_mock_players: bool = True,
     year_range: tuple[int, int] | None = None,
+    fetch_fn: C.FetchFn | None = None,
+    crawl_delay: float = C.CRAWL_DELAY_SECS,
 ) -> tuple[dict[str, DataFrame], dict[str, int]]:
     """Run the full ETL over a page cache; returns (star, counters).
 
-    Hermetic by construction (the fallback chain's web stage never
-    engages); resume = pass the previous run's star as ``existing`` —
-    the anti-joins skip everything already present (O2/E5).
+    Hermetic by default (the fallback chain's web stage never engages
+    with ``fetch_fn=None``); resume = pass the previous run's star as
+    ``existing`` — the anti-joins skip everything already present
+    (O2/E5). With a ``fetch_fn`` (the CLI's ``--online`` mode passes
+    ``cache.default_fetcher()``) missing schedule pages for the year
+    range and uncached game links are fetched through the rate-limited
+    token bucket at ``crawl_delay`` seconds/request and written back to
+    the cache (S1/S4/S5); fetch failures are quarantined to a counter
+    rather than failing the run (E3).
     """
     counters: dict[str, int] = {}
     pages = C.read_cache(spark, cache_root).cache()
     for r in pages.groupBy("page_type").agg(F.count("*").alias("n")).collect():
         counters[f"pages_{r.page_type}"] = r.n
+
+    # 1b: online schedule fill — one page per requested season, so the
+    # frontier is a driver-side list by nature (bounded by year_range).
+    # The current season's schedule keeps changing → never cached (S6,
+    # scraper.py:39-41).
+    if fetch_fn is not None and year_range is not None:
+        import datetime
+
+        from . import parse as PP
+
+        have = {
+            r.name_id
+            for r in pages.filter(F.col("page_type") == "SchedulePage")
+            .select("name_id")
+            .collect()
+        }
+        this_year = datetime.date.today().year
+        need = [
+            (PP.schedule_url(y), f"{y}-schedule", "SchedulePage", y != this_year)
+            for y in range(year_range[0], year_range[1] + 1)
+            if f"{y}-schedule" not in have or y == this_year
+        ]
+        if need:
+            frontier = spark.createDataFrame(
+                need, "url string, name_id string, page_type string, is_cachable boolean"
+            )
+            fetched = C.fetch_pages(frontier, fetch_fn, crawl_delay).localCheckpoint()
+            ok_f = fetched.filter(F.col("error").isNull())
+            counters["schedules_fetched"] = ok_f.count()
+            counters["schedule_fetch_errors"] = (
+                fetched.filter(F.col("error").isNotNull()).count()
+            )
+            C.write_cache(ok_f.filter(F.col("is_cachable")), cache_root)
+            pages = pages.join(
+                ok_f.select("name_id", "page_type"), ["name_id", "page_type"],
+                "left_anti",
+            ).unionByName(ok_f.select("page_type", "name_id", "html")).cache()
 
     # 2-3: schedule → game frontier. In a cache-only run the frontier is
     # the coverage signal: links the schedules reference that the cache
@@ -65,7 +110,7 @@ def scrape_from_cache(
         P.parse_schedule_pages(sched)
         .filter(F.col("error").isNull())
         .filter(F.col("page_type") == "GamePage")
-        .select("name_id")
+        .select("name_id", "url")
     )
     uncached = game_links.join(
         pages.filter(F.col("page_type") == "GamePage").select("name_id"),
@@ -77,6 +122,25 @@ def scrape_from_cache(
     ).crossJoin(uncached.agg(F.count("*").alias("missing"))).first()
     counters["schedule_links"] = link_stats["links"]
     counters["frontier_not_in_cache"] = link_stats["missing"]
+
+    # 3b: online game fill — fetch the uncached frontier through the
+    # same token bucket, using the URLs the schedules actually linked
+    # (no reconstruction), write-through to the cache (S4), then fold
+    # the fetched pages into the batch.
+    if fetch_fn is not None and link_stats["missing"]:
+        frontier = uncached.select(
+            "url", "name_id",
+            F.lit("GamePage").alias("page_type"),
+            F.lit(True).alias("is_cachable"),
+        )
+        fetched = C.fetch_pages(frontier, fetch_fn, crawl_delay).localCheckpoint()
+        ok_f = fetched.filter(F.col("error").isNull())
+        counters["games_fetched"] = ok_f.count()
+        counters["game_fetch_errors"] = (
+            fetched.filter(F.col("error").isNotNull()).count()
+        )
+        C.write_cache(ok_f, cache_root)
+        pages = pages.unionByName(ok_f.select("page_type", "name_id", "html")).cache()
 
     game_pages = pages.filter(F.col("page_type") == "GamePage").select("name_id", "html")
     if year_range is not None:

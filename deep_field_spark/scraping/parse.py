@@ -28,6 +28,11 @@ from .htmldom import Node, parse_html
 
 BASE_URL = "https://www.baseball-reference.com"
 
+
+def schedule_url(year: int) -> str:
+    """Season schedule page URL (F17, scraper.py:37)."""
+    return f"{BASE_URL}/leagues/MLB/{year}-schedule.shtml"
+
 _GAME_NAME_ID = re.compile(r"[A-Z0-9]{3}\d{9}")
 _PLAYER_NAME_ID = re.compile(r"^[\w\.']+\d\d$")
 _CANONICAL = re.compile(r'<link[^>]+rel="canonical"[^>]+href="([^"]+)"')
