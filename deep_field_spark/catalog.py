@@ -31,6 +31,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TIMESTAMP(NANOS) which vanilla Spark rejects (PARQUET_TYPE_ILLEGAL),
     so the nanosAsLong legacy conf is set at runtime here — the driver
     hands us an externally built SparkSession that never saw session.py.
+
+    SIDE EFFECT: pins ``spark.sql.session.timeZone`` to UTC on the
+    caller's session (see ensure_nanos_conf) — required for ts_micros
+    determinism, but it changes the semantics of LTZ-dependent
+    expressions (date_trunc, window, timestamp casts) the caller runs
+    afterwards on a session that was built with a different zone.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -48,6 +54,14 @@ def ensure_nanos_conf(spark: SparkSession) -> None:
     pinned to UTC so any NTZ<->LTZ cast is the exact identity on the naive
     value — this makes ``ts_micros`` deterministic on every session,
     including the driver's externally built one.
+
+    The TZ pin is a DELIBERATE GLOBAL side effect on the caller's
+    session (documented on table()): a non-UTC session would silently
+    drift every epoch-based comparison against the DuckDB oracles, so
+    correctness of this library's queries wins over preserving an
+    ambient zone. Callers needing a different display zone should set
+    it per-expression (from_utc_timestamp) rather than via the session
+    conf.
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -97,12 +111,17 @@ def _parse_bytes(v: str) -> int:
     ):
         if s.endswith(suffix):
             num = s[: -len(suffix)].strip()
-            if num.isdigit():
-                return int(num) * mult
-            break
-    if s.isdigit():
-        return int(s)
-    return 128 * 1024 * 1024
+            try:
+                # Spark accepts fractional magnitudes ('0.5g'); parse
+                # with float so they don't fall to the default and skew
+                # the split estimate
+                return int(float(num) * mult)
+            except ValueError:
+                break
+    try:
+        return int(float(s))
+    except ValueError:
+        return 128 * 1024 * 1024
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -127,7 +146,7 @@ def spread(df: DataFrame) -> DataFrame:
     where spread must be a no-op anyway.
     """
     import os
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
@@ -138,7 +157,10 @@ def spread(df: DataFrame) -> DataFrame:
             u = urlparse(f)
             if u.scheme not in ("", "file"):
                 return df  # remote storage: splits come from the source
-            paths.append(u.path or f)
+            # file URIs percent-encode spaces etc.; getsize needs the
+            # decoded filesystem path or it raises into the slow
+            # df.rdd fallback this estimate exists to avoid
+            paths.append(unquote(u.path) if u.path else f)
         if not paths:
             return df
         raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")

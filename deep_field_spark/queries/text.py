@@ -295,11 +295,23 @@ TFIDF_TOP_K = 3
         "across engines and partition orders.",
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     docs = spread(table(spark, sf_dir, "documents"))
     t = docs.select("doc_id", F.explode(texting.tokens(F.col("text"))).alias("term"))
-    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # tf feeds both the df aggregate and the scoring join, and Spark's
+    # ReuseExchange does not dedupe the two subtrees — uncached, the
+    # scan+explode+aggregation would run twice (verified in the
+    # physical plan: 3 parquet scans, 0 ReusedExchange). Spill-safe
+    # persist; first action materializes it once.
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n = tf.select(F.countDistinct("doc_id").alias("n"))
+    # N = docs with >= 1 token — countDistinct(doc_id) over tf gives
+    # the same value but costs a third full pass over the exploded
+    # terms; a scan-only count over the docs table is shuffle-free
+    n = docs.filter(texting.has_tokens("text")).agg(F.count(F.lit(1)).alias("n"))
     scored = (
         tf.join(df, "term")
         .crossJoin(F.broadcast(n))
@@ -348,13 +360,24 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double sum would flip low bits under re-partitioning).",
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     docs = spread(table(spark, sf_dir, "documents"))
     t = docs.select("doc_id", F.explode(texting.tokens(F.col("text"))).alias("term"))
-    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n = tf.select(F.sum("tf").alias("n"))
+    # tf had THREE consumers (df agg, corpus-size sum, scoring join)
+    # and ReuseExchange does not dedupe them — the explode+agg ran
+    # three times. Persist tf (spill-safe), and fold the corpus total
+    # into the vocab-level aggregate so n derives from the tiny
+    # df_stats table instead of a third tf pass.
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    df_stats = tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("term_tot")
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # vocab-sized
+    n = df_stats.agg(F.sum("term_tot").alias("n"))
     contrib = (
-        tf.join(df, "term")
+        tf.join(df_stats.select("term", "df"), "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
