@@ -70,6 +70,9 @@ def test_parse_bytes_conf_values():
     assert _parse_bytes("64k") == 64 * 1024
     # unknown junk falls back to the 128 MiB default, never a tiny number
     assert _parse_bytes("oops") == 128 * 1024 * 1024
+    # fractional magnitudes, accepted by Spark's byte-conf parser
+    assert _parse_bytes("0.5g") == 512 * 1024 * 1024
+    assert _parse_bytes("1.5m") == int(1.5 * 1024 * 1024)
 
 
 def test_spread_repartitions_small_local_scan(spark, sf_dir):
