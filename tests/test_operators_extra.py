@@ -128,3 +128,70 @@ class TestConnectedComponents:
         comp = connected_components(pairs)
         assert comp.select("comp").distinct().count() == 1
         assert comp.count() == 31
+
+
+class TestDenseIds:
+    """operators/ids.py — the hash-bucketed surrogate-id assigner that
+    replaced every global Window.orderBy in the star build."""
+
+    def _ids(self, spark, rows, **kw):
+        df = spark.createDataFrame(rows, "k string, v int")
+        from deep_field_spark.operators.ids import dense_ids
+
+        return dense_ids(df, ["k"], **kw)
+
+    def test_dense_and_unique_above_base(self, spark):
+        rows = [(f"k{i:03d}", i) for i in range(257)]  # > default bucket fill
+        out = self._ids(spark, rows, base=100).collect()
+        ids = sorted(r.id for r in out)
+        assert ids == list(range(101, 101 + 257))
+
+    def test_deterministic_across_partitionings(self, spark):
+        """Same input in any partitioning → identical id per key (the
+        idempotent-resume contract)."""
+        rows = [(f"k{i:03d}", i) for i in range(100)]
+        import random
+
+        shuffled = rows[:]
+        random.Random(7).shuffle(shuffled)
+        from deep_field_spark.operators.ids import dense_ids
+
+        a = {
+            r.k: r.id
+            for r in dense_ids(
+                spark.createDataFrame(rows, "k string, v int").repartition(1), ["k"]
+            ).collect()
+        }
+        b = {
+            r.k: r.id
+            for r in dense_ids(
+                spark.createDataFrame(shuffled, "k string, v int").repartition(13),
+                ["k"],
+            ).collect()
+        }
+        assert a == b
+
+    def test_bucket_cols_keep_groups_contiguous(self, spark):
+        """bucket_cols=[group] + order (group, seq): each group's ids
+        are consecutive (the play-fact id contiguity property)."""
+        rows = [(g, s) for g in ("g1", "g2", "g3") for s in range(10)]
+        df = spark.createDataFrame(rows, "g string, s int")
+        from deep_field_spark.operators.ids import dense_ids
+
+        out = dense_ids(df, ["g", "s"], bucket_cols=["g"]).collect()
+        ids = sorted(r.id for r in out)
+        assert ids == list(range(1, 31))
+        by_g = {}
+        for r in out:
+            by_g.setdefault(r.g, []).append(r.id)
+        for g, gids in by_g.items():
+            gids.sort()
+            assert gids == list(range(gids[0], gids[0] + 10)), g
+
+    def test_in_plan_base_dataframe(self, spark):
+        from deep_field_spark.operators.ids import dense_ids, max_id_base
+
+        existing = spark.createDataFrame([(5,), (42,)], "id long")
+        df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+        out = dense_ids(df, ["k"], base=max_id_base(existing)).collect()
+        assert sorted(r.id for r in out) == [43, 44]
