@@ -8,6 +8,7 @@ work-skipping instead of per-link DB probes.
   3. frontier anti-join (J3/O2)      skip games already in the star
   4. game parse (P1/P5-P8, E1/E2)    metas + rosters + raw plays
   5. player frontier (J3)            roster name_ids not yet in the dim
+                                     (online: fetched before mock-fill)
   6. player parse / mock fill (E4)   the reference REFUSES to insert a
                                      game whose players are missing
                                      (pages.py:100-104); offline runs
@@ -54,10 +55,12 @@ def scrape_from_cache(
     ``existing`` — the anti-joins skip everything already present
     (O2/E5). With a ``fetch_fn`` (the CLI's ``--online`` mode passes
     ``cache.default_fetcher()``) missing schedule pages for the year
-    range and uncached game links are fetched through the rate-limited
-    token bucket at ``crawl_delay`` seconds/request and written back to
-    the cache (S1/S4/S5); fetch failures are quarantined to a counter
-    rather than failing the run (E3).
+    range, uncached game links, and the games' missing player pages
+    (the reference's dependency frontier) are fetched through the
+    rate-limited token bucket at ``crawl_delay`` seconds/request and
+    written back to the cache (S1/S4/S5); fetch failures are
+    quarantined to a counter rather than failing the run (E3), with
+    unfetchable players falling back to mock-fill.
     """
     counters: dict[str, int] = {}
     pages = C.read_cache(spark, cache_root).cache()
@@ -180,6 +183,40 @@ def scrape_from_cache(
     roster_ids = P.roster_names(ok).select("name_id").distinct()
     missing = roster_ids.join(players.select("name_id"), "name_id", "left_anti")
     n_missing = missing.count()
+
+    # 5b: online player fill — the reference's game→player dependency
+    # frontier (bbref_pages.py:155-159): fetch the missing player pages
+    # before falling back to mock-fill. URL layout is
+    # /players/<first char>/<name_id>.shtml (bbref_pages.py:348).
+    if fetch_fn is not None and n_missing:
+        from . import parse as PP
+
+        frontier = missing.select(
+            F.concat(
+                F.lit(PP.BASE_URL + "/players/"),
+                F.substring("name_id", 1, 1),
+                F.lit("/"),
+                F.col("name_id"),
+                F.lit(".shtml"),
+            ).alias("url"),
+            "name_id",
+            F.lit("PlayerPage").alias("page_type"),
+            F.lit(True).alias("is_cachable"),
+        )
+        fetched = C.fetch_pages(frontier, fetch_fn, crawl_delay).localCheckpoint()
+        ok_f = fetched.filter(F.col("error").isNull())
+        counters["players_fetched"] = ok_f.count()
+        counters["player_fetch_errors"] = (
+            fetched.filter(F.col("error").isNotNull()).count()
+        )
+        C.write_cache(ok_f, cache_root)
+        parsed_fetched = P.parse_player_pages(ok_f.select("name_id", "html"))
+        players = P.players_dim_from_parsed(parsed_fetched, existing=players).cache()
+        # fetch failures (and parse quarantines) fall through to the
+        # mock-fill / strict-mode handling below
+        missing = roster_ids.join(players.select("name_id"), "name_id", "left_anti")
+        n_missing = missing.count()
+
     counters["players_mock_filled"] = n_missing
     if n_missing:
         if not allow_mock_players:

@@ -81,8 +81,11 @@ def _make_fetch(log_path: str, serve_game: bool):
         "</body></html>"
     )
     game_fixture = RES + "/GamePage/WAS201710120.shtml"
+    player_dir = RES + "/PlayerPage"
 
     def fetch(url: str) -> str:
+        import os
+
         with open(log_path, "a", encoding="utf-8") as f:
             f.write(url + "\n")
         if url.endswith("/2016-schedule.shtml"):
@@ -90,6 +93,11 @@ def _make_fetch(log_path: str, serve_game: bool):
         if serve_game and url.endswith("/WAS201710120.shtml"):
             with open(game_fixture, encoding="utf-8") as f:
                 return f.read()
+        if serve_game and "/players/" in url:
+            fix = os.path.join(player_dir, url.rsplit("/", 1)[-1])
+            if os.path.exists(fix):
+                with open(fix, encoding="utf-8") as f:
+                    return f.read()
         raise ConnectionError("404")
 
     return fetch
@@ -117,16 +125,24 @@ class TestOnlineMode:
         assert counters["schedule_fetch_errors"] == 1
         assert counters["games_fetched"] == 1
         assert counters["game_fetch_errors"] == 1  # the dead link
+        # 5b: the game's player dependency frontier — fixture pages
+        # exist for part of the WAS roster; the rest mock-fill
+        assert counters["players_fetched"] > 0
+        assert counters["players_fetched"] + counters["player_fetch_errors"] > 30
+        assert counters["players_mock_filled"] == counters["player_fetch_errors"]
         assert counters["games"] == 1
         assert counters["plays"] == 97
         # write-through: schedule (non-current year → cachable) + game
         assert os.path.exists(f"{root}/SchedulePage/2016-schedule.shtml")
         assert os.path.exists(f"{root}/GamePage/WAS201710120.shtml")
+        assert os.path.exists(f"{root}/PlayerPage/jayjo02.shtml")
         # exactly one fetch per URL — the localCheckpoint must stop the
         # cache write and the downstream batch from re-running the fetch
         with open(log, encoding="utf-8") as f:
             calls = f.read().splitlines()
-        assert len(calls) == len(set(calls)) == 4, calls  # 2 scheds + 2 games
+        assert len(calls) == len(set(calls)), calls
+        n_players = sum("/players/" in u for u in calls)
+        assert len(calls) == 4 + n_players, calls  # 2 scheds + 2 games + frontier
 
     def test_online_resume_refetches_nothing_cached(self, spark, tmp_path):
         """Second online run over the now-warm cache: only the frontier
