@@ -52,18 +52,30 @@ def fixture_scale(spark: SparkSession) -> Iterator[None]:
     pages and dim deltas of tens of rows. At that size AQE's per-stage
     materialization jobs and 32-way shuffles are pure scheduler
     overhead (measured ~1.8× wall on the 3-game fixture build: 5.0 s
-    → 2.7 s steady-state). Callers must materialize (cache + count)
-    inside the scope — the conf is restored on exit, so a plan
-    executed later runs under the session's cluster-scale defaults. A
-    100k-page backfill on a real cluster should NOT use this: leave
-    AQE on and let stages size themselves.
+    → 2.7 s steady-state), and whole-stage codegen is a net loss: the
+    star build compiles ~15 distinct stages of generated Java to
+    process a few hundred rows (~8 s of one-time JIT measured cold,
+    and the class churn floods the JVM code cache for later queries) —
+    interpreted evaluation is instant at this row count, so codegen is
+    scoped off too. Callers must materialize (cache + count) inside
+    the scope — the conf is restored on exit, so a plan executed later
+    runs under the session's cluster-scale defaults. A 100k-page
+    backfill on a real cluster should NOT use this: leave AQE and
+    codegen on and let stages size themselves.
     """
     conf = spark.conf
-    keys = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    keys = (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.shuffle.partitions",
+        "spark.sql.codegen.wholeStage",
+        "spark.sql.codegen.factoryMode",
+    )
     saved = {k: conf.get(k) for k in keys}
     try:
         conf.set("spark.sql.adaptive.enabled", "false")
-        conf.set("spark.sql.shuffle.partitions", "4")
+        conf.set("spark.sql.shuffle.partitions", "1")
+        conf.set("spark.sql.codegen.wholeStage", "false")
+        conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
         yield
     finally:
         for k, v in saved.items():
