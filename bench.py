@@ -73,6 +73,10 @@ HEADLINE = [
     "corpus_pack_sequences",
     "corpus_mixture_sample",
     "corpus_group_sample",
+    "corpus_shuffle_assign",
+    "decontam_exact_substring",
+    "curation_boilerplate_ngrams",
+    "text_token_entropy",
     "curation_pipeline_e2e",
     "knn_brute_force",
     "ann_lsh_bucket",

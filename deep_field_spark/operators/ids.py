@@ -43,6 +43,7 @@ def dense_ids(
     order_cols: list[str],
     *,
     bucket_cols: list[str] | None = None,
+    bucket_expr: Column | None = None,
     base: DataFrame | Column | None = None,
     n_buckets: int = 1024,
     id_col: str = "id",
@@ -53,14 +54,22 @@ def dense_ids(
     nondeterministic). ``bucket_cols`` (default ``order_cols``) choose
     the hash the buckets derive from — bucket by a prefix (e.g. the
     game key for plays) to keep related rows contiguous in id space.
+    ``bucket_expr`` overrides the hash entirely with a caller-supplied
+    integer Column: pass a bucket that is a monotone function of
+    ``order_cols`` (e.g. the leading hex byte of the md5 key the rows
+    are ordered by) and the id order becomes the GLOBAL ``order_cols``
+    order — a total-order rank with no partition-less window — while
+    staying replayable in engines without xxhash64 (DuckDB oracles).
     ``base`` is either a 1-row DataFrame with column ``_id_base`` (the
     in-plan form — no driver-side action) or a Column/literal; None
     means 0.
     """
     bucket_cols = bucket_cols or order_cols
-    bucketed = df.withColumn(
-        _BUCKET, F.pmod(F.xxhash64(*[F.col(c) for c in bucket_cols]), F.lit(n_buckets))
-    )
+    if bucket_expr is None:
+        bucket_expr = F.pmod(
+            F.xxhash64(*[F.col(c) for c in bucket_cols]), F.lit(n_buckets)
+        )
+    bucketed = df.withColumn(_BUCKET, bucket_expr)
     in_bucket = Window.partitionBy(_BUCKET).orderBy(*[F.col(c) for c in order_cols])
     ranked = bucketed.withColumn(_RANK, F.row_number().over(in_bucket).cast("long"))
 

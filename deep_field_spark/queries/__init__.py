@@ -66,8 +66,10 @@ _PRIORITY = [
     # the three queries the round-2 driver run turned red (NTZ fix)
     "sessionize_events", "join_range_events", "join_range_events_bucketed",
     "asof_join_purchases",
-    # streaming surface
-    "streaming_tumbling_hourly", "streaming_sliding_30m",
+    # streaming surface (sliding_30m rotated below after its green r03
+    # row — its oracle is shared with the events twin, so a slot
+    # re-proving it buys no new information)
+    "streaming_tumbling_hourly",
     "streaming_session_window", "streaming_stateful_counts",
     "streaming_stream_join", "streaming_dedup_watermark",
     # event analytics (events_tumbling/sliding twins demoted: they share
@@ -79,15 +81,17 @@ _PRIORITY = [
     # dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_components",
     "dedup_keep_canonical",
+    # (simhash_pairs and embedding_cosine_exact rotated below after
+    # green r03 rows — the capped/bucketed scale-path twins stay)
     "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped", "dedup_simhash",
-    "dedup_simhash_pairs", "dedup_embedding_cosine",
-    "dedup_embedding_cosine_exact", "dedup_incremental_batch",
+    "dedup_embedding_cosine", "dedup_incremental_batch",
     # similarity / embeddings (quantize_int8: round-3's only hard red,
     # array column now serialized via to_json — needs a green row)
     "knn_brute_force", "ann_lsh_bucket", "ann_lsh_multiprobe",
     "ann_ivf_cells", "embedding_quantize_int8",
-    # multimodal (feature_extract demoted: stub decode → no_oracle row)
-    "multimodal_binary_meta", "multimodal_resize", "multimodal_frame_sample",
+    # multimodal (feature_extract demoted: stub decode → no_oracle row;
+    # resize rotated below after its green r03 row)
+    "multimodal_binary_meta", "multimodal_frame_sample",
     # UDF/UDAF/UDTF surface
     "udaf_grouped_pandas", "udtf_sentences", "grouped_map_interarrival",
     # never-driver-checked before round 4 — zero driver evidence across
@@ -98,6 +102,10 @@ _PRIORITY = [
     # windows re-keyed to (source, shard) with the oracle replaying the
     # shard arithmetic
     "approx_distinct", "corpus_pack_sequences", "corpus_group_sample",
+    # round-4 additions needing first driver evidence (the slots come
+    # from the four rotated-out r03-green twins above)
+    "corpus_shuffle_assign", "decontam_exact_substring",
+    "curation_boilerplate_ngrams", "text_token_entropy",
     # round-3 additions, green r03 (+ tfidf, oracle-bearing, fills the
     # 50th slot so no no-oracle row sits inside the budget window)
     "text_chunk_overlap", "text_vocab_topk", "text_tfidf_topk",

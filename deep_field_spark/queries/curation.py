@@ -13,6 +13,13 @@ oracle replaying the identical arithmetic.
                           benchmark set; bloom filter at 100 TB).
   corpus_split_assign   — deterministic hash split (train/val/test)
                           stable under reshuffling and re-runs.
+  corpus_shuffle_assign — deterministic global training-order
+                          permutation (dense global_step + batch id)
+                          via hash-bucketed total-order rank.
+  decontam_exact_substring — verbatim benchmark-snippet containment,
+                          broadcast snippet set.
+  curation_boilerplate_ngrams — per-source most-document-frequent
+                          bigrams (boilerplate/template detector).
 """
 
 from __future__ import annotations
@@ -714,4 +721,181 @@ def curation_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_chars"),
         F.sum("len_ok").alias("n_len_ok"),
         (F.count("*") - F.countDistinct("digest")).alias("n_exact_dups"),
+    )
+
+
+# --- training-order shuffle ------------------------------------------
+
+SHUFFLE_SEED = "shuf1:"
+SHUFFLE_BATCH = 32
+
+
+@register(
+    "corpus_shuffle_assign",
+    oracle=f"""
+    WITH k AS (SELECT doc_id,
+                      md5('{SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)) AS h
+               FROM documents),
+    r AS (SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT)
+                   AS global_step
+          FROM k)
+    SELECT doc_id, global_step,
+           CAST(global_step // {SHUFFLE_BATCH} AS INT) AS batch_id
+    FROM r
+    """,
+    doc="Deterministic global training-order shuffle: every document "
+        "gets a dense global_step = its rank under a content-keyed md5 "
+        "permutation, plus the training batch that step falls in. The "
+        "rank is a TOTAL order with no global window: the bucket fed "
+        "to operators.ids.dense_ids is the leading hex byte of the "
+        "SAME md5 key the rows are ordered by, so (bucket, key) order "
+        "IS key order — rank within 256 parallel buckets + broadcast "
+        "prefix-sum offsets. Reproducible across runs, partitionings "
+        "and cluster sizes (never rand() or zipWithIndex); a new epoch "
+        "is a new seed string. The oracle replays the permutation with "
+        "a plain row_number at test scale.",
+)
+def corpus_shuffle_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ids import dense_ids
+
+    docs = table(spark, sf_dir, "documents")
+    k = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit(SHUFFLE_SEED), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    # leading hex byte of h: monotone prefix of the order key, so the
+    # dense_ids order (bucket, h, doc_id) is exactly (h, doc_id)
+    hex_bucket = F.conv(F.substring("h", 1, 2), 16, 10).cast("int")
+    ranked = dense_ids(
+        k, ["h", "doc_id"], bucket_expr=hex_bucket, id_col="_step1"
+    )
+    return ranked.select(
+        "doc_id",
+        (F.col("_step1") - 1).alias("global_step"),
+        F.floor((F.col("_step1") - 1) / SHUFFLE_BATCH).cast("int").alias("batch_id"),
+    )
+
+
+# --- exact-substring decontamination ---------------------------------
+
+SNIP_MOD = 97     # doc_id % 97 == 0 plays the benchmark set
+SNIP_FROM, SNIP_LEN = 4, 6  # words 4..9 of the benchmark doc
+
+
+@register(
+    "decontam_exact_substring",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id,
+                         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+                  FROM documents),
+    tk AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+    bench AS (SELECT doc_id AS bench_id,
+                     array_to_string(toks[{SNIP_FROM}:{SNIP_FROM + SNIP_LEN - 1}],
+                                     ' ') AS snip
+              FROM tk
+              WHERE doc_id % {SNIP_MOD} = 0
+                AND len(toks) >= {SNIP_FROM + SNIP_LEN - 1})
+    SELECT n.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM norm n JOIN bench b ON contains(n.t, b.snip)
+    GROUP BY 1
+    """.format(toks=TOKS_SQL),
+    doc="Exact-substring benchmark decontamination — the strict "
+        "complement of decontam_ngram_overlap's n-gram recall net: "
+        "flag every document whose whitespace-normalized text contains "
+        "a verbatim benchmark snippet. The snippet set is broadcast "
+        "(benchmarks are tiny vs the corpus) and matched with a "
+        "substring scan per (doc, snippet); at 100 TB the per-doc cost "
+        "is bounded by snippet-set size — compile the set into one "
+        "Aho-Corasick pandas UDF pass or pre-filter candidates with "
+        "the n-gram semi-join when it grows past a few thousand. The "
+        "deterministic snippet harness (words 4..9 of every 97th doc) "
+        "is replayed verbatim by the oracle.",
+)
+def decontam_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"))
+    norm = docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ").alias("t"),
+    )
+    toks = texting.tokens(F.col("text"))
+    bench = (
+        docs.filter(F.col("doc_id") % SNIP_MOD == 0)
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= SNIP_FROM + SNIP_LEN - 1)
+        .select(
+            F.array_join(F.slice("toks", SNIP_FROM, SNIP_LEN), " ").alias("snip")
+        )
+    )
+    hits = norm.crossJoin(F.broadcast(bench)).filter(
+        F.instr(F.col("t"), F.col("snip")) > 0
+    )
+    return hits.groupBy("doc_id").agg(F.count("*").alias("n_hits"))
+
+
+# --- per-source boilerplate detection --------------------------------
+
+BOILER_TOPK = 3
+
+
+@register(
+    "curation_boilerplate_ngrams",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, source, {TOKS_SQL} AS toks FROM documents),
+    bg AS (SELECT doc_id, source,
+                  unnest(list_distinct(list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i+1]))) AS gram
+           FROM tk WHERE len(toks) >= 2),
+    cnt AS (SELECT source, gram, CAST(count(*) AS BIGINT) AS n_docs
+            FROM bg GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(count(*) AS BIGINT) AS src_docs
+            FROM documents GROUP BY 1),
+    rk AS (SELECT source, gram, n_docs,
+                  CAST(row_number() OVER (PARTITION BY source
+                                          ORDER BY n_docs DESC, gram)
+                       AS INT) AS rk
+           FROM cnt)
+    SELECT r.source, r.rk, r.gram, r.n_docs,
+           round(CAST(r.n_docs AS DOUBLE) / t.src_docs, 4) AS doc_ratio
+    FROM rk r JOIN tot t USING (source) WHERE r.rk <= {BOILER_TOPK}
+    """,
+    doc="CCNet-style boilerplate detection: per source, the bigrams "
+        "present in the most documents (each doc votes each gram once "
+        "— list_distinct before the count), with their document "
+        "ratio. Shape at 100 TB: explode is linear in tokens, the "
+        "(source, gram) count is a partial/final hash agg, and the "
+        "top-k window runs over the PRE-AGGREGATED per-source gram "
+        "table — vocabulary²-bounded, not corpus-bounded; per-source "
+        "doc totals broadcast. Ties broken by gram text so the rank "
+        "is deterministic under any partitioning.",
+)
+def curation_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = texting.tokens(F.col("text"))
+    tk = docs.select("doc_id", "source", toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat(
+                F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+            ),
+        )
+    )
+    bg = tk.select("doc_id", "source", F.explode(grams).alias("gram"))
+    cnt = bg.groupBy("source", "gram").agg(F.count("*").alias("n_docs"))
+    tot = docs.groupBy("source").agg(F.count("*").alias("src_docs"))
+    w = Window.partitionBy("source").orderBy(F.desc("n_docs"), F.asc("gram"))
+    rk = cnt.withColumn("rk", F.row_number().over(w).cast("int")).filter(
+        F.col("rk") <= BOILER_TOPK
+    )
+    return rk.join(F.broadcast(tot), "source").select(
+        "source",
+        "rk",
+        "gram",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("src_docs"), 4).alias(
+            "doc_ratio"
+        ),
     )

@@ -11,6 +11,8 @@ index-ordered accumulation) so every query is hash-checkable.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -390,4 +392,56 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.groupBy("doc_id").agg(
         F.sum("tf").alias("n_tokens"),
         F.round(F.sum("nll").cast("double") / F.sum("tf"), 4).alias("avg_nll"),
+    )
+
+
+@register(
+    "text_token_entropy",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+           FROM t GROUP BY 1, 2),
+    per AS (SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(CAST(c * ln(CAST(c AS DOUBLE)) AS DECIMAL(28,9)))
+                        AS DOUBLE) AS sum_clnc
+            FROM tf GROUP BY 1)
+    SELECT doc_id, n_tokens, n_types,
+           round((ln(CAST(n_tokens AS DOUBLE)) - sum_clnc / n_tokens)
+                 / ln(2.0), 4) AS entropy_bits,
+           round(CAST(n_types AS DOUBLE) / n_tokens, 4) AS ttr
+    FROM per
+    """,
+    doc="Per-document unigram Shannon entropy (bits) and type/token "
+        "ratio — the diversity complement of the repetition and "
+        "unigram-logprob quality gates (low entropy = repetitive or "
+        "template text). H = log2(n) - (Σ c·ln c)/(n·ln 2) needs only "
+        "the per-(doc,term) counts: one explode + one partial/final "
+        "hash agg, with the c·ln(c) contributions cast to "
+        "DECIMAL(28,9) before the per-doc sum so the result is "
+        "independent of partial-agg order, same discipline as "
+        "text_unigram_logprob.",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", F.explode(texting.tokens(F.col("text"))).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    per = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(
+            (F.col("c") * F.log(F.col("c").cast("double"))).cast("decimal(28,9)")
+        ).cast("double").alias("sum_clnc"),
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(
+            (F.log(F.col("n_tokens").cast("double")) - F.col("sum_clnc") / F.col("n_tokens"))
+            / F.lit(math.log(2.0)),
+            4,
+        ).alias("entropy_bits"),
+        F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 4).alias("ttr"),
     )
