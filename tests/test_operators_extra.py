@@ -195,3 +195,37 @@ class TestDenseIds:
         df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
         out = dense_ids(df, ["k"], base=max_id_base(existing)).collect()
         assert sorted(r.id for r in out) == [43, 44]
+
+    def test_bucket_expr_total_order(self, spark):
+        """bucket_expr = monotone prefix of the order key → ids are the
+        GLOBAL key order (the corpus_shuffle_assign contract), with no
+        partition-less window in the plan."""
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from deep_field_spark.operators.ids import dense_ids
+
+        rows = [(i,) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long").withColumn(
+            "h", F.md5(F.col("doc_id").cast("string"))
+        )
+        hexb = F.conv(F.substring("h", 1, 2), 16, 10).cast("int")
+        out = dense_ids(df, ["h"], bucket_expr=hexb).collect()
+        got = [r.doc_id for r in sorted(out, key=lambda r: r.id)]
+        want = sorted(
+            range(300), key=lambda i: hashlib.md5(str(i).encode()).hexdigest()
+        )
+        assert got == want
+        plan = (
+            dense_ids(df, ["h"], bucket_expr=hexb)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        bad = [
+            line
+            for line in plan.splitlines()
+            if "Window [" in line
+            and ("ASC" in line or "DESC" in line)
+            and line.count("], [") < 2
+        ]
+        assert not bad, "\n".join(bad)
