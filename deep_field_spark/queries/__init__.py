@@ -75,9 +75,10 @@ _PRIORITY = [
     # event analytics (events_tumbling/sliding twins demoted: they share
     # oracles with their driver-green streaming_* siblings — a budget
     # slot re-proving the same SQL buys zero new information)
+    # (transition_matrix rotated below after its green r03 row)
     "events_funnel_steps",
     "events_cohort_retention", "events_anomaly_zscore",
-    "events_transition_matrix", "map_funcs_events", "skew_salted_agg",
+    "map_funcs_events", "skew_salted_agg",
     # dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_components",
     "dedup_keep_canonical",
@@ -101,7 +102,8 @@ _PRIORITY = [
     # carries an exact-count oracle + in-row HLL bound; pack/sample
     # windows re-keyed to (source, shard) with the oracle replaying the
     # shard arithmetic
-    "approx_distinct", "corpus_pack_sequences", "corpus_group_sample",
+    "approx_distinct", "approx_percentiles",
+    "corpus_pack_sequences", "corpus_group_sample",
     # round-4 additions needing first driver evidence (the slots come
     # from the four rotated-out r03-green twins above)
     "corpus_shuffle_assign", "decontam_exact_substring",
