@@ -81,11 +81,13 @@ _PRIORITY = [
     "map_funcs_events", "skew_salted_agg",
     # dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_components",
-    "dedup_keep_canonical",
-    # (simhash_pairs and embedding_cosine_exact rotated below after
-    # green r03 rows — the capped/bucketed scale-path twins stay)
+    # (simhash_pairs, embedding_cosine_exact and keep_canonical rotated
+    # below after green r03 rows — the capped/bucketed scale-path twins
+    # and the components clusterer they build on stay)
     "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped", "dedup_simhash",
     "dedup_embedding_cosine", "dedup_incremental_batch",
+    # round-4: completes the general-join parity family (J6-J11)
+    "join_full_outer",
     # similarity / embeddings (quantize_int8: round-3's only hard red,
     # array column now serialized via to_json — needs a green row)
     "knn_brute_force", "ann_lsh_bucket", "ann_lsh_multiprobe",

@@ -243,6 +243,40 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_full_outer",
+    oracle="""
+    WITH a AS (SELECT o_orderdate AS d, CAST(count(*) AS BIGINT) AS n_urgent
+               FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+    b AS (SELECT o_orderdate AS d, CAST(count(*) AS BIGINT) AS n_low
+          FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY 1)
+    SELECT coalesce(a.d, b.d) AS d, a.n_urgent, b.n_low
+    FROM a FULL OUTER JOIN b ON a.d = b.d
+    """,
+    doc="Full outer join of two per-day aggregates — days with only "
+        "urgent or only low orders survive with a NULL other side. "
+        "Shuffles both (pre-aggregated, day-keyed) sides on the join "
+        "key; full outer cannot broadcast, so the map-side combine "
+        "before the join is what bounds the exchange at scale.",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    a = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.count("*").alias("n_urgent"))
+    )
+    b = (
+        orders.filter(F.col("o_orderpriority") == "5-LOW")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.count("*").alias("n_low"))
+    )
+    return (
+        a.join(b, "d", "full_outer")
+        .select("d", "n_urgent", "n_low")
+    )
+
+
+@register(
     "join_semi",
     oracle="""
     SELECT c_custkey, c_name FROM customer
