@@ -201,3 +201,63 @@ def test_group_sample_is_two_stage_topk(spark, sf_dir):
     wins = [l for l in plan.splitlines() if re.search(r"\bWindow\b", l)]
     assert len(wins) == 2, plan
     assert any("_shard" in w for w in wins), plan
+
+
+def test_shuffle_assign_no_global_window(spark, sf_dir):
+    """corpus_shuffle_assign's total-order rank must stay hash-bucketed
+    — a partition-less WindowExec here is the round-3 id-assignment
+    defect reborn on the corpus path."""
+    plan = _plan(spark, sf_dir, "corpus_shuffle_assign")
+    bad = [
+        line
+        for line in plan.splitlines()
+        if "Window [" in line
+        and ("ASC" in line or "DESC" in line)
+        and line.count("], [") < 2
+    ]
+    assert not bad, "\n".join(bad)
+    assert "BroadcastHashJoin" in plan  # offsets ride a broadcast
+
+
+def test_exact_substring_broadcasts_snippets(spark, sf_dir):
+    """The snippet side of decontam_exact_substring must broadcast —
+    the corpus side never shuffles for a containment scan."""
+    plan = _plan(spark, sf_dir, "decontam_exact_substring")
+    assert "BroadcastNestedLoopJoin" in plan  # containment is non-equi
+    # but the corpus itself must not move: no exchange before the join
+    # other than the broadcast one
+    assert "BroadcastExchange" in plan
+
+
+def test_boilerplate_topk_window_over_preagg(spark, sf_dir):
+    """curation_boilerplate_ngrams ranks INSIDE the pre-aggregated
+    (source, gram) table: partial/final agg below the window, doc
+    totals broadcast."""
+    plan = _plan(spark, sf_dir, "curation_boilerplate_ngrams")
+    assert "HashAggregate" in plan[plan.index("Exchange"):]
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_token_entropy_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_token_entropy")
+    assert "HashAggregate" in plan[plan.index("Exchange"):]
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_approx_percentiles_single_agg_pass(spark, sf_dir):
+    """Sketch and exact percentiles compute in ONE grouped aggregation
+    (no extra job or join per estimator)."""
+    plan = _plan(spark, sf_dir, "approx_percentiles")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange") <= 2  # one shuffle for the groupBy (+AQE read)
+
+
+def test_full_outer_preaggregates_both_sides(spark, sf_dir):
+    """join_full_outer: both sides reach the join pre-aggregated (the
+    map-side combine bounds the exchange; full outer cannot
+    broadcast) and the join is a hash/merge join, never nested-loop."""
+    plan = _plan(spark, sf_dir, "join_full_outer")
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
