@@ -107,7 +107,11 @@ def scrape_star_plays(spark: SparkSession, sf_dir: str) -> DataFrame:
     for nid in STAR_GAMES:
         with open(f"{FIXTURES}/GamePage/{nid}.shtml", encoding="utf-8") as f:
             rows.append((nid, f.read()))
-    pages = spark.createDataFrame(rows, "name_id string, html string")
+    pages = spark.createDataFrame(rows, "name_id string, html string").coalesce(
+        max(1, len(rows))
+    )  # local lists land in 32 slices, mostly empty; an empty
+    # partition still costs a Python-worker spin-up + module import
+    # in the parse mapInPandas (~4 s across 29 empty workers measured)
     with P.fixture_scale(spark):
         # cache + eager count: the parse UDF output feeds the player dim,
         # the star build and the final joins — without materializing first,
@@ -150,7 +154,11 @@ def scrape_star_games(spark: SparkSession, sf_dir: str) -> DataFrame:
     for nid in STAR_GAMES:
         with open(f"{FIXTURES}/GamePage/{nid}.shtml", encoding="utf-8") as f:
             rows.append((nid, f.read()))
-    pages = spark.createDataFrame(rows, "name_id string, html string")
+    pages = spark.createDataFrame(rows, "name_id string, html string").coalesce(
+        max(1, len(rows))
+    )  # local lists land in 32 slices, mostly empty; an empty
+    # partition still costs a Python-worker spin-up + module import
+    # in the parse mapInPandas (~4 s across 29 empty workers measured)
     with P.fixture_scale(spark):
         # eager counts for the same reason as scrape_star_plays: the
         # final job's dim/plays branches all consume parsed + players,
@@ -194,7 +202,11 @@ def scrape_player_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in sorted(glob.glob(f"{FIXTURES}/PlayerPage/*.shtml"))[:20]:
         with open(f, encoding="utf-8") as fh:
             rows.append((os.path.basename(f)[:-6], fh.read()))
-    pages = spark.createDataFrame(rows, "name_id string, html string")
+    pages = spark.createDataFrame(rows, "name_id string, html string").coalesce(
+        max(1, len(rows))
+    )  # local lists land in 32 slices, mostly empty; an empty
+    # partition still costs a Python-worker spin-up + module import
+    # in the parse mapInPandas (~4 s across 29 empty workers measured)
     with P.fixture_scale(spark):
         parsed = P.parse_player_pages(pages)
         out = P.players_dim_from_parsed(parsed).select(

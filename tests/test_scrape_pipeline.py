@@ -40,7 +40,9 @@ def _html(kind: str, name_id: str) -> str:
 
 def _pages_df(spark, kind: str, name_ids: list[str]):
     rows = [(nid, _html(kind, nid)) for nid in name_ids]
-    return spark.createDataFrame(rows, "name_id string, html string")
+    return spark.createDataFrame(rows, "name_id string, html string").coalesce(
+        max(1, len(rows))
+    )
 
 
 @pytest.fixture(scope="module")

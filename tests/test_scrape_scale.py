@@ -33,7 +33,9 @@ def star(spark):
     rows = [
         (f"{nid}c{i:02d}", htmls[nid]) for nid in BASE_GAMES for i in range(COPIES)
     ]
-    pages = spark.createDataFrame(rows, "name_id string, html string")
+    pages = spark.createDataFrame(rows, "name_id string, html string").coalesce(
+        max(1, len(rows))
+    )
     parsed = P.parse_game_pages(pages).cache()
     assert parsed.filter(F.col("error").isNotNull()).count() == 0
     players = P.mock_players_from_games(parsed).cache()
