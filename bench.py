@@ -77,6 +77,7 @@ HEADLINE = [
     "decontam_exact_substring",
     "curation_boilerplate_ngrams",
     "text_token_entropy",
+    "text_bigram_logprob",
     "curation_pipeline_e2e",
     "knn_brute_force",
     "ann_lsh_bucket",

@@ -75,9 +75,10 @@ _PRIORITY = [
     # event analytics (events_tumbling/sliding twins demoted: they share
     # oracles with their driver-green streaming_* siblings — a budget
     # slot re-proving the same SQL buys zero new information)
-    # (transition_matrix rotated below after its green r03 row)
+    # (transition_matrix and anomaly_zscore rotated below after green
+    # r03 rows)
     "events_funnel_steps",
-    "events_cohort_retention", "events_anomaly_zscore",
+    "events_cohort_retention",
     "map_funcs_events", "skew_salted_agg",
     # dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_components",
@@ -110,6 +111,7 @@ _PRIORITY = [
     # from the four rotated-out r03-green twins above)
     "corpus_shuffle_assign", "decontam_exact_substring",
     "curation_boilerplate_ngrams", "text_token_entropy",
+    "text_bigram_logprob",
     # round-3 additions, green r03 (+ tfidf, oracle-bearing, fills the
     # 50th slot so no no-oracle row sits inside the budget window)
     "text_chunk_overlap", "text_vocab_topk", "text_tfidf_topk",

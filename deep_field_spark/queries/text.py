@@ -445,3 +445,90 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("entropy_bits"),
         F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 4).alias("ttr"),
     )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    uni AS (SELECT unnest(toks) AS w FROM tk),
+    uc AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM uni GROUP BY 1),
+    v AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM uc),
+    dbg AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1])) AS bg
+            FROM tk WHERE len(toks) >= 2),
+    dbc AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS n
+            FROM dbg GROUP BY 1, 2),
+    cbc AS (SELECT bg, CAST(sum(n) AS BIGINT) AS cbg FROM dbc GROUP BY 1),
+    contrib AS (
+      SELECT d.doc_id, d.n,
+             CAST(d.n * -ln((CAST(c.cbg AS DOUBLE) + 1)
+                            / (u.cw + v.vocab)) AS DECIMAL(28,9)) AS nll
+      FROM dbc d
+      JOIN cbc c USING (bg)
+      JOIN uc u ON u.w = string_split(d.bg, ' ')[1]
+      CROSS JOIN v)
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(nll) AS DOUBLE) / sum(n), 4) AS avg_nll
+    FROM contrib GROUP BY 1
+    """,
+    doc="Bigram language-model quality score (the KenLM-style filter "
+        "step of CCNet-class pipelines, one order up from "
+        "text_unigram_logprob): per-doc average -ln P(w2|w1) with "
+        "add-one smoothing, P = (c(w1 w2)+1)/(c(w1)+|V|), trained on "
+        "the corpus itself. Shape at 100 TB: doc-bigram counts explode "
+        "linearly and partial-aggregate; the corpus bigram and unigram "
+        "count tables are vocabulary-bounded join sides; |V| rides a "
+        "1-row broadcast. Contributions are decimal-cast before the "
+        "per-doc sum (partial-agg-order independent, house float "
+        "discipline).",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = texting.tokens(F.col("text"))
+    tk = docs.select("doc_id", toks.alias("toks"))
+    uc = (
+        tk.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cw"))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # vocab-sized
+    )
+    v = uc.agg(F.count("*").alias("vocab"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat(
+            F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+        ),
+    )
+    dbc = (
+        tk.filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds cbc AND contrib
+    )
+    cbc = dbc.groupBy("bg").agg(F.sum("n").alias("cbg"))
+    contrib = (
+        dbc.join(cbc, "bg")
+        .join(uc, F.split(F.col("bg"), " ").getItem(0) == F.col("w"))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "n",
+            (
+                F.col("n")
+                * -F.log(
+                    (F.col("cbg").cast("double") + 1)
+                    / (F.col("cw") + F.col("vocab"))
+                )
+            ).cast("decimal(28,9)").alias("nll"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.round(F.sum("nll").cast("double") / F.sum("n"), 4).alias("avg_nll"),
+    )
