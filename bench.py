@@ -86,6 +86,7 @@ HEADLINE = [
     "embedding_quantize_int8",
     "multimodal_frame_sample",
     "udaf_grouped_pandas",
+    "cogrouped_map_asof",
     "map_funcs_events",
     # runs LAST: its parse-UDF + many-small-stage profile floods the
     # JVM code cache and makes the next heavy-codegen query pay ~3x

@@ -96,8 +96,9 @@ _PRIORITY = [
     # multimodal (feature_extract demoted: stub decode → no_oracle row;
     # resize rotated below after its green r03 row)
     "multimodal_binary_meta", "multimodal_frame_sample",
-    # UDF/UDAF/UDTF surface
-    "udaf_grouped_pandas", "udtf_sentences", "grouped_map_interarrival",
+    # UDF/UDAF/UDTF surface (udtf_sentences rotated below after its
+    # green r03 row; the cogrouped-map flavor takes the slot)
+    "udaf_grouped_pandas", "grouped_map_interarrival", "cogrouped_map_asof",
     # never-driver-checked before round 4 — zero driver evidence across
     # r01-r03 (r03 cut exactly at 50 with these at slots 51-52)
     "curation_source_profile", "text_unigram_logprob",

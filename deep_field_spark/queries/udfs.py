@@ -179,3 +179,89 @@ def grouped_map_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         _median_gap_fn, "user_id long, n_gaps int, median_gap_us double"
     )
+
+
+def _asof_cogroup_fn(key, purchases: pd.DataFrame, views: pd.DataFrame) -> pd.DataFrame:
+    """Per-user backward as-of merge (pandas merge_asof) of purchases
+    against the latest at-or-before view."""
+    (user_id,) = key
+    out = pd.DataFrame(
+        {
+            "user_id": pd.Series(dtype="int64"),
+            "purchase_id": pd.Series(dtype="Int64"),
+            "view_id": pd.Series(dtype="Int64"),
+            "gap_us": pd.Series(dtype="Int64"),
+        }
+    )
+    if purchases.empty:
+        return out
+    p = purchases.sort_values("us").reset_index(drop=True)
+    if views.empty:
+        return pd.DataFrame(
+            {
+                "user_id": p["user_id"],
+                "purchase_id": p["purchase_id"].astype("Int64"),
+                "view_id": pd.array([None] * len(p), dtype="Int64"),
+                "gap_us": pd.array([None] * len(p), dtype="Int64"),
+            }
+        )
+    v = views.sort_values("us").reset_index(drop=True)[["us", "view_id"]]
+    m = pd.merge_asof(p, v.rename(columns={"us": "v_us"}),
+                      left_on="us", right_on="v_us", direction="backward")
+    return pd.DataFrame(
+        {
+            "user_id": m["user_id"],
+            "purchase_id": m["purchase_id"].astype("Int64"),
+            "view_id": m["view_id"].astype("Int64"),
+            "gap_us": (m["us"] - m["v_us"]).astype("Int64"),
+        }
+    )
+
+
+@register(
+    "cogrouped_map_asof",
+    oracle="""
+    WITH v0 AS (SELECT user_id, epoch_us(ts) AS us,
+                       CAST(max(event_id) AS BIGINT) AS view_id
+                FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    p0 AS (SELECT user_id, epoch_us(ts) AS us,
+                  CAST(max(event_id) AS BIGINT) AS purchase_id
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT p.user_id, p.purchase_id, v.view_id,
+           CAST(p.us - v.us AS BIGINT) AS gap_us
+    FROM p0 p ASOF LEFT JOIN v0 v
+      ON p.user_id = v.user_id AND p.us >= v.us
+    """,
+    doc="Cogrouped-map applyInPandas (SURVEY §2.10 — the fourth Python "
+        "extension point after UDAF/UDTF/grouped-map): per-user "
+        "backward as-of merge of two event streams, each purchase "
+        "paired with the latest at-or-before view (pandas merge_asof "
+        "inside the cogroup; DuckDB ASOF LEFT JOIN as the oracle). "
+        "Both sides dedupe to one row per (user, µs) with max(event_id) "
+        "first, so as-of ties cannot make the answer partition-"
+        "dependent. One shuffle per side keyed on user_id; per-user "
+        "group pairs must fit one pandas frame (the documented "
+        "cogroup contract) — the set-based twin for plain columns is "
+        "asof_join_purchases (operators/asof.py).",
+)
+def cogrouped_map_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import ts_micros
+
+    ev = table(spark, sf_dir, "events")
+    us = ts_micros(F.col("ts")).alias("us")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", us, "event_id")
+        .groupBy("user_id", "us")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us, "event_id")
+        .groupBy("user_id", "us")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    return purchases.groupby("user_id").cogroup(views.groupby("user_id")).applyInPandas(
+        _asof_cogroup_fn,
+        "user_id long, purchase_id long, view_id long, gap_us long",
+    )
