@@ -6,6 +6,8 @@ extension points a Spark user has:
 
   - pandas grouped-agg UDAF (Arrow-batched, one scalar per group)
   - Python UDTF (one row → many rows) via LATERAL join
+  - grouped-map applyInPandas (whole group in, frame out)
+  - cogrouped-map applyInPandas (two keyed sides merged per group)
 
 Determinism discipline: the UDAF sums pre-scaled int64 cents (exact,
 order-independent) rather than floats, so the DuckDB oracle matches

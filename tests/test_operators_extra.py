@@ -229,3 +229,45 @@ class TestDenseIds:
             and line.count("], [") < 2
         ]
         assert not bad, "\n".join(bad)
+
+    def test_property_dense_unique_any_input(self, spark):
+        """Property: for arbitrary unique key sets and bucket counts
+        (including the degenerate n_buckets=1), ids are exactly
+        1..N in some order and stable across a re-run."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from deep_field_spark.operators.ids import dense_ids
+
+        @settings(
+            max_examples=8,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            keys=st.lists(
+                st.text(
+                    alphabet="abcdefghij0123456789", min_size=1, max_size=8
+                ),
+                min_size=1,
+                max_size=40,
+                unique=True,
+            ),
+            n_buckets=st.sampled_from([1, 2, 7, 1024]),
+        )
+        def prop(keys, n_buckets):
+            df = spark.createDataFrame([(k,) for k in keys], "k string")
+            out = {
+                r.k: r.id
+                for r in dense_ids(df, ["k"], n_buckets=n_buckets).collect()
+            }
+            assert sorted(out.values()) == list(range(1, len(keys) + 1))
+            again = {
+                r.k: r.id
+                for r in dense_ids(
+                    df.repartition(3), ["k"], n_buckets=n_buckets
+                ).collect()
+            }
+            assert out == again
+
+        prop()
