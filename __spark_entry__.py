@@ -24,8 +24,23 @@ def entry(spark: SparkSession) -> DataFrame:
     return reg["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
+def _with_cache_reset(fn: Callable[[SparkSession, str], DataFrame]):
+    """A few queries persist() reused vocab-bounded intermediates
+    (text_tfidf_topk, text_unigram/bigram_logprob); their cache must
+    outlive this call (the driver runs the action afterwards), so they
+    cannot unpersist themselves. Clearing the session cache at the
+    START of the next query bounds accumulation across the driver's
+    100-query session to one query's working set."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.catalog.clearCache()
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.fn for name, q in load_registry().items()}
+    return {name: _with_cache_reset(q.fn) for name, q in load_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:

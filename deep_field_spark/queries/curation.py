@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import spread, table
 from ..functions import texting
+from ..operators.topk import top_k_per_group_sharded
 from . import register
 from .text import STOPWORDS_SQL, TOKS_SQL
 
@@ -661,20 +662,12 @@ def corpus_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.md5(F.col("doc_id").cast("string")).alias("h"),
-        (_md5_bucket() % PACK_SHARDS).cast("int").alias("_shard"),
     )
-    pre = Window.partitionBy("source", "_shard").orderBy("h", "doc_id")
-    survivors = (
-        h.withColumn("_prk", F.row_number().over(pre))
-        .filter(F.col("_prk") <= GROUP_SAMPLE_K)
-        .drop("_prk", "_shard")
+    ranked = top_k_per_group_sharded(
+        h, ["source"], [F.col("h"), F.col("doc_id")], GROUP_SAMPLE_K,
+        shard_of="doc_id", rank_col="rk", shards=PACK_SHARDS,
     )
-    w = Window.partitionBy("source").orderBy("h", "doc_id")
-    return (
-        survivors.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= GROUP_SAMPLE_K)
-        .select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
-    )
+    return ranked.select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
 
 
 @register(
@@ -803,14 +796,20 @@ SNIP_FROM, SNIP_LEN = 4, 6  # words 4..9 of the benchmark doc
     doc="Exact-substring benchmark decontamination — the strict "
         "complement of decontam_ngram_overlap's n-gram recall net: "
         "flag every document whose whitespace-normalized text contains "
-        "a verbatim benchmark snippet. The snippet set is broadcast "
-        "(benchmarks are tiny vs the corpus) and matched with a "
-        "substring scan per (doc, snippet); at 100 TB the per-doc cost "
-        "is bounded by snippet-set size — compile the set into one "
-        "Aho-Corasick pandas UDF pass or pre-filter candidates with "
-        "the n-gram semi-join when it grows past a few thousand. The "
+        "a verbatim benchmark snippet. Two stages, both scale-safe in "
+        "snippet count: (1) an anchor-gram equi-join prefilter — a "
+        "substring match of the k-word snippet must contain its k-2 "
+        "INTERIOR words as complete space-delimited tokens of the "
+        "normalized text (only the first/last snippet word can "
+        "straddle a word boundary), so joining each doc's distinct "
+        "interior-length word grams against the broadcast (anchor → "
+        "snippet) table yields a candidate set with perfect recall; "
+        "(2) a verbatim instr() verify on candidate (doc, snippet) "
+        "pairs only. Cost is O(corpus tokens) for the anchor build + "
+        "O(candidates) for the verify — never docs × snippets. The "
         "deterministic snippet harness (words 4..9 of every 97th doc) "
-        "is replayed verbatim by the oracle.",
+        "is replayed verbatim by the oracle, which keeps the direct "
+        "containment-join form: same answer, fixture-scale only.",
 )
 def decontam_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(table(spark, sf_dir, "documents"))
@@ -819,17 +818,29 @@ def decontam_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ").alias("t"),
     )
     toks = texting.tokens(F.col("text"))
+    anchor_len = SNIP_LEN - 2
     bench = (
         docs.filter(F.col("doc_id") % SNIP_MOD == 0)
         .select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") >= SNIP_FROM + SNIP_LEN - 1)
         .select(
-            F.array_join(F.slice("toks", SNIP_FROM, SNIP_LEN), " ").alias("snip")
+            F.array_join(F.slice("toks", SNIP_FROM, SNIP_LEN), " ").alias("snip"),
+            F.array_join(
+                F.slice("toks", SNIP_FROM + 1, anchor_len), " "
+            ).alias("anchor"),
         )
     )
-    hits = norm.crossJoin(F.broadcast(bench)).filter(
-        F.instr(F.col("t"), F.col("snip")) > 0
+    # t is already single-spaced and lowercased, so split(" ") IS its
+    # token stream; distinct interior-length grams are the anchor keys
+    wt = F.split(F.col("t"), " ")
+    anchors = norm.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(texting.word_ngrams(wt, anchor_len))
+        ).alias("anchor"),
     )
+    cand = anchors.join(F.broadcast(bench), "anchor").select("doc_id", "snip")
+    hits = cand.join(norm, "doc_id").filter(F.instr(F.col("t"), F.col("snip")) > 0)
     return hits.groupBy("doc_id").agg(F.count("*").alias("n_hits"))
 
 
@@ -864,10 +875,15 @@ BOILER_TOPK = 3
         "— list_distinct before the count), with their document "
         "ratio. Shape at 100 TB: explode is linear in tokens, the "
         "(source, gram) count is a partial/final hash agg, and the "
-        "top-k window runs over the PRE-AGGREGATED per-source gram "
-        "table — vocabulary²-bounded, not corpus-bounded; per-source "
-        "doc totals broadcast. Ties broken by gram text so the rank "
-        "is deterministic under any partitioning.",
+        "top-k is the two-stage sharded form (operators.topk."
+        "top_k_per_group_sharded): per-(source, md5(gram)-shard) "
+        "pre-top-k, then a merge over ≤ k·shards survivors per source "
+        "— a source's full gram table (which grows with its corpus "
+        "slice, pre-agg or not) never streams through one task. The "
+        "union of per-shard top-ks contains the global top-k, so the "
+        "oracle replays it with a plain rank. Per-source doc totals "
+        "broadcast; ties broken by gram text so the rank is "
+        "deterministic under any partitioning.",
 )
 def curation_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(table(spark, sf_dir, "documents"))
@@ -886,10 +902,10 @@ def curation_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = tk.select("doc_id", "source", F.explode(grams).alias("gram"))
     cnt = bg.groupBy("source", "gram").agg(F.count("*").alias("n_docs"))
     tot = docs.groupBy("source").agg(F.count("*").alias("src_docs"))
-    w = Window.partitionBy("source").orderBy(F.desc("n_docs"), F.asc("gram"))
-    rk = cnt.withColumn("rk", F.row_number().over(w).cast("int")).filter(
-        F.col("rk") <= BOILER_TOPK
-    )
+    rk = top_k_per_group_sharded(
+        cnt, ["source"], [F.desc("n_docs"), F.asc("gram")], BOILER_TOPK,
+        shard_of="gram", rank_col="rk",
+    ).withColumn("rk", F.col("rk").cast("int"))
     return rk.join(F.broadcast(tot), "source").select(
         "source",
         "rk",

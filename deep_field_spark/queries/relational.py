@@ -547,15 +547,16 @@ def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            round(quantile_cont(value, 0.5), 4) AS p50_exact,
            round(quantile_cont(value, 0.99), 4) AS p99_exact,
-           TRUE AS tdigest_within_5pct
+           TRUE AS sketch_check_passed
     FROM events GROUP BY event_type
     """,
     doc="approx_percentile (t-digest sketch): the 100 TB percentile "
         "path percentiles_by_type documents — mergeable, one pass, no "
         "per-group sort. Sketch values are not portable across engines, "
         "so (same contract as approx_distinct) the row carries the "
-        "exact percentiles, oracle-matched, plus a literal-TRUE bound "
-        "proving the sketch ran and landed within 5% relative error: "
+        "exact percentiles, oracle-matched, plus sketch_check_passed — a "
+        "Spark-side-only assertion (literal TRUE in the oracle) that the "
+        "t-digest estimate landed within 5% relative error of exact: "
         "at accuracy=10000 the rank error is <=1e-4, which on these "
         "group sizes puts the estimate essentially on the exact value.",
 )
@@ -571,7 +572,7 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             close(F.element_at(ap, 1).cast("double"), p50e)
             & close(F.element_at(ap, 2).cast("double"), p99e)
-        ).alias("tdigest_within_5pct"),
+        ).alias("sketch_check_passed"),
     )
 
 

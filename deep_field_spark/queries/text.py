@@ -305,7 +305,11 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ReuseExchange does not dedupe the two subtrees — uncached, the
     # scan+explode+aggregation would run twice (verified in the
     # physical plan: 3 parquet scans, 0 ReusedExchange). Spill-safe
-    # persist; first action materializes it once.
+    # persist; first action materializes it once. Lifecycle: the cache
+    # must outlive this builder (the caller runs the action), so the
+    # driver entry clears the session cache before each query
+    # (__spark_entry__._with_cache_reset) — accumulation across a
+    # multi-query session is bounded to one query's working set.
     tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist(
         StorageLevel.MEMORY_AND_DISK
     )

@@ -183,6 +183,12 @@ def grouped_map_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# cogroup parallelism for the as-of merge: one pandas frame holds
+# ~1/ASOF_BUCKETS of all users' purchase+view rows — size it so a
+# bucket fits executor memory at the target user population
+ASOF_BUCKETS = 64
+
+
 def _asof_cogroup_fn(key, purchases: pd.DataFrame, views: pd.DataFrame) -> pd.DataFrame:
     """Backward as-of merge of every purchase against the latest
     at-or-before view of the SAME user, vectorized across all users of
@@ -275,20 +281,23 @@ def cogrouped_map_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cogroup on a HASH BUCKET of users, not the user itself: each
     # cogroup pays a fixed Arrow round-trip + scheduling cost, so
     # per-user groups made that cost scale with user count (~10 s for
-    # 1.5k users at sf0.1, measured). 64 buckets bound the overhead
-    # while merge_asof(by="user_id") keeps the per-user semantics
-    # vectorized inside pandas. Bucket width bounds worker memory:
-    # (n_users / 64) users' events must fit one pandas frame — raise
-    # the bucket count with the user population at scale.
-    bucket = F.pmod(F.col("user_id"), F.lit(64)).alias("bucket")
-    pb = purchases.withColumn("bucket", bucket)
+    # 1.5k users at sf0.1, measured). ASOF_BUCKETS buckets bound the
+    # overhead while merge_asof(by="user_id") keeps the per-user
+    # semantics vectorized inside pandas. Bucket width bounds worker
+    # memory: (n_users / ASOF_BUCKETS) users' events must fit one
+    # pandas frame — raise the module constant with the user
+    # population at scale (one knob; both sides derive from it, so
+    # the pb/vb bucketings can never diverge).
+    pb = purchases.withColumn(
+        "bucket", F.pmod(F.col("user_id"), F.lit(ASOF_BUCKETS))
+    )
     # the right side's key is RENAMED (v_user_id): purchases and views
     # share lineage, so an identically-named right column carries the
     # same attribute id as the left and FlatMapCoGroupsInPandas dedupes
     # it out of the right-hand pandas frame
     vb = views.select(
         F.col("user_id").alias("v_user_id"), "us", "view_id"
-    ).withColumn("bucket", F.pmod(F.col("v_user_id"), F.lit(64)))
+    ).withColumn("bucket", F.pmod(F.col("v_user_id"), F.lit(ASOF_BUCKETS)))
     return (
         pb.groupby("bucket")
         .cogroup(vb.groupby("bucket"))

@@ -271,3 +271,66 @@ class TestDenseIds:
             assert out == again
 
         prop()
+
+
+class TestTopKSharded:
+    """operators/topk.py — the two-stage sharded per-group top-k that
+    replaced every one-window per-group rank on an unbounded group
+    (curation_boilerplate_ngrams, corpus_group_sample)."""
+
+    def test_property_matches_one_window_form(self, spark):
+        """Property: for arbitrary group layouts, heavy ties in the
+        order column, any k and any shard count (incl. the degenerate
+        shards=1), the sharded result is IDENTICAL to the plain
+        one-window top_k_per_group — same rows, same ranks — and
+        stable under repartitioning."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from deep_field_spark.operators.topk import (
+            top_k_per_group,
+            top_k_per_group_sharded,
+        )
+
+        @settings(
+            max_examples=8,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            rows=st.lists(
+                st.tuples(
+                    st.sampled_from(["g1", "g2", "g3", "hot"]),
+                    st.integers(min_value=0, max_value=3),  # heavy ties
+                ),
+                min_size=1,
+                max_size=60,
+            ),
+            k=st.sampled_from([1, 2, 5]),
+            shards=st.sampled_from([1, 2, 16]),
+        )
+        def prop(rows, k, shards):
+            data = [(g, v, i) for i, (g, v) in enumerate(rows)]
+            df = spark.createDataFrame(data, "g string, v int, id int")
+            order = [F.desc("v"), F.asc("id")]
+            want = {
+                (r.g, r.v, r.id, r.rn)
+                for r in top_k_per_group(df, ["g"], order, k).collect()
+            }
+            got = {
+                (r.g, r.v, r.id, r.rn)
+                for r in top_k_per_group_sharded(
+                    df, ["g"], order, k, shard_of="id", shards=shards
+                ).collect()
+            }
+            assert got == want
+            again = {
+                (r.g, r.v, r.id, r.rn)
+                for r in top_k_per_group_sharded(
+                    df.repartition(5), ["g"], order, k,
+                    shard_of="id", shards=shards,
+                ).collect()
+            }
+            assert again == want
+
+        prop()

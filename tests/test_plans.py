@@ -219,24 +219,31 @@ def test_shuffle_assign_no_global_window(spark, sf_dir):
     assert "BroadcastHashJoin" in plan  # offsets ride a broadcast
 
 
-def test_exact_substring_broadcasts_snippets(spark, sf_dir):
-    """The snippet side of decontam_exact_substring must broadcast —
-    the corpus side never shuffles for a containment scan."""
+def test_exact_substring_prefilters_candidates(spark, sf_dir):
+    """decontam_exact_substring must verify containment on
+    anchor-join candidates, never a docs × snippets broadcast scan:
+    the anchor equi-join is a broadcast HASH join, and no nested-loop
+    or cartesian node may appear anywhere in the plan."""
     plan = _plan(spark, sf_dir, "decontam_exact_substring")
-    assert "BroadcastNestedLoopJoin" in plan  # containment is non-equi
-    # but the corpus itself must not move: no exchange before the join
-    # other than the broadcast one
-    assert "BroadcastExchange" in plan
+    assert "BroadcastHashJoin" in plan  # anchor → snippet prefilter
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
-def test_boilerplate_topk_window_over_preagg(spark, sf_dir):
+def test_boilerplate_topk_is_two_stage_sharded(spark, sf_dir):
     """curation_boilerplate_ngrams ranks INSIDE the pre-aggregated
-    (source, gram) table: partial/final agg below the window, doc
-    totals broadcast."""
+    (source, gram) table (partial/final agg below the window), and the
+    rank itself is the two-stage sharded top-k: two Window nodes, the
+    first keyed (source, _shard) so no source's gram table ever
+    streams through one task. Doc totals broadcast."""
     plan = _plan(spark, sf_dir, "curation_boilerplate_ngrams")
     assert "HashAggregate" in plan[plan.index("Exchange"):]
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    import re
+    wins = [l for l in plan.splitlines() if re.search(r"\bWindow\b", l)]
+    assert len(wins) == 2, plan
+    assert any("_shard" in w for w in wins), plan
 
 
 def test_token_entropy_partial_agg(spark, sf_dir):
