@@ -90,6 +90,195 @@ def appearance_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+_STRIP_SQL = (
+    "regexp_replace(regexp_replace({c}, ' \\w\\.', '', 'g'), "
+    "' [JS]r\\.', '', 'g')"
+)
+
+
+def _spark_vals(rows) -> str:
+    def lit(v):
+        if isinstance(v, str):
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        return str(v)
+
+    return ",\n".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+
+
+def _twin_oracle() -> str:
+    """DuckDB replay of resolve_plays (W1-W4 + J1/J2/J5) over the SAME
+    parsed-fixture literals the Spark side loads — plain window SQL, so
+    the reference's per-game mutable state machine
+    (bbref_pages.py:676-761) is hash-checked by the driver."""
+    from .scrape_twin_data import PLAYERS, PLAYS, ROSTERS
+
+    rvals = ",\n      ".join(
+        f"({_sq(g)}, {_sq(s)}, {p}, {_sq(nr)}, {_sq(ni)})"
+        for g, s, p, nr, ni in ROSTERS
+    )
+    pvals = ",\n      ".join(
+        "({}, {}, {}, {}, {}, {}, {}, {}, {})".format(
+            _sq(g), n, _sq(inn), _sq(outs), _sq(pit), _sq(d), _sq(run),
+            _sq(b), _sq(pi)
+        )
+        for g, n, inn, outs, pit, d, run, b, pi in PLAYS
+    )
+    plvals = ",\n      ".join(f"({i}, {_sq(ni)})" for i, ni in PLAYERS)
+    strip_raw = _STRIP_SQL.format(c="name_raw")
+    strip_b = _STRIP_SQL.format(c="p0.batter")
+    strip_p = _STRIP_SQL.format(c="p0.pitcher")
+    ob = " + ".join(
+        f"(CASE WHEN substring(w.runners, {i + 1}, 1) NOT IN ('-', '') "
+        f"THEN {bit} ELSE 0 END)"
+        for i, bit in enumerate((1, 2, 4))
+    )
+    return f"""
+    WITH rosters(game, side, pos, name_raw, name_id) AS (VALUES
+      {rvals}),
+    play_rows(game, play_num, inning, outs, pitches, descr, runners,
+              batter, pitcher) AS (VALUES
+      {pvals}),
+    players(player_id, name_id) AS (VALUES
+      {plvals}),
+    stripped AS (
+      SELECT game, side, pos, name_id, name_raw, {strip_raw} AS sname
+      FROM rosters),
+    rn AS (
+      SELECT game, side, pos, name_id,
+             CASE WHEN count(*) OVER (PARTITION BY game, side, sname) > 1
+                  THEN name_raw ELSE sname END AS roster_name
+      FROM stripped),
+    rp AS (SELECT r.game, r.side, r.pos, r.roster_name, p.player_id
+           FROM rn r JOIN players p USING (name_id)),
+    mm AS (SELECT game, side, roster_name,
+                  list(player_id ORDER BY pos, player_id) AS ids
+           FROM rp GROUP BY 1, 2, 3),
+    p0 AS (
+      SELECT *,
+             CASE WHEN substring(inning, 1, 1) = 't'
+                  THEN 'away' ELSE 'home' END AS b_side,
+             CASE WHEN substring(inning, 1, 1) = 't'
+                  THEN 'home' ELSE 'away' END AS p_side
+      FROM play_rows),
+    eff AS (
+      SELECT p0.*,
+             CASE WHEN mb.roster_name IS NOT NULL THEN p0.batter
+                  ELSE {strip_b} END AS eff_batter,
+             CASE WHEN mp.roster_name IS NOT NULL THEN p0.pitcher
+                  ELSE {strip_p} END AS eff_pitcher
+      FROM p0
+      LEFT JOIN mm mb ON mb.game = p0.game AND mb.side = p0.b_side
+                     AND mb.roster_name = p0.batter
+      LEFT JOIN mm mp ON mp.game = p0.game AND mp.side = p0.p_side
+                     AND mp.roster_name = p0.pitcher),
+    w2 AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY game, b_side, eff_batter
+                                ORDER BY play_num) - 1 AS batter_appear,
+             lead(pitcher) OVER (PARTITION BY game
+                                 ORDER BY play_num) AS nxt
+      FROM eff),
+    w3 AS (SELECT *, CASE WHEN nxt IS NOT NULL AND pitcher <> nxt
+                          THEN 1 ELSE 0 END AS changed FROM w2),
+    w4 AS (
+      SELECT *,
+             coalesce(sum(changed) OVER (
+               PARTITION BY game, p_side, eff_pitcher ORDER BY play_num
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS pitcher_appear
+      FROM w3)
+    SELECT w.game AS game_name_id,
+           CAST(w.play_num AS INT) AS play_num,
+           CAST((CAST(substring(w.inning, 2) AS INT) - 1) * 2
+                + CASE WHEN substring(w.inning, 1, 1) = 't'
+                       THEN 0 ELSE 1 END AS SMALLINT) AS inning_half,
+           CAST(w.outs AS SMALLINT) AS start_outs,
+           CAST({ob} AS SMALLINT) AS start_on_base,
+           w.descr AS "desc",
+           trim(w.pitches) AS pitch_ct,
+           CAST(mb.ids[CAST((w.batter_appear % len(mb.ids)) + 1 AS INT)]
+                AS BIGINT) AS batter_id,
+           CAST(mp.ids[CAST((w.pitcher_appear % len(mp.ids)) + 1 AS INT)]
+                AS BIGINT) AS pitcher_id
+    FROM w4 w
+    LEFT JOIN mm mb ON mb.game = w.game AND mb.side = w.b_side
+                   AND mb.roster_name = w.eff_batter
+    LEFT JOIN mm mp ON mp.game = w.game AND mp.side = w.p_side
+                   AND mp.roster_name = w.eff_pitcher
+    """
+
+
+@register(
+    "scrape_core_resolved_plays",
+    oracle=_twin_oracle(),
+    doc="The scrape core's hardest semantics as a driver-checkable "
+        "oracle twin: the PRODUCTION resolve_plays build "
+        "(scraping/pipeline.py — roster disambiguation A2, broadcast "
+        "FK joins J1/J5, name→ids multimap J2, appearance windows "
+        "W1-W3, id cycling W4, scalar transforms F4/F5/F8) runs over "
+        "the parsed fixture games embedded as literals "
+        "(scrape_twin_data.py, generated from the reference fixture "
+        "HTML by tools/gen_scrape_twin_fixture.py and drift-guarded "
+        "by a fresh-parse test), and the oracle replays the identical "
+        "semantics as DuckDB window SQL over the same VALUES. This "
+        "converts the reference-core appearance/id-cycling logic "
+        "(bbref_pages.py:676-761) from local-golden evidence into a "
+        "driver hash-green row; only the HTML→rows parse itself stays "
+        "golden/diff-sim-gated (not SQL-expressible).",
+)
+def scrape_core_resolved_plays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scraping import pipeline as P
+    from .scrape_twin_data import PLAYERS, PLAYS, ROSTERS
+
+    # the literals enter as Spark-SQL VALUES — a pure-JVM LocalRelation.
+    # (spark.createDataFrame pickles local rows into a Python-backed
+    # RDD, and EVERY scan of that leaf pays a Python-worker spin-up:
+    # ~5 s per scan measured, × the ~6 rescans resolve_plays does.)
+    r = spark.sql(
+        "SELECT * FROM VALUES\n" + _spark_vals(ROSTERS)
+        + "\nAS t(game_name_id, side, pos, name_raw, name_id)"
+    )
+    pl = spark.sql(
+        "SELECT * FROM VALUES\n" + _spark_vals(PLAYS)
+        + "\nAS t(game_name_id, play_num, inning, outs, pitches, desc, "
+        "runners, batter, pitcher)"
+    )
+    dim = spark.sql(
+        "SELECT CAST(id AS LONG) AS id, name_id FROM VALUES\n"
+        + _spark_vals(PLAYERS) + "\nAS t(id, name_id)"
+    )
+    parsed = (
+        r.groupBy("game_name_id")
+        .agg(
+            F.collect_list(
+                F.struct("side", "pos", "name_raw", "name_id")
+            ).alias("rosters")
+        )
+        .join(
+            pl.groupBy("game_name_id").agg(
+                F.collect_list(
+                    F.struct(
+                        "play_num", "inning", "outs", "pitches", "desc",
+                        "runners", "batter", "pitcher",
+                    )
+                ).alias("plays")
+            ),
+            "game_name_id",
+        )
+    )
+    with P.fixture_scale(spark):
+        # materialize inside the scope (same contract as scrape_star_*):
+        # 269 literal rows through 32-way shuffles + codegen JIT is
+        # pure overhead; the restored conf governs later queries
+        out = P.resolve_plays(parsed, dim).cache()
+        out.count()
+    return out
+
+
 @register(
     "scrape_star_plays",
     oracle=None,  # HTML parsing is not SQL-expressible; golden-tested

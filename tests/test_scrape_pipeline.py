@@ -380,3 +380,20 @@ class TestStarPlanShape:
         )
         okplan = ok._jdf.queryExecution().executedPlan().toString()
         assert not self._global_window_nodes(okplan), okplan
+
+
+def test_twin_literals_match_fresh_parse():
+    """Drift guard for the scrape-core oracle twin: the checked-in
+    scrape_twin_data literals must equal a fresh parse of the fixture
+    HTML by the production parser — if the parser (or the fixtures)
+    change, the twin regenerates via tools/gen_scrape_twin_fixture.py
+    rather than silently pinning stale semantics."""
+    import tools.gen_scrape_twin_fixture as G
+
+    from deep_field_spark.queries import scrape_twin_data as D
+
+    rosters, plays, players = G.build()
+    assert rosters == D.ROSTERS
+    assert plays == D.PLAYS
+    assert players == D.PLAYERS
+    assert G.GAMES == D.GAMES
