@@ -79,15 +79,19 @@ HEADLINE = [
     "text_token_entropy",
     "text_bigram_logprob",
     "curation_pipeline_e2e",
+    "dedup_exact_substring_runs",
     "knn_brute_force",
     "ann_lsh_bucket",
     "ann_lsh_multiprobe",
     "ann_ivf_cells",
+    "ann_ivf_kmeans",
+    "dedup_semantic",
     "embedding_quantize_int8",
     "multimodal_frame_sample",
     "udaf_grouped_pandas",
     "cogrouped_map_asof",
     "map_funcs_events",
+    "scrape_core_resolved_plays",
     # runs LAST: its parse-UDF + many-small-stage profile floods the
     # JVM code cache and makes the next heavy-codegen query pay ~3x
     # one-time JIT cost (measured); keeping it at the end isolates that

@@ -63,6 +63,10 @@ _PRIORITY = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     # reference-core appearance-window semantics, oracle-checkable form
     "appearance_windows_events",
+    # round-5: the scrape core's OWN semantics (W1-W4 + J1/J2/J5 over
+    # the parsed fixture literals) now oracle-checked — first driver
+    # evidence for the reference's hardest logic beyond local goldens
+    "scrape_core_resolved_plays",
     # the three queries the round-2 driver run turned red (NTZ fix)
     "sessionize_events", "join_range_events", "join_range_events_bucketed",
     "asof_join_purchases",
@@ -74,12 +78,13 @@ _PRIORITY = [
     "streaming_stream_join", "streaming_dedup_watermark",
     # event analytics (events_tumbling/sliding twins demoted: they share
     # oracles with their driver-green streaming_* siblings — a budget
-    # slot re-proving the same SQL buys zero new information)
+    # slot re-proving the same SQL buys zero new information;
+    # map_funcs_events rotated below after its green r04 row)
     # (transition_matrix and anomaly_zscore rotated below after green
     # r03 rows)
     "events_funnel_steps",
     "events_cohort_retention",
-    "map_funcs_events", "skew_salted_agg",
+    "skew_salted_agg",
     # dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_components",
     # (simhash_pairs, embedding_cosine_exact and keep_canonical rotated
@@ -87,21 +92,26 @@ _PRIORITY = [
     # and the components clusterer they build on stay)
     "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped", "dedup_simhash",
     "dedup_embedding_cosine", "dedup_incremental_batch",
-    # round-4: completes the general-join parity family (J6-J11)
-    "join_full_outer",
+    # round-5: corpus-internal exact-substring dedup (anchor diagonals
+    # + gaps-and-islands — the Lee et al. suffix-array step, Spark-shaped)
+    "dedup_exact_substring_runs",
+    # (join_full_outer rotated below after its green r04 row)
     # similarity / embeddings (quantize_int8: round-3's only hard red,
     # array column now serialized via to_json — needs a green row)
     "knn_brute_force", "ann_lsh_bucket", "ann_lsh_multiprobe",
     "ann_ivf_cells", "embedding_quantize_int8",
+    # round-5: trained-cells IVF (distributed Lloyd's) + SemDeDup-style
+    # per-cell semantic prune — the LLM-curation capability the round-4
+    # verdict ranked top-missing
+    "ann_ivf_kmeans", "dedup_semantic",
     # multimodal (feature_extract demoted: stub decode → no_oracle row;
     # resize rotated below after its green r03 row)
     "multimodal_binary_meta", "multimodal_frame_sample",
     # UDF/UDAF/UDTF surface (udtf_sentences rotated below after its
     # green r03 row; the cogrouped-map flavor takes the slot)
     "udaf_grouped_pandas", "grouped_map_interarrival", "cogrouped_map_asof",
-    # never-driver-checked before round 4 — zero driver evidence across
-    # r01-r03 (r03 cut exactly at 50 with these at slots 51-52)
-    "curation_source_profile", "text_unigram_logprob",
+    # (curation_source_profile and text_unigram_logprob rotated below
+    # after green r04 rows — their round-5 slots fund the 4 additions)
     # round-4 reworks needing fresh driver evidence: approx_distinct now
     # carries an exact-count oracle + in-row HLL bound; pack/sample
     # windows re-keyed to (source, shard) with the oracle replaying the

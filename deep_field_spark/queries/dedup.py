@@ -474,3 +474,109 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_of",
         F.when(F.col("dup_of").isNull(), 1).otherwise(0).cast("int").alias("is_new"),
     )
+
+
+# --- corpus-internal exact-substring dedup ---------------------------
+
+ANCHOR_K = 8        # anchor gram width in tokens
+RUN_MAX_DF = 10     # drop anchors appearing in more docs (boilerplate)
+MIN_RUN_TOKENS = 20  # report pairs sharing a verbatim run this long
+
+
+@register(
+    "dedup_exact_substring_runs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    g0 AS (SELECT doc_id, unnest(range(1, len(toks) - {ANCHOR_K - 2})) AS pos,
+                  toks
+           FROM t WHERE len(toks) >= {ANCHOR_K}),
+    g AS (SELECT doc_id, pos,
+                 array_to_string(toks[pos:pos + {ANCHOR_K - 1}], ' ') AS gram
+          FROM g0),
+    df AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS d
+                             FROM g GROUP BY 1)
+           WHERE d <= {RUN_MAX_DF}),
+    gg AS (SELECT g.doc_id, g.pos, g.gram FROM g JOIN df USING (gram)),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.pos AS pa, b.pos - a.pos AS diag
+          FROM gg a JOIN gg b
+            ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    runs AS (SELECT id_a, id_b, diag,
+                    pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+                                            ORDER BY pa) AS grp
+             FROM p),
+    islands AS (SELECT id_a, id_b, diag, grp, count(*) AS n
+                FROM runs GROUP BY 1, 2, 3, 4),
+    agg AS (SELECT id_a, id_b,
+                   CAST(max(n) + {ANCHOR_K - 1} AS INT) AS run_tokens,
+                   CAST(count(*) AS INT) AS n_runs
+            FROM islands GROUP BY 1, 2)
+    SELECT id_a, id_b, run_tokens, n_runs
+    FROM agg WHERE run_tokens >= {MIN_RUN_TOKENS}
+    """,
+    doc="Corpus-INTERNAL exact-substring dedup (the suffix-array step "
+        "of Lee et al.-style pretraining pipelines, re-shaped for "
+        f"Spark): every doc emits positioned {ANCHOR_K}-token anchor "
+        "grams; a DF cap drops corpus-hot anchors (boilerplate — same "
+        "cap contract as dedup_ngram_jaccard_capped, replayed by the "
+        "oracle); the anchor equi-join yields matched positions whose "
+        "DIAGONAL (pos_b - pos_a) groups alignments; a gaps-and-"
+        "islands pass (pos - row_number per diagonal) finds maximal "
+        "consecutive anchor runs, and a run of n consecutive anchors "
+        f"IS a verbatim common substring of n+{ANCHOR_K - 1} tokens — "
+        "exact, no extend-verify needed. Pairs sharing a run of ≥ "
+        f"{MIN_RUN_TOKENS} tokens are reported with their longest run "
+        "and run count. Scale shape: anchors ride as (id, pos) only, "
+        "the join is bounded by the DF cap, and the island window is "
+        "keyed (pair, diagonal) — bounded by doc length, never corpus "
+        "size. Entirely integer arithmetic — bit-exact across engines.",
+)
+def dedup_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import spread
+    from ..functions import texting
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = texting.tokens(F.col("text"))
+    t = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= ANCHOR_K
+    )
+    g = t.select(
+        "doc_id",
+        F.posexplode(texting.word_ngrams(F.col("toks"), ANCHOR_K)).alias(
+            "pos0", "gram"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    capped = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("d"))
+        .filter(F.col("d") <= RUN_MAX_DF)
+        .select("gram")
+    )
+    gg = g.join(capped, "gram")
+    a = gg.select(
+        F.col("gram"), F.col("doc_id").alias("id_a"), F.col("pos").alias("pa")
+    )
+    b = gg.select(
+        F.col("gram").alias("gram_b"),
+        F.col("doc_id").alias("id_b"),
+        F.col("pos").alias("pb"),
+    )
+    p = (
+        a.join(b, (F.col("gram") == F.col("gram_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", "pa", (F.col("pb") - F.col("pa")).alias("diag"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = p.select(
+        "id_a", "id_b", "diag", (F.col("pa") - F.row_number().over(w)).alias("grp")
+    )
+    islands = runs.groupBy("id_a", "id_b", "diag", "grp").agg(
+        F.count("*").alias("n")
+    )
+    return (
+        islands.groupBy("id_a", "id_b")
+        .agg(
+            (F.max("n") + (ANCHOR_K - 1)).cast("int").alias("run_tokens"),
+            F.count("*").cast("int").alias("n_runs"),
+        )
+        .filter(F.col("run_tokens") >= MIN_RUN_TOKENS)
+    )

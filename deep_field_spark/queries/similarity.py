@@ -400,3 +400,246 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recon_err"),
     )
+
+
+# --- distributed k-means + semantic dedup ----------------------------
+
+KMEANS_ITERS = 2  # fixed Lloyd rounds so the oracle replays them exactly
+
+
+def _lloyd_centroids(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
+    """Distributed Lloyd's k-means, the 100 TB way: per iteration, (1)
+    every vector scores against the BROADCAST centroid table (k rows)
+    and argmaxes its cell — no shuffle of the corpus; (2) new centroids
+    are per-(cell, position) means computed as a partial/final hash agg
+    over posexploded components — the shuffle carries at most
+    k·dim partial rows per map task, never vectors. Deterministic
+    throughout (first-N_CELLS init, fixed iteration count, component
+    sums in DECIMAL(28,9) so partial-agg order cannot change a bit) —
+    which is what lets a DuckDB oracle replay the whole training loop.
+
+    Returns cid → c_emb (array<double>). Cells that lose all members
+    disappear (standard Lloyd's degeneracy; deterministic here).
+    """
+    cent = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c_emb"),
+    )
+    for _ in range(iters):
+        cos = vectors.cosine(F.col("embedding"), F.col("c_emb"))
+        scores = emb.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "embedding", "cid", cos.alias("cos")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cid")
+        assign = (
+            scores.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "cid")
+        )
+        pe = assign.select("cid", F.posexplode("embedding").alias("pos", "x"))
+        sums = pe.groupBy("cid", "pos").agg(
+            F.sum(F.col("x").cast("double").cast("decimal(28,9)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        comp = sums.select(
+            "cid", "pos", (F.col("s").cast("double") / F.col("n")).alias("v")
+        )
+        cent = (
+            comp.groupBy("cid")
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "v"))).alias("pp"))
+            .select("cid", F.col("pp.v").alias("c_emb"))
+        )
+    return cent
+
+
+def _cos_vc_sql(v: str, c: str) -> str:
+    """cos(float-list v.embedding, double-list c.c), index-ordered."""
+    return (
+        f"list_aggregate(list_transform(range(1, {DIM} + 1), "
+        f"i -> CAST({v}.embedding[i] AS DOUBLE) * {c}.c[i]), 'sum') "
+        f"/ (sqrt(list_aggregate(list_transform({v}.embedding, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) "
+        f"* sqrt(list_aggregate(list_transform({c}.c, x -> x * x), 'sum')))"
+    )
+
+
+def _kmeans_ctes(src: str, iters: int = KMEANS_ITERS) -> str:
+    """CTE chain replaying _lloyd_centroids over table/CTE ``src``:
+    emits cent0..cent{iters} and s{i}/a{i} assignment steps; the final
+    centroid table is cent{iters}."""
+    parts = [
+        f"""cent0 AS (
+      SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+      FROM {src} WHERE vec_id < {N_CELLS})"""
+    ]
+    for it in range(1, iters + 1):
+        parts.append(f"""s{it} AS (
+      SELECT v.vec_id, c.cid, {_cos_vc_sql('v', 'c')} AS cos
+      FROM {src} v, cent{it - 1} c),
+    a{it} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid) AS rn
+        FROM s{it}) WHERE rn = 1),
+    m{it} AS (
+      SELECT cid, i,
+             CAST(sum(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS v
+      FROM (SELECT a.cid,
+                   unnest(range(1, {DIM} + 1)) AS i,
+                   unnest(list_transform(e.embedding,
+                                         y -> CAST(y AS DOUBLE))) AS x
+            FROM a{it} a JOIN {src} e USING (vec_id))
+      GROUP BY cid, i),
+    cent{it} AS (SELECT cid, list(v ORDER BY i) AS c FROM m{it} GROUP BY cid)""")
+    return ",\n    ".join(parts)
+
+
+@register(
+    "ann_ivf_kmeans",
+    oracle=f"""
+    WITH {_kmeans_ctes("embeddings")},
+    final_s AS (
+      SELECT v.vec_id, c.cid, {_cos_vc_sql('v', 'c')} AS cos
+      FROM embeddings v, cent{KMEANS_ITERS} c)
+    SELECT vec_id, CAST(cid AS BIGINT) AS cid, round(cos, 4) AS cos_sim
+    FROM (SELECT vec_id, cid, cos,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos DESC, cid) AS rn
+          FROM final_s)
+    WHERE rn = 1
+    """,
+    doc="IVF with TRAINED cells: fixed-iteration distributed Lloyd's "
+        "k-means (deterministic first-N init, per-iteration broadcast "
+        "of the k-row centroid table, centroid update as a partial/"
+        "final hash agg over posexploded components with DECIMAL-exact "
+        "sums) followed by the final cell assignment of every vector. "
+        "This is the training step ann_ivf_cells defers ('at 100 TB "
+        "cells are kmeans-trained'): same inverted-file serving shape, "
+        "centroids now data-fitted. The corpus never shuffles — each "
+        "iteration moves k·dim partial sums, not vectors; the oracle "
+        "replays the entire loop in SQL, so convergence is "
+        "hash-checked, not eyeballed.",
+)
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    cent = _lloyd_centroids(emb)
+    cos = vectors.cosine(F.col("embedding"), F.col("c_emb"))
+    scores = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", cos.alias("cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cid")
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("cid").cast("long").alias("cid"),
+            F.round("cos", 4).alias("cos_sim"),
+        )
+    )
+
+
+# SemDeDup harness: the synthetic embeddings carry no near-duplicates
+# (max pairwise cosine 0.51 measured), so the query deterministically
+# plants perturbed twins — y = 0.9·x + 0.05 per component, cosine to
+# the parent in [0.899, 0.94] on this corpus — and then detects them.
+# The detector is the operator under test; the planting is the harness
+# (same contract as pii_redact), replayed verbatim by the oracle.
+SEM_PLANT_MOD = 25
+SEM_OFFSET = 1_000_000
+SEM_THRESHOLD = 0.85  # planted twins ≥ 0.899; organic pairs ≤ 0.52
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH aug AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+               AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + {SEM_OFFSET},
+             list_transform(embedding, x -> 0.9 * CAST(x AS DOUBLE) + 0.05)
+      FROM embeddings WHERE vec_id % {SEM_PLANT_MOD} = 0),
+    {_kmeans_ctes("aug")},
+    fs AS (
+      SELECT v.vec_id, c.cid, {_cos_vc_sql('v', 'c')} AS cos
+      FROM aug v, cent{KMEANS_ITERS} c),
+    af AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid) AS rn
+        FROM fs) WHERE rn = 1),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN aug ea ON ea.vec_id = a.vec_id
+      JOIN aug eb ON eb.vec_id = b.vec_id
+      WHERE list_aggregate(list_transform(range(1, {DIM} + 1),
+              i -> ea.embedding[i] * eb.embedding[i]), 'sum')
+            / (sqrt(list_aggregate(list_transform(ea.embedding,
+                 x -> x * x), 'sum'))
+             * sqrt(list_aggregate(list_transform(eb.embedding,
+                 x -> x * x), 'sum'))) >= {SEM_THRESHOLD})
+    SELECT f.vec_id, CAST(f.cid AS BIGINT) AS cid,
+           CAST(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+             AS is_dup
+    FROM af f LEFT JOIN dups d USING (vec_id)
+    """,
+    doc="SemDeDup-style semantic dedup: k-means-cluster the corpus "
+        "(the same fixed-iteration Lloyd's loop as ann_ivf_kmeans), "
+        "then WITHIN each cell mark every vector that has a lower-id "
+        "cell-mate above the cosine threshold — keep-lowest-id per "
+        "semantic near-dup group. The cell assignment is what makes "
+        "this 100 TB-shaped: pairwise cosine runs per cell (an "
+        "equi-join on cid), never corpus². Cross-cell near-dups are "
+        "the method's documented recall trade — SemDeDup accepts it "
+        "because k scales with corpus size. Near-dup twins are "
+        "deterministically planted (see SEM_PLANT_MOD above); the "
+        "oracle replays planting, training, assignment and pruning.",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    twins = emb.filter(F.col("vec_id") % SEM_PLANT_MOD == 0).select(
+        (F.col("vec_id") + SEM_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") * 0.9 + 0.05
+        ).alias("embedding"),
+    )
+    aug = base.unionByName(twins)
+    cent = _lloyd_centroids(aug)
+    cos_c = vectors.cosine(F.col("embedding"), F.col("c_emb"))
+    fs = aug.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "cid", cos_c.alias("cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cid")
+    af = (
+        fs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    a = af.select(
+        F.col("cid"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a")
+    )
+    b = af.select(
+        F.col("cid"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b")
+    )
+    cos_p = vectors.cosine(F.col("e_a"), F.col("e_b"))
+    dups = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos_p >= SEM_THRESHOLD)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_d", F.lit(1))
+    )
+    return af.join(dups, "vec_id", "left").select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cid"),
+        F.coalesce(F.col("_d"), F.lit(0)).cast("int").alias("is_dup"),
+    )

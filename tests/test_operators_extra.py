@@ -334,3 +334,50 @@ class TestTopKSharded:
             assert again == want
 
         prop()
+
+
+class TestLloydCentroids:
+    """queries/similarity.py:_lloyd_centroids — the distributed k-means
+    trainer behind ann_ivf_kmeans / dedup_semantic."""
+
+    def test_deterministic_across_partitionings(self, spark, sf_dir):
+        """Same corpus in any partitioning → bit-identical centroids
+        (the DECIMAL-exact component sums make partial-agg order
+        irrelevant — the property the oracle replay depends on)."""
+        from deep_field_spark.queries.similarity import _lloyd_centroids
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        a = {
+            r.cid: tuple(r.c_emb)
+            for r in _lloyd_centroids(emb.repartition(1)).collect()
+        }
+        b = {
+            r.cid: tuple(r.c_emb)
+            for r in _lloyd_centroids(emb.repartition(13)).collect()
+        }
+        assert a == b
+        assert len(a) > 0
+
+    def test_one_iteration_moves_centroids(self, spark, sf_dir):
+        """Lloyd's must actually update: iteration-1 centroids differ
+        from the init vectors (else the 'training' is a no-op and
+        ann_ivf_kmeans degenerates to ann_ivf_cells)."""
+        from deep_field_spark.queries.similarity import (
+            N_CELLS,
+            _lloyd_centroids,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        init = {
+            r.vec_id: tuple(float(x) for x in r.embedding)
+            for r in emb.filter(f"vec_id < {N_CELLS}").collect()
+        }
+        trained = {
+            r.cid: tuple(r.c_emb) for r in _lloyd_centroids(emb, iters=1).collect()
+        }
+        moved = [cid for cid in trained if trained[cid] != init[cid]]
+        assert moved, "no centroid moved after one Lloyd iteration"

@@ -268,3 +268,49 @@ def test_full_outer_preaggregates_both_sides(spark, sf_dir):
     assert "FullOuter" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_kmeans_broadcasts_centroids_every_iteration(spark, sf_dir):
+    """ann_ivf_kmeans: every Lloyd iteration + the final assignment
+    scores against a BROADCAST centroid table (BNLJ BuildRight Cross,
+    one per crossJoin — the corpus never shuffles for assignment), and
+    the centroid update is a partial/final hash agg (map-side combine
+    below the exchange). Never a corpus×corpus product."""
+    plan = _plan(spark, sf_dir, "ann_ivf_kmeans")
+    bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert bnlj >= 3, plan  # 2 iterations + final assignment
+    assert plan.count("BuildRight, Cross") == bnlj
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan[plan.index("Exchange"):]
+
+
+def test_semantic_dedup_pairs_are_cell_equijoin(spark, sf_dir):
+    """dedup_semantic: the pairwise cosine stage must be an EQUI-join
+    on the cell id (SortMerge/ShuffledHash on cid) — the only
+    nested-loop joins are the broadcast centroid scorings."""
+    plan = _plan(spark, sf_dir, "dedup_semantic")
+    assert "CartesianProduct" not in plan
+    bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert plan.count("BuildRight, Cross") == bnlj  # all BNLJ = centroids
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_substring_runs_hash_joins_and_bounded_window(spark, sf_dir):
+    """dedup_exact_substring_runs: anchor match is an equi-join (hash/
+    merge, never nested-loop), the DF cap and island counts are
+    partial/final aggs, and the island window is keyed (pair, diag) —
+    no partition-less window anywhere."""
+    plan = _plan(spark, sf_dir, "dedup_exact_substring_runs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan[plan.index("Exchange"):]
+    bad = [
+        line
+        for line in plan.splitlines()
+        if "Window [" in line
+        and ("ASC" in line or "DESC" in line)
+        and line.count("], [") < 2
+    ]
+    assert not bad, "\n".join(bad)
