@@ -80,6 +80,7 @@ HEADLINE = [
     "text_bigram_logprob",
     "curation_pipeline_e2e",
     "dedup_exact_substring_runs",
+    "dedup_dup_span_removal",
     "knn_brute_force",
     "ann_lsh_bucket",
     "ann_lsh_multiprobe",

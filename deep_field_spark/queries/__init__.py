@@ -84,7 +84,8 @@ _PRIORITY = [
     # r03 rows)
     "events_funnel_steps",
     "events_cohort_retention",
-    "skew_salted_agg",
+    # (skew_salted_agg rotated below after its green r04 row — its
+    # round-5 slot funds the span-removal finishing step)
     # dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_components",
     # (simhash_pairs, embedding_cosine_exact and keep_canonical rotated
@@ -94,7 +95,8 @@ _PRIORITY = [
     "dedup_embedding_cosine", "dedup_incremental_batch",
     # round-5: corpus-internal exact-substring dedup (anchor diagonals
     # + gaps-and-islands — the Lee et al. suffix-array step, Spark-shaped)
-    "dedup_exact_substring_runs",
+    # + its finishing step (per-doc merged dup-span accounting)
+    "dedup_exact_substring_runs", "dedup_dup_span_removal",
     # (join_full_outer rotated below after its green r04 row)
     # similarity / embeddings (quantize_int8: round-3's only hard red,
     # array column now serialized via to_json — needs a green row)

@@ -482,11 +482,10 @@ ANCHOR_K = 8        # anchor gram width in tokens
 RUN_MAX_DF = 10     # drop anchors appearing in more docs (boilerplate)
 MIN_RUN_TOKENS = 20  # report pairs sharing a verbatim run this long
 
-
-@register(
-    "dedup_exact_substring_runs",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+# Shared CTE chain: positioned anchor grams → DF cap → anchor equi-join
+# → diagonal grouping → gaps-and-islands maximal runs, each with its
+# count n and start position s. Used by both substring-dedup oracles.
+_ANCHOR_CTES = f"""t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
     g0 AS (SELECT doc_id, unnest(range(1, len(toks) - {ANCHOR_K - 2})) AS pos,
                   toks
            FROM t WHERE len(toks) >= {ANCHOR_K}),
@@ -501,37 +500,20 @@ MIN_RUN_TOKENS = 20  # report pairs sharing a verbatim run this long
                  a.pos AS pa, b.pos - a.pos AS diag
           FROM gg a JOIN gg b
             ON a.gram = b.gram AND a.doc_id < b.doc_id),
-    runs AS (SELECT id_a, id_b, diag,
+    runs AS (SELECT id_a, id_b, diag, pa,
                     pa - row_number() OVER (PARTITION BY id_a, id_b, diag
                                             ORDER BY pa) AS grp
              FROM p),
-    islands AS (SELECT id_a, id_b, diag, grp, count(*) AS n
-                FROM runs GROUP BY 1, 2, 3, 4),
-    agg AS (SELECT id_a, id_b,
-                   CAST(max(n) + {ANCHOR_K - 1} AS INT) AS run_tokens,
-                   CAST(count(*) AS INT) AS n_runs
-            FROM islands GROUP BY 1, 2)
-    SELECT id_a, id_b, run_tokens, n_runs
-    FROM agg WHERE run_tokens >= {MIN_RUN_TOKENS}
-    """,
-    doc="Corpus-INTERNAL exact-substring dedup (the suffix-array step "
-        "of Lee et al.-style pretraining pipelines, re-shaped for "
-        f"Spark): every doc emits positioned {ANCHOR_K}-token anchor "
-        "grams; a DF cap drops corpus-hot anchors (boilerplate — same "
-        "cap contract as dedup_ngram_jaccard_capped, replayed by the "
-        "oracle); the anchor equi-join yields matched positions whose "
-        "DIAGONAL (pos_b - pos_a) groups alignments; a gaps-and-"
-        "islands pass (pos - row_number per diagonal) finds maximal "
-        "consecutive anchor runs, and a run of n consecutive anchors "
-        f"IS a verbatim common substring of n+{ANCHOR_K - 1} tokens — "
-        "exact, no extend-verify needed. Pairs sharing a run of ≥ "
-        f"{MIN_RUN_TOKENS} tokens are reported with their longest run "
-        "and run count. Scale shape: anchors ride as (id, pos) only, "
-        "the join is bounded by the DF cap, and the island window is "
-        "keyed (pair, diagonal) — bounded by doc length, never corpus "
-        "size. Entirely integer arithmetic — bit-exact across engines.",
-)
-def dedup_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    islands AS (SELECT id_a, id_b, diag, grp,
+                       count(*) AS n, min(pa) AS s
+                FROM runs GROUP BY 1, 2, 3, 4)"""
+
+
+def _anchor_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _ANCHOR_CTES: maximal aligned anchor runs between
+    doc pairs as (id_a, id_b, diag, grp, n, s) — n consecutive anchors
+    starting at token s of doc a (s + diag of doc b) certify a verbatim
+    common substring of n + ANCHOR_K - 1 tokens."""
     from ..catalog import spread
     from ..functions import texting
 
@@ -561,17 +543,51 @@ def dedup_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id_b"),
         F.col("pos").alias("pb"),
     )
-    p = (
+    pr = (
         a.join(b, (F.col("gram") == F.col("gram_b")) & (F.col("id_a") < F.col("id_b")))
         .select("id_a", "id_b", "pa", (F.col("pb") - F.col("pa")).alias("diag"))
     )
     w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
-    runs = p.select(
-        "id_a", "id_b", "diag", (F.col("pa") - F.row_number().over(w)).alias("grp")
+    runs = pr.select(
+        "id_a", "id_b", "diag", "pa",
+        (F.col("pa") - F.row_number().over(w)).alias("grp"),
     )
-    islands = runs.groupBy("id_a", "id_b", "diag", "grp").agg(
-        F.count("*").alias("n")
+    return runs.groupBy("id_a", "id_b", "diag", "grp").agg(
+        F.count("*").alias("n"), F.min("pa").alias("s")
     )
+
+
+@register(
+    "dedup_exact_substring_runs",
+    oracle=f"""
+    WITH {_ANCHOR_CTES},
+    agg AS (SELECT id_a, id_b,
+                   CAST(max(n) + {ANCHOR_K - 1} AS INT) AS run_tokens,
+                   CAST(count(*) AS INT) AS n_runs
+            FROM islands GROUP BY 1, 2)
+    SELECT id_a, id_b, run_tokens, n_runs
+    FROM agg WHERE run_tokens >= {MIN_RUN_TOKENS}
+    """,
+    doc="Corpus-INTERNAL exact-substring dedup (the suffix-array step "
+        "of Lee et al.-style pretraining pipelines, re-shaped for "
+        f"Spark): every doc emits positioned {ANCHOR_K}-token anchor "
+        "grams; a DF cap drops corpus-hot anchors (boilerplate — same "
+        "cap contract as dedup_ngram_jaccard_capped, replayed by the "
+        "oracle); the anchor equi-join yields matched positions whose "
+        "DIAGONAL (pos_b - pos_a) groups alignments; a gaps-and-"
+        "islands pass (pos - row_number per diagonal) finds maximal "
+        "consecutive anchor runs, and a run of n consecutive anchors "
+        f"IS a verbatim common substring of n+{ANCHOR_K - 1} tokens — "
+        "exact, no extend-verify needed. Pairs sharing a run of ≥ "
+        f"{MIN_RUN_TOKENS} tokens are reported with their longest run "
+        "and run count. Scale shape: anchors ride as (id, pos) only, "
+        "the join is bounded by the DF cap, and the island window is "
+        "keyed (pair, diagonal) — bounded by doc length, never corpus "
+        "size. Entirely integer arithmetic — bit-exact across engines. "
+        "Finishing step: dedup_dup_span_removal.",
+)
+def dedup_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    islands = _anchor_islands(spark, sf_dir)
     return (
         islands.groupBy("id_a", "id_b")
         .agg(
@@ -579,4 +595,99 @@ def dedup_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("int").alias("n_runs"),
         )
         .filter(F.col("run_tokens") >= MIN_RUN_TOKENS)
+    )
+
+
+@register(
+    "dedup_dup_span_removal",
+    oracle=f"""
+    WITH {_ANCHOR_CTES},
+    spans AS (SELECT id_b AS doc_id,
+                     s + diag AS sp_start,
+                     s + diag + n + {ANCHOR_K - 2} AS sp_end
+              FROM islands WHERE n + {ANCHOR_K - 1} >= {MIN_RUN_TOKENS}),
+    m AS (SELECT doc_id, sp_start, sp_end,
+                 max(sp_end) OVER (PARTITION BY doc_id
+                                   ORDER BY sp_start, sp_end
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING) AS pmax
+          FROM spans),
+    mk AS (SELECT *, CASE WHEN pmax IS NULL OR sp_start > pmax
+                          THEN 1 ELSE 0 END AS new_grp
+           FROM m),
+    gx AS (SELECT *, sum(new_grp) OVER (PARTITION BY doc_id
+                                        ORDER BY sp_start, sp_end
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND CURRENT ROW) AS mg
+           FROM mk),
+    merged AS (SELECT doc_id, mg, min(sp_start) AS st, max(sp_end) AS en
+               FROM gx GROUP BY 1, 2),
+    perdoc AS (SELECT doc_id,
+                      CAST(count(*) AS INT) AS n_spans,
+                      CAST(sum(en - st + 1) AS INT) AS dup_tokens
+               FROM merged GROUP BY 1),
+    tok AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens FROM t)
+    SELECT p.doc_id, n_spans, dup_tokens, n_tokens,
+           CAST(n_tokens - dup_tokens AS INT) AS kept_tokens
+    FROM perdoc p JOIN tok USING (doc_id)
+    """,
+    doc="The Lee et al. FINISHING step over dedup_exact_substring_runs' "
+        "anchor islands: every certified verbatim run becomes a token "
+        "span on the HIGHER-id doc (keep-first-occurrence policy, so "
+        "one copy of every repeated passage survives); per-doc spans "
+        "are merged with a second gaps-and-islands pass (running max "
+        "of span ends → new-interval markers → cumsum groups — "
+        "overlapping spans from different partners collapse), and the "
+        "query reports per affected doc the merged span count, tokens "
+        "to remove, and tokens kept. Both windows are per-doc — "
+        "bounded by a doc's own span count, never corpus size; the "
+        "span arithmetic is integer-exact and fully replayed by the "
+        "oracle.",
+)
+def dedup_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import spread
+    from ..functions import texting
+
+    islands = _anchor_islands(spark, sf_dir)
+    spans = islands.filter(
+        (F.col("n") + (ANCHOR_K - 1)) >= MIN_RUN_TOKENS
+    ).select(
+        F.col("id_b").alias("doc_id"),
+        (F.col("s") + F.col("diag")).alias("sp_start"),
+        (F.col("s") + F.col("diag") + F.col("n") + (ANCHOR_K - 2)).alias("sp_end"),
+    )
+    ow = Window.partitionBy("doc_id").orderBy("sp_start", "sp_end")
+    pmax = F.max("sp_end").over(ow.rowsBetween(Window.unboundedPreceding, -1))
+    mk = spans.select(
+        "doc_id",
+        "sp_start",
+        "sp_end",
+        F.when(pmax.isNull() | (F.col("sp_start") > pmax), 1).otherwise(0).alias(
+            "new_grp"
+        ),
+    )
+    mg = F.sum("new_grp").over(
+        ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        mk.withColumn("mg", mg)
+        .groupBy("doc_id", "mg")
+        .agg(F.min("sp_start").alias("st"), F.max("sp_end").alias("en"))
+    )
+    perdoc = merged.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_spans"),
+        F.sum(F.col("en") - F.col("st") + 1).cast("int").alias("dup_tokens"),
+    )
+    docs = spread(table(spark, sf_dir, "documents"))
+    tok = docs.filter(
+        F.size(texting.tokens(F.col("text"))) >= ANCHOR_K
+    ).select(
+        "doc_id", F.size(texting.tokens(F.col("text"))).cast("int").alias("n_tokens")
+    )
+    return perdoc.join(tok, "doc_id").select(
+        "doc_id",
+        "n_spans",
+        "dup_tokens",
+        "n_tokens",
+        (F.col("n_tokens") - F.col("dup_tokens")).cast("int").alias("kept_tokens"),
     )

@@ -314,3 +314,21 @@ def test_substring_runs_hash_joins_and_bounded_window(spark, sf_dir):
         and line.count("], [") < 2
     ]
     assert not bad, "\n".join(bad)
+
+
+def test_span_removal_per_doc_windows_only(spark, sf_dir):
+    """dedup_dup_span_removal: the interval-merge windows are keyed by
+    doc — no partition-less window, no nested-loop joins, island
+    counts partial/final aggregated."""
+    plan = _plan(spark, sf_dir, "dedup_dup_span_removal")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan[plan.index("Exchange"):]
+    bad = [
+        line
+        for line in plan.splitlines()
+        if "Window [" in line
+        and ("ASC" in line or "DESC" in line)
+        and line.count("], [") < 2
+    ]
+    assert not bad, "\n".join(bad)
