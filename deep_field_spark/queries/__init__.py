@@ -76,6 +76,10 @@ _PRIORITY = [
     "streaming_tumbling_hourly",
     "streaming_session_window", "streaming_stateful_counts",
     "streaming_stream_join", "streaming_dedup_watermark",
+    # round-5: stream-static dimension enrichment (the standard
+    # streaming lookup pattern; slot funded by events_cohort_retention,
+    # green r01-r04)
+    "streaming_static_enrich",
     # event analytics (events_tumbling/sliding twins demoted: they share
     # oracles with their driver-green streaming_* siblings — a budget
     # slot re-proving the same SQL buys zero new information;
@@ -83,7 +87,7 @@ _PRIORITY = [
     # (transition_matrix and anomaly_zscore rotated below after green
     # r03 rows)
     "events_funnel_steps",
-    "events_cohort_retention",
+    # (events_cohort_retention rotated below after repeated green rows)
     # (skew_salted_agg rotated below after its green r04 row — its
     # round-5 slot funds the span-removal finishing step)
     # dedup family

@@ -131,6 +131,26 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT date_trunc('hour', e.ts) AS wstart, c.c_mktsegment,
+           count(*) AS n, round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="Stream-static join: events stream enriched with the static "
+        "customer dim (broadcast per micro-batch — re-resolved each "
+        "batch, so dim refreshes are picked up) feeding a watermarked "
+        "tumbling agg per market segment. The standard streaming "
+        "dimension-lookup pattern; join state is zero, agg state is "
+        "watermark-bounded. Oracle is the batch twin of the same join "
+        "+ epoch-aligned window.",
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SW.static_enrich_counts(spark, sf_dir)
+
+
+@register(
     "streaming_dedup_watermark",
     oracle="SELECT event_id, user_id, event_type FROM events",
     doc="dropDuplicatesWithinWatermark over a simulated at-least-once "

@@ -119,6 +119,32 @@ def session_window_counts(spark: SparkSession, sf_dir: str, gap: str = "30 minut
     )
 
 
+def static_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched with the STATIC
+    customer dimension (market segment) before a watermarked tumbling
+    agg. The production pattern for dimension lookups in a stream —
+    the static side is planned as a broadcast per micro-batch (and
+    re-resolved each batch, so a slowly-refreshing dim table just
+    works); no state store is involved in the join itself, so state
+    is bounded by the window agg alone."""
+    from ..catalog import table
+
+    ev = events_stream(spark, sf_dir)
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = ev.join(F.broadcast(dim), "user_id")
+    agg = (
+        enriched.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), F.col("c_mktsegment"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("wstart"), "c_mktsegment", "n", "sum_value"
+    )
+
+
 _STATE_SCHEMA = StructType([StructField("n", LongType())])
 _OUT_SCHEMA = StructType(
     [
