@@ -510,28 +510,33 @@ _ANCHOR_CTES = f"""t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
 
 
 def _anchor_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of _ANCHOR_CTES: maximal aligned anchor runs between
-    doc pairs as (id_a, id_b, diag, grp, n, s) — n consecutive anchors
-    starting at token s of doc a (s + diag of doc b) certify a verbatim
-    common substring of n + ANCHOR_K - 1 tokens."""
     from ..catalog import spread
-    from ..functions import texting
 
-    docs = spread(table(spark, sf_dir, "documents"))
+    return anchor_islands_of(spread(table(spark, sf_dir, "documents")))
+
+
+def anchor_islands_of(docs: DataFrame, k: int = ANCHOR_K,
+                      max_df: int = RUN_MAX_DF) -> DataFrame:
+    """Spark twin of _ANCHOR_CTES over any (doc_id, text) DataFrame:
+    maximal aligned anchor runs between doc pairs as
+    (id_a, id_b, diag, grp, n, s) — n consecutive anchors starting at
+    token s of doc a (s + diag of doc b) certify a verbatim common
+    substring of n + k - 1 tokens."""
+    from ..functions import texting
     toks = texting.tokens(F.col("text"))
     t = docs.select("doc_id", toks.alias("toks")).filter(
-        F.size("toks") >= ANCHOR_K
+        F.size("toks") >= k
     )
     g = t.select(
         "doc_id",
-        F.posexplode(texting.word_ngrams(F.col("toks"), ANCHOR_K)).alias(
+        F.posexplode(texting.word_ngrams(F.col("toks"), k)).alias(
             "pos0", "gram"
         ),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
     capped = (
         g.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("d"))
-        .filter(F.col("d") <= RUN_MAX_DF)
+        .filter(F.col("d") <= max_df)
         .select("gram")
     )
     gg = g.join(capped, "gram")

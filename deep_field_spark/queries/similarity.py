@@ -450,6 +450,14 @@ def _lloyd_centroids(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
             .select("cid", F.col("pp.v").alias("c_emb"))
         )
     return cent
+    # Lineage note: iteration N's plan contains iterations 1..N-1 as
+    # subtrees, so total corpus passes grow O(iters²). At the fixed
+    # iters=2 here that is one extra pass and measurably CHEAPER than
+    # materializing: a .cache() per round was tried and costs 3× wall
+    # in a default-conf session (the k-row materialization job runs
+    # with un-coalesced shuffle partitions and severs the AQE chain).
+    # A long-running trainer (iters ≫ 2) should localCheckpoint() the
+    # k-row centroid table per round instead.
 
 
 def _cos_vc_sql(v: str, c: str) -> str:

@@ -381,3 +381,68 @@ class TestLloydCentroids:
         }
         moved = [cid for cid in trained if trained[cid] != init[cid]]
         assert moved, "no centroid moved after one Lloyd iteration"
+
+
+class TestAnchorRuns:
+    """queries/dedup.py:anchor_islands_of — the diagonal-run primitive
+    behind dedup_exact_substring_runs / dedup_dup_span_removal."""
+
+    def test_property_longest_run_equals_brute_force(self, spark):
+        """Property: with the DF cap disabled, max island run + k - 1
+        per pair equals the brute-force longest common token substring
+        (when ≥ k) over adversarial small-alphabet docs."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from deep_field_spark.queries.dedup import anchor_islands_of
+
+        K = 3
+
+        def lcs_tokens(a, b):
+            best = 0
+            for i in range(len(a)):
+                for j in range(len(b)):
+                    n = 0
+                    while i + n < len(a) and j + n < len(b) and a[i + n] == b[j + n]:
+                        n += 1
+                    best = max(best, n)
+            return best
+
+        @settings(
+            max_examples=6,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            docs=st.lists(
+                st.lists(
+                    st.sampled_from(["a", "b", "c"]),  # tiny alphabet →
+                    min_size=K, max_size=25,           # collisions galore
+                ),
+                min_size=2,
+                max_size=4,
+            )
+        )
+        def prop(docs):
+            df = spark.createDataFrame(
+                [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+                "doc_id long, text string",
+            )
+            got = {
+                (r.id_a, r.id_b): r.n + K - 1
+                for r in (
+                    anchor_islands_of(df, k=K, max_df=10**9)
+                    .groupBy("id_a", "id_b")
+                    .agg(F.max("n").alias("n"))
+                    .collect()
+                )
+            }
+            for i in range(len(docs)):
+                for j in range(i + 1, len(docs)):
+                    want = lcs_tokens(docs[i], docs[j])
+                    if want >= K:
+                        assert got.get((i, j)) == want, (i, j, want, got)
+                    else:
+                        assert (i, j) not in got
+
+        prop()
