@@ -84,6 +84,7 @@ HEADLINE = [
     "knn_brute_force",
     "ann_lsh_bucket",
     "ann_lsh_multiprobe",
+    "ann_recall_report",
     "ann_ivf_cells",
     "ann_ivf_kmeans",
     "dedup_semantic",

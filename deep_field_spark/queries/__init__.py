@@ -95,7 +95,9 @@ _PRIORITY = [
     # (simhash_pairs, embedding_cosine_exact and keep_canonical rotated
     # below after green r03 rows — the capped/bucketed scale-path twins
     # and the components clusterer they build on stay)
-    "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped", "dedup_simhash",
+    # (dedup_ngram_jaccard rotated below after green r01-r04 rows — its
+    # DF-capped scale twin, which replays the cap, keeps the slot)
+    "dedup_ngram_jaccard_capped", "dedup_simhash",
     "dedup_embedding_cosine", "dedup_incremental_batch",
     # round-5: corpus-internal exact-substring dedup (anchor diagonals
     # + gaps-and-islands — the Lee et al. suffix-array step, Spark-shaped)
@@ -110,6 +112,9 @@ _PRIORITY = [
     # per-cell semantic prune — the LLM-curation capability the round-4
     # verdict ranked top-missing
     "ann_ivf_kmeans", "dedup_semantic",
+    # round-5: the ANN recall contract itself, hash-checked (brute-force
+    # top-k ⋈ multiprobe top-k per query)
+    "ann_recall_report",
     # multimodal (feature_extract demoted: stub decode → no_oracle row;
     # resize rotated below after its green r03 row)
     "multimodal_binary_meta", "multimodal_frame_sample",
