@@ -90,6 +90,7 @@ HEADLINE = [
     "dedup_semantic",
     "embedding_quantize_int8",
     "multimodal_frame_sample",
+    "multimodal_arrow_meta",
     "udaf_grouped_pandas",
     "cogrouped_map_asof",
     "map_funcs_events",

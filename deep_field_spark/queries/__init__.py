@@ -120,7 +120,10 @@ _PRIORITY = [
     "multimodal_binary_meta", "multimodal_frame_sample",
     # UDF/UDAF/UDTF surface (udtf_sentences rotated below after its
     # green r03 row; the cogrouped-map flavor takes the slot)
-    "udaf_grouped_pandas", "grouped_map_interarrival", "cogrouped_map_asof",
+    # (grouped_map_interarrival rotated below after green r04 — the
+    # cogrouped flavor covers the harder grouped-map shape; its slot
+    # funds the round-5 mapInArrow extension point)
+    "udaf_grouped_pandas", "cogrouped_map_asof", "multimodal_arrow_meta",
     # (curation_source_profile and text_unigram_logprob rotated below
     # after green r04 rows — their round-5 slots fund the 4 additions)
     # round-4 reworks needing fresh driver evidence: approx_distinct now

@@ -104,3 +104,27 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("feat"), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
     )
     return feats.select("doc_id", F.round(F.sqrt(sq), 4).alias("feat_norm"))
+
+
+@register(
+    "multimodal_arrow_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS INT) AS n_bytes,
+           CAST((strlen(text) + 63) // 64 AS INT) AS n_chunks,
+           CAST(CASE WHEN strlen(text) = 0 THEN 0
+                ELSE strlen(text) - ((strlen(text) + 63) // 64 - 1) * 64
+                END AS INT) AS tail_bytes
+    FROM documents
+    """,
+    doc="mapInArrow chunk accounting over the binary payload — the "
+        "RecordBatch-level extension point (§2.10's fifth flavor, "
+        "beside scalar/grouped-agg pandas UDFs, UDTF, grouped-map and "
+        "cogrouped-map): payloads stay in Arrow buffers, all math is "
+        "pyarrow.compute C++ kernels, zero pandas and zero per-row "
+        "Python. The shape a 100 TB binary-column metadata pass wants "
+        "when even the Arrow→pandas copy is too expensive.",
+)
+def multimodal_arrow_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = MM.binary_corpus(spark, sf_dir)
+    return MM.arrow_chunk_meta(corpus, chunk=64)

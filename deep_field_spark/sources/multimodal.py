@@ -176,3 +176,38 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "feat": feats})
 
     return df.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def arrow_chunk_meta(df: DataFrame, chunk: int = 64) -> DataFrame:
+    """Chunk accounting over the binary payload via ``mapInArrow`` —
+    the RecordBatch-level Python extension point: data stays in Arrow
+    buffers end-to-end (no pandas materialization, no per-row Python),
+    the right shape for metadata passes over multi-GB binary columns.
+    All arithmetic is pyarrow.compute kernels (C++), so the per-batch
+    Python cost is a handful of kernel dispatches regardless of row
+    count."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def op(batches):
+        for b in batches:
+            ln = pc.cast(pc.binary_length(b.column("payload")), pa.int64())
+            n_chunks = pc.divide(pc.add(ln, chunk - 1), chunk)  # int ceil
+            tail = pc.if_else(
+                pc.equal(ln, 0),
+                pa.scalar(0, pa.int64()),
+                pc.subtract(ln, pc.multiply(pc.subtract(n_chunks, 1), chunk)),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(ln, pa.int32()),
+                    pc.cast(n_chunks, pa.int32()),
+                    pc.cast(tail, pa.int32()),
+                ],
+                ["doc_id", "n_bytes", "n_chunks", "tail_bytes"],
+            )
+
+    return df.select("doc_id", "payload").mapInArrow(
+        op, "doc_id long, n_bytes int, n_chunks int, tail_bytes int"
+    )
