@@ -66,6 +66,7 @@ HEADLINE = [
     "text_repetition_ratio",
     "text_chunk_overlap",
     "text_vocab_topk",
+    "text_heavy_hitters",
     "curation_source_profile",
     "decontam_ngram_overlap",
     "corpus_split_assign",

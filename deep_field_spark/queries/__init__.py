@@ -86,8 +86,9 @@ _PRIORITY = [
     # map_funcs_events rotated below after its green r04 row)
     # (transition_matrix and anomaly_zscore rotated below after green
     # r03 rows)
-    "events_funnel_steps",
-    # (events_cohort_retention rotated below after repeated green rows)
+    # (events_funnel_steps and events_cohort_retention rotated below
+    # after repeated green rows; funnel's slot funds the round-5
+    # heavy-hitters sketch)
     # (skew_salted_agg rotated below after its green r04 row — its
     # round-5 slot funds the span-removal finishing step)
     # dedup family
@@ -140,6 +141,9 @@ _PRIORITY = [
     # round-3 additions, green r03 (+ tfidf, oracle-bearing, fills the
     # 50th slot so no no-oracle row sits inside the budget window)
     "text_chunk_overlap", "text_vocab_topk", "text_tfidf_topk",
+    # round-5: 2-pass Misra-Gries heavy hitters (exact above N/k, no
+    # long-tail groupBy; MG superset guarantee hypothesis-tested)
+    "text_heavy_hitters",
     # no-oracle scrape fixtures (golden/diff-sim-gated locally; driver
     # rows are permanently "no_oracle" — moved below the oracle-bearing
     # set so they stop eating top-50 budget slots)

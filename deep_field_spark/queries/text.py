@@ -536,3 +536,95 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_bigrams"),
         F.round(F.sum("nll").cast("double") / F.sum("n"), 4).alias("avg_nll"),
     )
+
+
+# --- heavy hitters (2-pass Misra-Gries) ------------------------------
+
+HH_CAPACITY = 16  # report every term with count * HH_CAPACITY > N
+
+# The synthetic vocabulary is ~31 near-uniform terms — no term owns
+# more than ~1/28 of the stream, so NOTHING is an N/16 heavy hitter
+# organically. The harness plants deterministic skew (same contract as
+# pii_redact / dedup_semantic: the planting is replayed verbatim by
+# the oracle; the detector is the operator under test): every doc
+# contributes 4 copies of a hot term, every even doc 2 copies of a
+# warm decoy, every doc 1 cool decoy. Only the hot term crosses N/16;
+# the decoys and the organic vocabulary must be pruned — and the MG
+# compression path genuinely runs, since vocab+plants > HH_CAPACITY.
+HH_PLANT_HOT, HH_PLANT_WARM, HH_PLANT_COOL = "aaahot", "bbbwarm", "ccccool"
+
+
+def _mg_candidates(it):
+    """Per-partition mergeable Misra-Gries over the token stream:
+    per-batch exact counts (vectorized value_counts) merged into one
+    counter, compressed back to < HH_CAPACITY entries by subtracting
+    the capacity-th largest weight (Agarwal et al. mergeable
+    summaries). Survivors are a SUPERSET of every term whose
+    partition count exceeds n_partition / HH_CAPACITY — the pigeonhole
+    then lifts that to the global threshold across partitions."""
+    import pandas as pd
+
+    counts: dict[str, int] = {}
+    for pdf in it:
+        for term, c in pdf["term"].value_counts().items():
+            counts[term] = counts.get(term, 0) + int(c)
+        if len(counts) >= HH_CAPACITY:
+            kth = sorted(counts.values(), reverse=True)[HH_CAPACITY - 1]
+            counts = {t: c - kth for t, c in counts.items() if c > kth}
+    yield pd.DataFrame({"term": list(counts.keys())})
+
+
+@register(
+    "text_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(list_concat(list_concat(list_concat(
+               {TOKS_SQL},
+               ['{HH_PLANT_HOT}', '{HH_PLANT_HOT}',
+                '{HH_PLANT_HOT}', '{HH_PLANT_HOT}']),
+               CASE WHEN doc_id % 2 = 0
+                    THEN ['{HH_PLANT_WARM}', '{HH_PLANT_WARM}']
+                    ELSE CAST([] AS VARCHAR[]) END),
+               ['{HH_PLANT_COOL}'])) AS term
+      FROM documents),
+    c AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok)
+    SELECT term, n, total
+    FROM c, tot WHERE n * {HH_CAPACITY} > total
+    """,
+    doc="Corpus heavy hitters via 2-pass distributed Misra-Gries: "
+        "pass 1 runs a mergeable MG sketch per partition (mapInPandas, "
+        "vectorized per-batch value_counts merged + compressed) whose "
+        "survivors provably include every term with global count "
+        f"> N/{HH_CAPACITY} (pigeonhole over partitions); pass 2 "
+        "exact-counts ONLY the broadcast candidate set and filters on "
+        "the integer threshold n·k > N. The point at 100 TB: the full "
+        "groupBy over the long-tail vocabulary never happens — the "
+        "shuffle carries candidate terms only — yet the result is "
+        "EXACT, which is why the oracle is plain count SQL with no "
+        "sketch replication (planted-skew harness documented above). "
+        "The sketch pass is the one deliberate Python stage "
+        "(Arrow-batched, value_counts-vectorized).",
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"))
+    hot = F.array(*[F.lit(HH_PLANT_HOT)] * 4)
+    warm = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.array(F.lit(HH_PLANT_WARM), F.lit(HH_PLANT_WARM)),
+    ).otherwise(F.array().cast("array<string>"))
+    cool = F.array(F.lit(HH_PLANT_COOL))
+    stream = F.concat(texting.tokens(F.col("text")), hot, warm, cool)
+    tok = docs.select(F.explode(stream).alias("term"))
+    cand = tok.mapInPandas(_mg_candidates, "term string").distinct()
+    total = tok.agg(F.count("*").alias("total"))
+    counted = (
+        tok.join(F.broadcast(cand), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("n") * HH_CAPACITY > F.col("total"))
+        .select("term", "n", "total")
+    )

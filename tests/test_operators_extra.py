@@ -446,3 +446,44 @@ class TestAnchorRuns:
                         assert (i, j) not in got
 
         prop()
+
+
+class TestMisraGries:
+    """queries/text.py:_mg_candidates — the per-partition mergeable MG
+    sketch behind text_heavy_hitters. Pure-pandas test (no Spark): the
+    candidate set must be a SUPERSET of every true heavy hitter for
+    arbitrary streams and arbitrary batch splits — the guarantee the
+    2-pass exactness proof rests on."""
+
+    def test_property_candidates_superset_of_heavy_hitters(self):
+        from collections import Counter
+
+        import pandas as pd
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from deep_field_spark.queries.text import HH_CAPACITY, _mg_candidates
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            stream=st.lists(
+                # zipf-ish: small alphabet ids drawn with heavy repeats
+                st.integers(min_value=0, max_value=40).map(lambda i: f"t{i}"),
+                min_size=1,
+                max_size=400,
+            ),
+            n_batches=st.integers(min_value=1, max_value=7),
+        )
+        def prop(stream, n_batches):
+            size = max(1, len(stream) // n_batches)
+            batches = [
+                pd.DataFrame({"term": stream[i:i + size]})
+                for i in range(0, len(stream), size)
+            ]
+            (out,) = _mg_candidates(iter(batches))
+            cands = set(out["term"])
+            counts = Counter(stream)
+            heavy = {t for t, c in counts.items() if c * HH_CAPACITY > len(stream)}
+            assert heavy <= cands, (heavy - cands, len(stream))
+
+        prop()

@@ -54,7 +54,7 @@ def test_round5_additions_hold_window_slots():
         "scrape_core_resolved_plays", "ann_ivf_kmeans", "dedup_semantic",
         "dedup_exact_substring_runs", "dedup_dup_span_removal",
         "streaming_static_enrich", "ann_recall_report",
-        "multimodal_arrow_meta",
+        "multimodal_arrow_meta", "text_heavy_hitters",
     ):
         assert q in names, q
 
