@@ -107,3 +107,86 @@ def foreach_batch_idempotent(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_partitioned(
+    spark,
+    path: str,
+    partition_cols: list[str],
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> dict[str, int]:
+    """Small-file compaction for a partitioned parquet table.
+
+    Streaming appends and per-batch writes accumulate thousands of
+    KB-sized files per partition; at 100 TB the resulting footer/open
+    overhead dominates scan time long before the bytes do. Compaction
+    rewrites each partition into ``ceil(partition_bytes /
+    target_bytes_per_file)`` files:
+
+    - file counts come from the file index (no data read) — the
+      per-partition size drives a per-row repartition key, so hot
+      partitions get more output files instead of one giant one;
+    - the rewrite goes through a temp directory then an atomic-ish
+      directory swap per partition, so a concurrent reader sees either
+      the old or the new file set, never a partial mix;
+    - ``sortWithinPartitions`` re-clusters during the same pass (the
+      natural moment to restore min/max skippability).
+
+    Returns {"files_before": n, "files_after": m}. The production
+    version runs per-partition-subset (compact yesterday only); this
+    whole-table form is the building block.
+    """
+    import math
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    def _part_files(root: str) -> dict[str, list[str]]:
+        out: dict[str, list[str]] = {}
+        for dirpath, _dirs, files in os.walk(root):
+            pq = [f for f in files if f.endswith(".parquet")]
+            if pq:
+                rel = os.path.relpath(dirpath, root)
+                out[rel] = [os.path.join(dirpath, f) for f in pq]
+        return out
+
+    before = _part_files(path)
+    files_before = sum(len(v) for v in before.values())
+    tmp = path.rstrip("/") + "._compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    df = spark.read.parquet(path)
+    sizes = {
+        rel: sum(os.path.getsize(f) for f in fs) for rel, fs in before.items()
+    }
+    n_files = {
+        rel: max(1, math.ceil(sz / target_bytes_per_file))
+        for rel, sz in sizes.items()
+    }
+    # rewrite partition-by-partition: bounded memory, per-partition
+    # atomic swap, and each partition picks its own output file count
+    for rel, k in n_files.items():
+        preds = [
+            F.col(c) == v.split("=", 1)[1]
+            for c, v in zip(partition_cols, rel.split(os.sep))
+        ]
+        cond = preds[0]
+        for p in preds[1:]:
+            cond = cond & p
+        part = df.filter(cond).repartition(k)
+        if sort_cols:
+            part = part.sortWithinPartitions(*sort_cols)
+        part.drop(*partition_cols).write.mode("overwrite").parquet(
+            os.path.join(tmp, rel)
+        )
+        # swap: readers see old files or new files, never both
+        live = os.path.join(path, rel)
+        old = live + "._old"
+        os.rename(live, old)
+        os.rename(os.path.join(tmp, rel), live)
+        shutil.rmtree(old)
+    shutil.rmtree(tmp, ignore_errors=True)
+    files_after = sum(len(v) for v in _part_files(path).values())
+    return {"files_before": files_before, "files_after": files_after}

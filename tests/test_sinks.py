@@ -78,3 +78,43 @@ def test_foreach_batch_idempotent_no_duplicates(spark, sf_dir, tmp_path):
     batch0.write.mode("overwrite").parquet(f"{out}/batch_id=999")
     batch0.write.mode("overwrite").parquet(f"{out}/batch_id=999")
     assert spark.read.parquet(f"{out}/batch_id=999").count() == 7
+
+
+def test_compaction_shrinks_files_and_preserves_data(spark, sf_dir, tmp_path):
+    """compact_partitioned: a fragmented partitioned table (many tiny
+    files per partition, as streaming appends produce) compacts to
+    ~1 file per partition at a large target size; row set identical,
+    partition directory layout preserved (pruning still works)."""
+    import deep_field_spark.sinks as S
+
+    out = str(tmp_path / "frag")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    # fragment: 8 files per partition
+    ev.repartition(8).write.partitionBy("event_type").parquet(out)
+    before_rows = sorted(
+        (r.event_id, r.event_type)
+        for r in spark.read.parquet(out).select("event_id", "event_type").collect()
+    )
+    stats = S.compact_partitioned(
+        spark, out, ["event_type"], target_bytes_per_file=1 << 30,
+        sort_cols=["user_id"],
+    )
+    assert stats["files_before"] >= 8 * 3
+    n_parts = len(
+        [d for d in __import__("os").listdir(out) if d.startswith("event_type=")]
+    )
+    assert stats["files_after"] == n_parts  # one big file per partition
+    after = spark.read.parquet(out)
+    after_rows = sorted(
+        (r.event_id, r.event_type)
+        for r in after.select("event_id", "event_type").collect()
+    )
+    assert after_rows == before_rows
+    # partition pruning still applies to the compacted layout
+    plan = (
+        after.filter("event_type = 'click'")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
