@@ -80,6 +80,7 @@ HEADLINE = [
     "text_token_entropy",
     "text_bigram_logprob",
     "curation_pipeline_e2e",
+    "curation_quality_classifier",
     "dedup_exact_substring_runs",
     "dedup_dup_span_removal",
     "knn_brute_force",

@@ -68,7 +68,9 @@ _PRIORITY = [
     # evidence for the reference's hardest logic beyond local goldens
     "scrape_core_resolved_plays",
     # the three queries the round-2 driver run turned red (NTZ fix)
-    "sessionize_events", "join_range_events", "join_range_events_bucketed",
+    "sessionize_events", "join_range_events_bucketed",
+    # (join_range_events rotated below after green r04 — its bucketed
+    # scale twin keeps the slot; funds the round-5 quality classifier)
     "asof_join_purchases",
     # streaming surface (sliding_30m rotated below after its green r03
     # row — its oracle is shared with the events twin, so a slot
@@ -137,6 +139,9 @@ _PRIORITY = [
     # from the four rotated-out r03-green twins above)
     "corpus_shuffle_assign", "decontam_exact_substring",
     "curation_boilerplate_ngrams", "text_token_entropy",
+    # round-5: learned-quality-classifier inference (scan-speed
+    # logistic over the quality signals, literal weights)
+    "curation_quality_classifier",
     "text_bigram_logprob",
     # round-3 additions, green r03 (+ tfidf, oracle-bearing, fills the
     # 50th slot so no no-oracle row sits inside the budget window)

@@ -915,3 +915,102 @@ def curation_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_ratio"
         ),
     )
+
+
+# --- quality classifier inference ------------------------------------
+
+# Fixed logistic weights over the scan-speed quality signals — the
+# fastText/classifier-inference stage of a real curation pipeline,
+# with the learned weights supplied as literals (inference is the
+# Spark-side operator; training happens offline). Deterministic, so
+# the oracle replays the full score arithmetic.
+QC_W = {
+    "bias": -2.0,
+    "alpha_ratio": 2.5,
+    "stopword_ratio": 6.0,
+    "mwl_centered": -0.8,   # |mean word len - 6|
+    "len_ok": 1.2,
+}
+QC_KEEP_P = 0.5
+
+
+@register(
+    "curation_quality_classifier",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, n_chars, {TOKS_SQL} AS toks,
+                      strlen(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))
+                        AS n_alpha,
+                      strlen(text) AS n_raw
+               FROM documents),
+    f AS (SELECT doc_id,
+                 CAST(n_alpha AS DOUBLE) / n_raw AS alpha_ratio,
+                 CAST(len(list_filter(toks,
+                      x -> list_contains({STOPWORDS_SQL}, x))) AS DOUBLE)
+                   / len(toks) AS stopword_ratio,
+                 abs(CAST(list_aggregate(list_transform(toks,
+                      x -> CAST(len(x) AS DOUBLE)), 'sum') AS DOUBLE)
+                   / len(toks) - 6.0) AS mwl_centered,
+                 CASE WHEN n_chars BETWEEN 100 AND 5000
+                      THEN 1.0 ELSE 0.0 END AS len_ok
+          FROM t WHERE len(toks) > 0),
+    z AS (SELECT doc_id,
+                 {QC_W["bias"]} + {QC_W["alpha_ratio"]} * alpha_ratio
+                 + {QC_W["stopword_ratio"]} * stopword_ratio
+                 + {QC_W["mwl_centered"]} * mwl_centered
+                 + {QC_W["len_ok"]} * len_ok AS z
+          FROM f)
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-z)), 6) AS p_keep,
+           CAST(CASE WHEN 1.0 / (1.0 + exp(-z)) >= {QC_KEEP_P}
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM z
+    """,
+    doc="Quality-classifier INFERENCE at scan speed: a logistic model "
+        "over the per-doc quality signals (alpha ratio, stopword "
+        "density, centered mean word length, length gate) with the "
+        "learned weights as literals — the fastText-classifier stage "
+        "of a real curation pipeline, minus the offline training. "
+        "Pure column expressions, zero shuffle, single pass; swapping "
+        "models means swapping a weight vector, not a plan. The "
+        "sigmoid is computed identically in both engines and rounded "
+        "to 6 dp; the keep decision compares the unrounded score so "
+        "the threshold is exact.",
+)
+def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = texting.tokens(F.col("text"))
+    t = docs.filter(texting.has_tokens("text")).select(
+        "doc_id",
+        "n_chars",
+        tok.alias("toks"),
+        F.octet_length(F.regexp_replace("text", "[^a-zA-Z ]", "")).alias("n_alpha"),
+        F.octet_length("text").alias("n_raw"),
+    )
+    stop_arr = F.array(*[F.lit(w) for w in texting.EN_STOPWORDS])
+    mwl = (
+        F.aggregate(F.col("toks"), F.lit(0.0), lambda a, x: a + F.length(x).cast("double"))
+        / F.size("toks")
+    )
+    f = t.select(
+        "doc_id",
+        (F.col("n_alpha").cast("double") / F.col("n_raw")).alias("alpha_ratio"),
+        (
+            F.size(F.filter(F.col("toks"), lambda x: F.array_contains(stop_arr, x)))
+            .cast("double") / F.size("toks")
+        ).alias("stopword_ratio"),
+        F.abs(mwl - 6.0).alias("mwl_centered"),
+        F.when(F.col("n_chars").between(100, 5000), 1.0).otherwise(0.0).alias("len_ok"),
+    )
+    z = (
+        F.lit(QC_W["bias"])
+        + QC_W["alpha_ratio"] * F.col("alpha_ratio")
+        + QC_W["stopword_ratio"] * F.col("stopword_ratio")
+        + QC_W["mwl_centered"] * F.col("mwl_centered")
+        + QC_W["len_ok"] * F.col("len_ok")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return f.select(
+        "doc_id",
+        F.round(p, 6).alias("p_keep"),
+        F.when(p >= QC_KEEP_P, 1).otherwise(0).cast("int").alias("keep"),
+    )

@@ -55,6 +55,7 @@ def test_round5_additions_hold_window_slots():
         "dedup_exact_substring_runs", "dedup_dup_span_removal",
         "streaming_static_enrich", "ann_recall_report",
         "multimodal_arrow_meta", "text_heavy_hitters",
+        "curation_quality_classifier",
     ):
         assert q in names, q
 
