@@ -67,6 +67,7 @@ HEADLINE = [
     "text_chunk_overlap",
     "text_vocab_topk",
     "text_heavy_hitters",
+    "corpus_zipf_profile",
     "curation_source_profile",
     "decontam_ngram_overlap",
     "corpus_split_assign",

@@ -70,8 +70,9 @@ _PRIORITY = [
     # the three queries the round-2 driver run turned red (NTZ fix)
     "sessionize_events", "join_range_events_bucketed",
     # (join_range_events rotated below after green r04 — its bucketed
-    # scale twin keeps the slot; funds the round-5 quality classifier)
-    "asof_join_purchases",
+    # scale twin keeps the slot; funds the round-5 quality classifier.
+    # asof_join_purchases likewise: cogrouped_map_asof keeps as-of
+    # coverage in-window; its slot funds the Zipf profile)
     # streaming surface (sliding_30m rotated below after its green r03
     # row — its oracle is shared with the events twin, so a slot
     # re-proving it buys no new information)
@@ -147,8 +148,9 @@ _PRIORITY = [
     # 50th slot so no no-oracle row sits inside the budget window)
     "text_chunk_overlap", "text_vocab_topk", "text_tfidf_topk",
     # round-5: 2-pass Misra-Gries heavy hitters (exact above N/k, no
-    # long-tail groupBy; MG superset guarantee hypothesis-tested)
-    "text_heavy_hitters",
+    # long-tail groupBy; MG superset guarantee hypothesis-tested) and
+    # the Zipf-slope corpus diagnostic (decimal-exact least squares)
+    "text_heavy_hitters", "corpus_zipf_profile",
     # no-oracle scrape fixtures (golden/diff-sim-gated locally; driver
     # rows are permanently "no_oracle" — moved below the oracle-bearing
     # set so they stop eating top-50 budget slots)

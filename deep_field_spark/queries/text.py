@@ -628,3 +628,75 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") * HH_CAPACITY > F.col("total"))
         .select("term", "n", "total")
     )
+
+
+# --- Zipf profile ----------------------------------------------------
+
+ZIPF_TOP_K = 100  # fit over the K most frequent terms
+
+
+@register(
+    "corpus_zipf_profile",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({TOKS_SQL}) AS term FROM documents),
+    c AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+    top AS (SELECT term, n FROM c ORDER BY n DESC, term LIMIT {ZIPF_TOP_K}),
+    r AS (SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rk
+          FROM top),
+    xy AS (SELECT CAST(ln(rk) AS DECIMAL(28,9)) AS x,
+                  CAST(ln(n) AS DECIMAL(28,9)) AS y,
+                  CAST(ln(rk) * ln(n) AS DECIMAL(28,9)) AS xy,
+                  CAST(ln(rk) * ln(rk) AS DECIMAL(28,9)) AS xx
+           FROM r),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                 CAST(sum(xy) AS DOUBLE) AS sxy,
+                 CAST(sum(xx) AS DOUBLE) AS sxx
+          FROM xy)
+    SELECT CAST(k AS INT) AS n_terms,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope
+    FROM s
+    """,
+    doc="Corpus Zipf profile: least-squares slope of ln(frequency) over "
+        f"ln(rank) across the top {ZIPF_TOP_K} terms — the standard "
+        "corpus-health diagnostic (natural text ≈ -1; this synthetic "
+        "near-uniform corpus ≈ 0, which IS the diagnostic working). "
+        "Term counts are a partial/final hash agg; the top-K rides "
+        "TakeOrderedAndProject, so the rank window input is ≤ K rows "
+        "by construction (same bounded-window exception as "
+        "text_vocab_topk); the regression sums are DECIMAL(28,9)-cast "
+        "per term so partial-agg order cannot move a bit, and the "
+        "closed-form slope is computed from those exact sums — fully "
+        "replayed by the oracle.",
+)
+def corpus_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(texting.tokens(F.col("text"))).alias("term"))
+    c = tok.groupBy("term").agg(F.count("*").alias("n"))
+    top = c.orderBy(F.desc("n"), F.asc("term")).limit(ZIPF_TOP_K)
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    r = top.select("n", F.row_number().over(w).alias("rk"))
+    x = F.log(F.col("rk").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    xy = r.select(
+        x.cast("decimal(28,9)").alias("x"),
+        y.cast("decimal(28,9)").alias("y"),
+        (x * y).cast("decimal(28,9)").alias("xy"),
+        (x * x).cast("decimal(28,9)").alias("xx"),
+    )
+    s = xy.agg(
+        F.count("*").alias("k"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+    )
+    k = F.col("k")
+    return s.select(
+        k.cast("int").alias("n_terms"),
+        F.round(
+            (k * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (k * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )

@@ -33,6 +33,9 @@ _GLOBAL_WINDOW_OK: set[str] = {
     # TakeOrderedAndProject — the window input is K rows by
     # construction (text.py:258-260), never the term table
     "text_vocab_topk",
+    # same shape: the Zipf regression ranks the ≤ ZIPF_TOP_K rows a
+    # TakeOrderedAndProject already reduced to
+    "corpus_zipf_profile",
 }
 
 DRIVER_WINDOW = 50
@@ -55,7 +58,7 @@ def test_round5_additions_hold_window_slots():
         "dedup_exact_substring_runs", "dedup_dup_span_removal",
         "streaming_static_enrich", "ann_recall_report",
         "multimodal_arrow_meta", "text_heavy_hitters",
-        "curation_quality_classifier",
+        "curation_quality_classifier", "corpus_zipf_profile",
     ):
         assert q in names, q
 
