@@ -68,6 +68,7 @@ HEADLINE = [
     "text_vocab_topk",
     "text_heavy_hitters",
     "corpus_zipf_profile",
+    "curation_source_divergence",
     "curation_source_profile",
     "decontam_ngram_overlap",
     "corpus_split_assign",

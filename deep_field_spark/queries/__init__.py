@@ -67,8 +67,10 @@ _PRIORITY = [
     # the parsed fixture literals) now oracle-checked — first driver
     # evidence for the reference's hardest logic beyond local goldens
     "scrape_core_resolved_plays",
-    # the three queries the round-2 driver run turned red (NTZ fix)
-    "sessionize_events", "join_range_events_bucketed",
+    # the round-2 NTZ-red queries, multi-round green since
+    # (sessionize_events rotated below: streaming_session_window keeps
+    # gap-sessionization in-window; its slot funds the JS divergence)
+    "join_range_events_bucketed",
     # (join_range_events rotated below after green r04 — its bucketed
     # scale twin keeps the slot; funds the round-5 quality classifier.
     # asof_join_purchases likewise: cogrouped_map_asof keeps as-of
@@ -151,6 +153,9 @@ _PRIORITY = [
     # long-tail groupBy; MG superset guarantee hypothesis-tested) and
     # the Zipf-slope corpus diagnostic (decimal-exact least squares)
     "text_heavy_hitters", "corpus_zipf_profile",
+    # round-5: per-source Jensen-Shannon divergence from the corpus
+    # distribution (mixture-design diagnostic, decimal-exact)
+    "curation_source_divergence",
     # no-oracle scrape fixtures (golden/diff-sim-gated locally; driver
     # rows are permanently "no_oracle" — moved below the oracle-bearing
     # set so they stop eating top-50 budget slots)

@@ -1014,3 +1014,80 @@ def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("p_keep"),
         F.when(p >= QC_KEEP_P, 1).otherwise(0).cast("int").alias("keep"),
     )
+
+
+# --- per-source distribution divergence ------------------------------
+
+
+@register(
+    "curation_source_divergence",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest({TOKS_SQL}) AS term FROM documents),
+    st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n_st
+           FROM tok GROUP BY 1, 2),
+    ts AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s
+           FROM st GROUP BY 1),
+    ct AS (SELECT term, CAST(sum(n_st) AS BIGINT) AS n_t FROM st GROUP BY 1),
+    nn AS (SELECT CAST(sum(n_t) AS BIGINT) AS n FROM ct),
+    grid AS (SELECT s.source, c.term, c.n_t, s.n_s, nn.n
+             FROM ts s, ct c, nn),
+    j AS (SELECT g.source, g.term,
+                 CAST(coalesce(t.n_st, 0) AS DOUBLE) / g.n_s AS p,
+                 CAST(g.n_t AS DOUBLE) / g.n AS q
+          FROM grid g LEFT JOIN st t
+            ON t.source = g.source AND t.term = g.term),
+    contrib AS (SELECT source,
+                       CAST(0.5 * CASE WHEN p > 0
+                                       THEN p * ln(p / ((p + q) / 2))
+                                       ELSE 0 END
+                            + 0.5 * q * ln(q / ((p + q) / 2))
+                            AS DECIMAL(28,9)) AS c,
+                       CASE WHEN p > 0 THEN 1 ELSE 0 END AS present
+                FROM j)
+    SELECT source,
+           CAST(sum(present) AS INT) AS n_terms_src,
+           round(CAST(sum(c) AS DOUBLE), 6) AS js_divergence
+    FROM contrib GROUP BY source
+    """,
+    doc="Per-source Jensen-Shannon divergence from the corpus unigram "
+        "distribution — the mixture-design diagnostic (which sources "
+        "deviate from the blend, by how much; 0 = identical, ln 2 = "
+        "disjoint support). Linear shape: (source, term) counts are one "
+        "partial/final agg, the corpus marginals roll up from the same "
+        "table, and the evaluation grid is sources × VOCABULARY "
+        "(vocab-bounded, never corpus-bounded — at 100 TB restrict to "
+        "the top-V terms, which also bounds the left join). Per-term "
+        "contributions are DECIMAL(28,9)-cast before the sum so "
+        "partial-agg order cannot move a bit; the oracle replays the "
+        "identical arithmetic.",
+)
+def curation_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source", F.explode(texting.tokens(F.col("text"))).alias("term")
+    )
+    st = tok.groupBy("source", "term").agg(F.count("*").alias("n_st"))
+    ts = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    ct = st.groupBy("term").agg(F.sum("n_st").alias("n_t"))
+    nn = ct.agg(F.sum("n_t").alias("n"))
+    grid = ts.crossJoin(F.broadcast(ct)).crossJoin(F.broadcast(nn))
+    j = grid.join(st, ["source", "term"], "left").select(
+        "source",
+        (F.coalesce(F.col("n_st"), F.lit(0)).cast("double") / F.col("n_s")).alias("p"),
+        (F.col("n_t").cast("double") / F.col("n")).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    contrib = (
+        F.lit(0.5)
+        * F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / m)).otherwise(0.0)
+        + F.lit(0.5) * F.col("q") * F.log(F.col("q") / m)
+    )
+    c = j.select(
+        "source",
+        contrib.cast("decimal(28,9)").alias("c"),
+        F.when(F.col("p") > 0, 1).otherwise(0).alias("present"),
+    )
+    return c.groupBy("source").agg(
+        F.sum("present").cast("int").alias("n_terms_src"),
+        F.round(F.sum("c").cast("double"), 6).alias("js_divergence"),
+    )
