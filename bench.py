@@ -89,6 +89,7 @@ HEADLINE = [
     "ann_lsh_bucket",
     "ann_lsh_multiprobe",
     "ann_recall_report",
+    "embedding_power_iteration",
     "ann_ivf_cells",
     "ann_ivf_kmeans",
     "dedup_semantic",

@@ -96,8 +96,10 @@ _PRIORITY = [
     # heavy-hitters sketch)
     # (skew_salted_agg rotated below after its green r04 row — its
     # round-5 slot funds the span-removal finishing step)
-    # dedup family
-    "dedup_exact", "dedup_minhash_lsh", "dedup_components",
+    # dedup family (dedup_exact rotated below after green r01-r04:
+    # the incremental twin + pipeline-e2e keep digest-dedup in-window;
+    # its slot funds the power-iteration spectral diagnostic)
+    "dedup_minhash_lsh", "dedup_components",
     # (simhash_pairs, embedding_cosine_exact and keep_canonical rotated
     # below after green r03 rows — the capped/bucketed scale-path twins
     # and the components clusterer they build on stay)
@@ -119,8 +121,10 @@ _PRIORITY = [
     # verdict ranked top-missing
     "ann_ivf_kmeans", "dedup_semantic",
     # round-5: the ANN recall contract itself, hash-checked (brute-force
-    # top-k ⋈ multiprobe top-k per query)
-    "ann_recall_report",
+    # top-k ⋈ multiprobe top-k per query), and the top-principal-
+    # direction spectral diagnostic (fixed power iterations,
+    # DECIMAL-exact Gram sums)
+    "ann_recall_report", "embedding_power_iteration",
     # multimodal (feature_extract demoted: stub decode → no_oracle row;
     # resize rotated below after its green r03 row)
     "multimodal_binary_meta", "multimodal_frame_sample",

@@ -736,3 +736,112 @@ def _patch_recall_oracle() -> None:
 
 
 _patch_recall_oracle()
+
+
+# --- power iteration (top principal direction) -----------------------
+
+PI_ITERS = 3
+
+
+def _pi_ctes(iters: int = PI_ITERS) -> str:
+    """CTE chain replaying the power iteration: v0 = normalized ones;
+    each round s_i = x_i·v (index-ordered), w = Σ x_i s_i / n via
+    DECIMAL-exact per-position sums, v = w / ||w||."""
+    inv = f"1.0 / sqrt({DIM})"
+    parts = [
+        f"""v0 AS (SELECT list_transform(range(1, {DIM} + 1),
+                          i -> {inv}) AS v)"""
+    ]
+    for it in range(1, iters + 1):
+        parts.append(f"""s{it} AS (
+      SELECT e.vec_id, e.embedding,
+             list_aggregate(list_transform(range(1, {DIM} + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * v.v[i]), 'sum') AS s
+      FROM embeddings e, v{it - 1} v),
+    w{it} AS (
+      SELECT i AS pos,
+             CAST(sum(CAST(x * s AS DECIMAL(28,9))) AS DOUBLE)
+               / count(*) AS w
+      FROM (SELECT s, unnest(range(1, {DIM} + 1)) AS i,
+                   unnest(list_transform(embedding,
+                                         y -> CAST(y AS DOUBLE))) AS x
+            FROM s{it})
+      GROUP BY i),
+    wa{it} AS (SELECT list(w ORDER BY pos) AS w FROM w{it}),
+    v{it} AS (
+      SELECT list_transform(w, x -> x / sqrt(list_aggregate(
+               list_transform(w, y -> y * y), 'sum'))) AS v
+      FROM wa{it})""")
+    return ",\n    ".join(parts)
+
+
+@register(
+    "embedding_power_iteration",
+    oracle=f"""
+    WITH {_pi_ctes()},
+    lam AS (SELECT sqrt(list_aggregate(list_transform(w, y -> y * y),
+                        'sum')) AS lam
+            FROM wa{PI_ITERS})
+    SELECT CAST(i AS INT) AS pos,
+           round(v.v[i], 6) AS loading,
+           round(lam.lam, 6) AS eigenvalue
+    FROM v{PI_ITERS} v, lam, unnest(range(1, {DIM} + 1)) AS t(i)
+    """,
+    doc="Top principal direction of the embedding corpus via "
+        f"{PI_ITERS} fixed power-method iterations — the spectral "
+        "diagnostic (and whitening precursor) of embedding-quality "
+        "work: a dominant direction with a large eigenvalue means the "
+        "space is anisotropic and cosine scores are dominated by a "
+        "shared component. Distributed shape per iteration: one "
+        "corpus pass computes x·v per row (v broadcast, index-ordered "
+        "double), and the Gram product Σ x·s accumulates as a "
+        "partial/final hash agg over posexploded components with "
+        "DECIMAL(28,9)-exact sums — the shuffle carries dim-sized "
+        "partials, never vectors, exactly like the k-means trainer. "
+        "Deterministic init (normalized ones) + fixed iterations + "
+        "exact sums ⇒ the oracle replays the whole optimization "
+        "bit-for-bit.",
+)
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    inv = 1.0 / (DIM ** 0.5)
+    vdf = spark.range(1).select(
+        F.array(*[F.lit(inv) for _ in range(DIM)]).alias("v")
+    )
+    wa = None
+    for _ in range(PI_ITERS):
+        s = emb.crossJoin(F.broadcast(vdf)).select(
+            "embedding",
+            F.aggregate(
+                F.zip_with(
+                    "embedding", "v", lambda x, v: x.cast("double") * v
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias("s"),
+        )
+        pe = s.select(F.posexplode("embedding").alias("pos0", "x"), "s")
+        w = pe.groupBy("pos0").agg(
+            (
+                F.sum((F.col("x").cast("double") * F.col("s")).cast("decimal(28,9)"))
+                .cast("double") / F.count("*")
+            ).alias("w")
+        )
+        wa = w.groupBy().agg(
+            F.sort_array(F.collect_list(F.struct("pos0", "w"))).alias("pp")
+        ).select(F.col("pp.w").alias("w"))
+        nrm = F.sqrt(
+            F.aggregate(F.col("w"), F.lit(0.0), lambda a, y: a + y * y)
+        )
+        vdf = wa.select(F.transform("w", lambda x: x / nrm).alias("v"))
+    lam = F.sqrt(F.aggregate(F.col("w"), F.lit(0.0), lambda a, y: a + y * y))
+    final = wa.select(
+        F.transform("w", lambda x: x / lam).alias("v"), lam.alias("lam")
+    )
+    return final.select(
+        F.posexplode("v").alias("pos0", "vv"), F.col("lam")
+    ).select(
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.round("vv", 6).alias("loading"),
+        F.round("lam", 6).alias("eigenvalue"),
+    )

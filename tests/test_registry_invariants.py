@@ -59,7 +59,7 @@ def test_round5_additions_hold_window_slots():
         "streaming_static_enrich", "ann_recall_report",
         "multimodal_arrow_meta", "text_heavy_hitters",
         "curation_quality_classifier", "corpus_zipf_profile",
-        "curation_source_divergence",
+        "curation_source_divergence", "embedding_power_iteration",
     ):
         assert q in names, q
 
