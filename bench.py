@@ -54,6 +54,7 @@ HEADLINE = [
     "events_cohort_retention",
     "events_anomaly_zscore",
     "events_transition_matrix",
+    "events_scd2_intervals",
     "dedup_exact",
     "dedup_incremental_batch",
     "dedup_minhash_lsh",
@@ -62,6 +63,7 @@ HEADLINE = [
     "text_quality_score",
     "text_fingerprint",
     "text_tfidf_topk",
+    "text_bm25_search",
     "text_gopher_filters",
     "text_repetition_ratio",
     "text_chunk_overlap",
@@ -83,6 +85,7 @@ HEADLINE = [
     "text_bigram_logprob",
     "curation_pipeline_e2e",
     "curation_quality_classifier",
+    "curation_dsir_weights",
     "dedup_exact_substring_runs",
     "dedup_dup_span_removal",
     "knn_brute_force",

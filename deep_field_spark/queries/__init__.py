@@ -69,8 +69,9 @@ _PRIORITY = [
     "scrape_core_resolved_plays",
     # the round-2 NTZ-red queries, multi-round green since
     # (sessionize_events rotated below: streaming_session_window keeps
-    # gap-sessionization in-window; its slot funds the JS divergence)
-    "join_range_events_bucketed",
+    # gap-sessionization in-window; its slot funds the JS divergence.
+    # join_range_events_bucketed rotated below after its green r04 row
+    # — its slot funds the round-5 SCD2 interval build)
     # (join_range_events rotated below after green r04 — its bucketed
     # scale twin keeps the slot; funds the round-5 quality classifier.
     # asof_join_purchases likewise: cogrouped_map_asof keeps as-of
@@ -85,6 +86,10 @@ _PRIORITY = [
     # streaming lookup pattern; slot funded by events_cohort_retention,
     # green r01-r04)
     "streaming_static_enrich",
+    # round-5: SCD Type-2 dimension build from the event stream (the
+    # warehouse temporal-dimension op; slot funded by the rotated
+    # join_range_events_bucketed)
+    "events_scd2_intervals",
     # event analytics (events_tumbling/sliding twins demoted: they share
     # oracles with their driver-green streaming_* siblings — a budget
     # slot re-proving the same SQL buys zero new information;
@@ -127,13 +132,17 @@ _PRIORITY = [
     "ann_recall_report", "embedding_power_iteration",
     # multimodal (feature_extract demoted: stub decode → no_oracle row;
     # resize rotated below after its green r03 row)
-    "multimodal_binary_meta", "multimodal_frame_sample",
+    "multimodal_binary_meta",
     # UDF/UDAF/UDTF surface (udtf_sentences rotated below after its
     # green r03 row; the cogrouped-map flavor takes the slot)
     # (grouped_map_interarrival rotated below after green r04 — the
     # cogrouped flavor covers the harder grouped-map shape; its slot
-    # funds the round-5 mapInArrow extension point)
-    "udaf_grouped_pandas", "cogrouped_map_asof", "multimodal_arrow_meta",
+    # funds the round-5 mapInArrow extension point.
+    # udaf_grouped_pandas and multimodal_frame_sample rotated below
+    # after green r03+r04 rows — cogrouped_map_asof keeps the pandas-
+    # UDF surface and binary/arrow_meta keep multimodal in-window;
+    # their slots fund the BM25 retriever and the DSIR weights)
+    "cogrouped_map_asof", "multimodal_arrow_meta",
     # (curation_source_profile and text_unigram_logprob rotated below
     # after green r04 rows — their round-5 slots fund the 4 additions)
     # round-4 reworks needing fresh driver evidence: approx_distinct now
@@ -153,6 +162,10 @@ _PRIORITY = [
     # round-3 additions, green r03 (+ tfidf, oracle-bearing, fills the
     # 50th slot so no no-oracle row sits inside the budget window)
     "text_chunk_overlap", "text_vocab_topk", "text_tfidf_topk",
+    # round-5: Okapi BM25 top-k retrieval and DSIR hashed-ngram
+    # importance weights (slots funded by the rotated udaf_grouped_
+    # pandas and multimodal_frame_sample)
+    "text_bm25_search", "curation_dsir_weights",
     # round-5: 2-pass Misra-Gries heavy hitters (exact above N/k, no
     # long-tail groupBy; MG superset guarantee hypothesis-tested) and
     # the Zipf-slope corpus diagnostic (decimal-exact least squares)

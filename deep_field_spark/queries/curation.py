@@ -1091,3 +1091,106 @@ def curation_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("present").cast("int").alias("n_terms_src"),
         F.round(F.sum("c").cast("double"), 6).alias("js_divergence"),
     )
+
+
+# --- DSIR-style hashed-ngram importance weights ----------------------
+
+# Data Selection via Importance Resampling (Xie et al., 2023): score
+# each raw document by the log-likelihood ratio of a hashed-bigram
+# bag-of-features model fit on a TARGET domain vs the RAW corpus; at
+# selection time documents are Gumbel-top-k sampled by this weight.
+# 256 buckets = the 2-hex-digit md5 decode the oracle can replay
+# (production uses 16-20 hash bits — same shapes, wider table).
+DSIR_BUCKETS = 256
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
+
+
+@register(
+    "curation_dsir_weights",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, source, {TOKS_SQL} AS toks FROM documents),
+    bg AS (SELECT doc_id, source,
+                  unnest(list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i+1])) AS g
+           FROM tk WHERE len(toks) >= 2),
+    hb AS (SELECT doc_id, source, md5(g) AS h FROM bg),
+    fb AS (SELECT doc_id, source, {_BUCKET_FROM_H_SQL} AS bucket FROM hb),
+    db AS (SELECT doc_id, source, bucket, CAST(count(*) AS BIGINT) AS c
+           FROM fb GROUP BY 1, 2, 3),
+    raw AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS r FROM db GROUP BY 1),
+    tgt AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS t FROM db
+            WHERE source IN {DSIR_TARGET_SOURCES} GROUP BY 1),
+    br AS (SELECT raw.bucket, raw.r, CAST(coalesce(tgt.t, 0) AS BIGINT) AS t
+           FROM raw LEFT JOIN tgt USING (bucket)),
+    tot AS (SELECT CAST(sum(r) AS BIGINT) AS rt, CAST(sum(t) AS BIGINT) AS tt
+            FROM br),
+    lr AS (SELECT bucket,
+                  ln((CAST(t + 1 AS DOUBLE) / CAST(tt + {DSIR_BUCKETS} AS DOUBLE))
+                   / (CAST(r + 1 AS DOUBLE) / CAST(rt + {DSIR_BUCKETS} AS DOUBLE)))
+                    AS lr
+           FROM br, tot),
+    wc AS (SELECT d.doc_id, d.source, d.c,
+                  CAST(CAST(d.c AS DOUBLE) * l.lr AS DECIMAL(28,9)) AS w
+           FROM db d JOIN lr l USING (bucket))
+    SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n_feats,
+           round(CAST(sum(w) AS DOUBLE), 6) AS log_weight
+    FROM wc GROUP BY 1, 2
+    """,
+    doc="DSIR importance weights (Xie et al. 2023, data selection via "
+        "importance resampling): per-document log-likelihood ratio of "
+        "Laplace-smoothed hashed-bigram models, target domain (a fixed "
+        "source subset) vs the raw corpus. Shape at 100 TB: the "
+        "feature stream is one explode (linear in tokens); per-(doc, "
+        "bucket) counts partial-agg before the shuffle; BOTH model "
+        "tables are bucket-count-sized (256 rows here, ≤1M at 20 hash "
+        "bits) so they roll up from the same grouped table and the "
+        "log-ratio table broadcasts back onto the doc stream — the "
+        "wide work never exceeds one row per (doc, bucket). Per-doc "
+        "sums are DECIMAL(28,9)-cast; the md5 bucket decode and the "
+        "double division tree are replayed verbatim by the oracle.",
+)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = texting.tokens(F.col("text"))
+    g = docs.filter(texting.has_tokens("text")).select(
+        "doc_id",
+        "source",
+        F.explode(texting.word_ngrams(toks, 2)).alias("g"),
+    )
+    bucket = F.conv(F.substring(F.md5("g"), 1, 2), 16, 10).cast("int")
+    db = (
+        g.select("doc_id", "source", bucket.alias("bucket"))
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    raw = db.groupBy("bucket").agg(F.sum("c").alias("r"))
+    tgt = (
+        db.filter(F.col("source").isin(*DSIR_TARGET_SOURCES))
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("t"))
+    )
+    br = raw.join(tgt, "bucket", "left").select(
+        "bucket", "r", F.coalesce("t", F.lit(0)).alias("t")
+    )
+    tot = br.agg(F.sum("r").alias("rt"), F.sum("t").alias("tt"))
+    nb = F.lit(DSIR_BUCKETS)
+    lr = (
+        br.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.log(
+                ((F.col("t") + 1).cast("double") / (F.col("tt") + nb).cast("double"))
+                / ((F.col("r") + 1).cast("double") / (F.col("rt") + nb).cast("double"))
+            ).alias("lr"),
+        )
+    )
+    wc = db.join(F.broadcast(lr), "bucket").select(
+        "doc_id",
+        "source",
+        "c",
+        (F.col("c").cast("double") * F.col("lr")).cast("decimal(28,9)").alias("w"),
+    )
+    return wc.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n_feats"),
+        F.round(F.sum("w").cast("double"), 6).alias("log_weight"),
+    )

@@ -434,3 +434,86 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wt), 6).alias("p"),
     )
+
+
+# --- SCD Type-2 dimension build --------------------------------------
+
+SCD2_TIERS = 4  # the tracked attribute: props.k mod 4 ("plan tier")
+
+
+@register(
+    "events_scd2_intervals",
+    oracle=f"""
+    WITH e AS (SELECT user_id, ts, event_id,
+                      CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)
+                        % {SCD2_TIERS} AS tier
+               FROM events),
+    m AS (SELECT user_id, ts, event_id, tier,
+                 CASE WHEN lag(tier) OVER w IS NULL
+                        OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    v AS (SELECT user_id, ts, tier,
+                 sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS ver
+          FROM m),
+    g AS (SELECT user_id, CAST(ver AS INT) AS version,
+                 CAST(min(tier) AS INT) AS tier,
+                 min(ts) AS valid_from,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM v GROUP BY 1, 2),
+    iv AS (SELECT user_id, version, tier, valid_from, n_events,
+                  lead(valid_from) OVER (PARTITION BY user_id
+                                         ORDER BY version) AS valid_to
+           FROM g)
+    SELECT user_id, version, tier, valid_from, valid_to, n_events,
+           CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT)
+             AS is_current
+    FROM iv
+    """,
+    doc="Slowly-changing-dimension Type-2 build from an event stream — "
+        "the standard warehouse temporal-dimension op: track a mutating "
+        "per-entity attribute (props.k mod 4 as a plan tier), collapse "
+        "consecutive repeats, and emit one validity interval "
+        "[valid_from, valid_to) per attribute version with a current "
+        "flag. Change detection is lag() + a running change-count over "
+        "a window keyed by user_id — per-group state is one entity's "
+        "history (naturally bounded), so the window parallelizes "
+        "across entities at 100 TB, unlike a per-source vocabulary "
+        "window; the interval close is a lead() over the already "
+        "version-collapsed (tiny) per-user rows.",
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    tier = (
+        F.regexp_extract("props", r'"k":\s*(-?\d+)', 1).cast("bigint")
+        % SCD2_TIERS
+    )
+    e = ev.select("user_id", "ts", "event_id", tier.alias("tier"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("tier").over(w)
+    m = e.withColumn(
+        "chg", F.when(prev.isNull() | (prev != F.col("tier")), 1).otherwise(0)
+    )
+    wv = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = m.withColumn("ver", F.sum("chg").over(wv))
+    g = v.groupBy("user_id", F.col("ver").cast("int").alias("version")).agg(
+        F.min("tier").cast("int").alias("tier"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    wl = Window.partitionBy("user_id").orderBy("version")
+    iv = g.withColumn("valid_to", F.lead("valid_from").over(wl))
+    return iv.select(
+        "user_id",
+        "version",
+        "tier",
+        "valid_from",
+        "valid_to",
+        "n_events",
+        F.when(F.col("valid_to").isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )

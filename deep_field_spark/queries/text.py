@@ -700,3 +700,136 @@ def corpus_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     )
+
+
+# --- BM25 retrieval ---------------------------------------------------
+
+# k1/b chosen from the standard Okapi range with exactly-representable
+# binary fractions (1.5, 0.75) so every derived constant (k1+1 = 2.5,
+# 1-b = 0.25) converts decimal-literal -> double identically in Spark
+# and DuckDB; a k1 of 1.2 would make the oracle hash depend on whether
+# the engine folds 1.2+1.0 before or after the double conversion.
+BM25_K1 = 1.5
+BM25_B = 0.75
+BM25_TOPK = 10
+BM25_QUERIES = [
+    (1, ("spark", "join", "hash")),
+    (2, ("window", "stream", "batch")),
+    (3, ("sort", "merge", "scan")),
+]
+
+_BM25_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in BM25_QUERIES for t in terms
+)
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+    WITH q(qid, term) AS (VALUES {_BM25_VALUES}),
+    d AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    nz AS (SELECT doc_id, toks FROM d WHERE len(toks) > 0),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM nz),
+    tx AS (SELECT doc_id, unnest(toks) AS term FROM nz),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tx GROUP BY 1, 2),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                  CAST(sum(dl) AS BIGINT) AS sdl FROM dl),
+    qt AS (SELECT DISTINCT term FROM q),
+    dfx AS (SELECT t.term, CAST(count(*) AS BIGINT) AS df
+            FROM tf t JOIN qt USING (term) GROUP BY 1),
+    sc AS (SELECT q.qid, t.doc_id,
+                  CAST(ln((CAST(s.nd - f.df AS DOUBLE) + 0.5)
+                          / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+                       * ((CAST(t.tf AS DOUBLE) * {BM25_K1 + 1.0})
+                          / (CAST(t.tf AS DOUBLE)
+                             + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+                               * (CAST(l.dl AS DOUBLE)
+                                  / (CAST(s.sdl AS DOUBLE) / s.nd)))))
+                       AS DECIMAL(28,9)) AS c
+           FROM tf t JOIN q USING (term) JOIN dfx f USING (term)
+                JOIN dl l USING (doc_id), st s),
+    agg AS (SELECT qid, doc_id, sum(c) AS score_dec FROM sc GROUP BY 1, 2),
+    rk AS (SELECT qid, doc_id, score_dec,
+                  CAST(row_number() OVER (PARTITION BY qid
+                       ORDER BY score_dec DESC, doc_id) AS INT) AS rk
+           FROM agg)
+    SELECT qid, rk, doc_id, round(CAST(score_dec AS DOUBLE), 6) AS score
+    FROM rk WHERE rk <= {BM25_TOPK}
+    """,
+    doc="Okapi BM25 top-k retrieval over an inverted index — the "
+        "classic IR scorer, Spark-shaped: the postings list is the "
+        "(doc, term, tf) table SEMI-JOINED to the broadcast query-term "
+        "set before anything wide happens, so the candidate set is "
+        "docs-containing-a-query-term, never the corpus; df/idf are "
+        "computed on that tiny slice and broadcast back; per-(query, "
+        "doc) scores sum DECIMAL(28,9)-cast contributions so "
+        "partial-agg order cannot move a bit, and the final top-k per "
+        "query is the sharded two-stage rank (no query's full "
+        "candidate set streams through one task). All BM25 constants "
+        "are binary-exact fractions so the oracle replays the double "
+        "arithmetic bit-for-bit.",
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.topk import top_k_per_group_sharded
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
+        "qid int, term string",
+    )
+    d = docs.filter(texting.has_tokens("text")).select(
+        "doc_id", texting.tokens(F.col("text")).alias("toks")
+    )
+    dl = d.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    st = dl.agg(
+        F.count("*").alias("nd"), F.sum("dl").alias("sdl")
+    )
+    post = tf.join(F.broadcast(qterms), "term")
+    dfx = post.select("term", "doc_id").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    avgdl = F.col("sdl").cast("double") / F.col("nd")
+    idf = F.log(
+        ((F.col("nd") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfd = F.col("tf").cast("double")
+    contrib = idf * (
+        (tfd * F.lit(BM25_K1 + 1.0))
+        / (
+            tfd
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0 - BM25_B)
+                + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)
+            )
+        )
+    )
+    sc = (
+        post.join(F.broadcast(dfx), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select("qid", "doc_id", contrib.cast("decimal(28,9)").alias("c"))
+    )
+    agg = sc.groupBy("qid", "doc_id").agg(F.sum("c").alias("score_dec"))
+    ranked = top_k_per_group_sharded(
+        agg,
+        ["qid"],
+        [F.desc("score_dec"), F.asc("doc_id")],
+        BM25_TOPK,
+        shard_of="doc_id",
+        rank_col="rk",
+    )
+    return ranked.select(
+        "qid",
+        F.col("rk").cast("int").alias("rk"),
+        "doc_id",
+        F.round(F.col("score_dec").cast("double"), 6).alias("score"),
+    )

@@ -332,3 +332,48 @@ def test_span_removal_per_doc_windows_only(spark, sf_dir):
         and line.count("], [") < 2
     ]
     assert not bad, "\n".join(bad)
+
+
+def test_bm25_broadcast_postings_and_sharded_topk(spark, sf_dir):
+    """text_bm25_search: the query-term set, the df table and the
+    1-row corpus stats all broadcast onto the postings stream (the
+    only BroadcastNestedLoopJoin allowed is the declared 1-row stats
+    cross join), and the per-query top-k is the two-stage sharded
+    rank — first window keyed (qid, _shard)."""
+    import re
+    plan = _plan(spark, sf_dir, "text_bm25_search")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "CartesianProduct" not in plan
+    wins = [l for l in plan.splitlines() if re.search(r"\bWindow\b", l)]
+    assert len(wins) == 2, plan
+    assert any("_shard" in w for w in wins), plan
+
+
+def test_dsir_models_broadcast_back_no_window(spark, sf_dir):
+    """curation_dsir_weights: per-(doc,bucket) counts partial-agg
+    (HashAggregate below and above the Exchange), the 256-row
+    log-ratio model broadcasts back onto the doc stream, and no
+    window appears anywhere — the whole op is aggs + broadcast
+    joins. The only BroadcastNestedLoopJoin is the 1-row totals
+    cross join."""
+    import re
+    plan = _plan(spark, sf_dir, "curation_dsir_weights")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "CartesianProduct" not in plan
+    assert not re.search(r"\bWindow\b", plan), plan
+    assert "HashAggregate" in plan[plan.index("Exchange"):]
+
+
+def test_scd2_windows_all_keyed_by_user(spark, sf_dir):
+    """events_scd2_intervals: every window is keyed by user_id (one
+    entity's bounded history per task — never a global or empty
+    partitioning), and there are no joins at all: the SCD2 build is
+    windows + one grouped agg."""
+    import re
+    plan = _plan(spark, sf_dir, "events_scd2_intervals")
+    wins = [l for l in plan.splitlines() if re.search(r"\bWindow\b", l)]
+    assert wins, plan
+    assert all("user_id" in w for w in wins), plan
+    assert "Join" not in plan, plan
