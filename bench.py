@@ -86,6 +86,7 @@ HEADLINE = [
     "curation_pipeline_e2e",
     "curation_quality_classifier",
     "curation_dsir_weights",
+    "corpus_split_leakage",
     "dedup_exact_substring_runs",
     "dedup_dup_span_removal",
     "knn_brute_force",

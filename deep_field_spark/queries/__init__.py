@@ -79,9 +79,12 @@ _PRIORITY = [
     # streaming surface (sliding_30m rotated below after its green r03
     # row — its oracle is shared with the events twin, so a slot
     # re-proving it buys no new information)
+    # (streaming_dedup_watermark rotated below after green r03+r04
+    # rows — five streaming rows stay in-window; its slot funds the
+    # round-5 cross-split leakage audit)
     "streaming_tumbling_hourly",
     "streaming_session_window", "streaming_stateful_counts",
-    "streaming_stream_join", "streaming_dedup_watermark",
+    "streaming_stream_join",
     # round-5: stream-static dimension enrichment (the standard
     # streaming lookup pattern; slot funded by events_cohort_retention,
     # green r01-r04)
@@ -166,6 +169,10 @@ _PRIORITY = [
     # importance weights (slots funded by the rotated udaf_grouped_
     # pandas and multimodal_frame_sample)
     "text_bm25_search", "curation_dsir_weights",
+    # round-5: cross-split leakage audit (train grams ⋈ test gram set
+    # — the held-out contamination check; slot funded by the rotated
+    # streaming_dedup_watermark)
+    "corpus_split_leakage",
     # round-5: 2-pass Misra-Gries heavy hitters (exact above N/k, no
     # long-tail groupBy; MG superset guarantee hypothesis-tested) and
     # the Zipf-slope corpus diagnostic (decimal-exact least squares)

@@ -1194,3 +1194,72 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n_feats"),
         F.round(F.sum("w").cast("double"), 6).alias("log_weight"),
     )
+
+
+# --- cross-split leakage audit ---------------------------------------
+
+
+@register(
+    "corpus_split_leakage",
+    oracle=f"""
+    WITH grams AS ({_DISTINCT_GRAMS_SQL}),
+    h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+    b AS (SELECT doc_id, {_BUCKET_FROM_H_SQL} AS bucket FROM h),
+    tg AS (SELECT DISTINCT gram FROM grams JOIN b USING (doc_id)
+           WHERE bucket >= {VAL_LT}),
+    tr AS (SELECT g.doc_id, g.gram FROM grams g JOIN b USING (doc_id)
+           WHERE bucket < {TRAIN_LT}),
+    tot AS (SELECT doc_id, CAST(count(*) AS INT) AS n_grams
+            FROM tr GROUP BY 1),
+    lk AS (SELECT t.doc_id, CAST(count(*) AS INT) AS n_leaked
+           FROM tr t JOIN tg USING (gram) GROUP BY 1)
+    SELECT l.doc_id, o.n_grams, l.n_leaked,
+           round(CAST(l.n_leaked AS DOUBLE) / o.n_grams, 6) AS leak_ratio
+    FROM lk l JOIN tot o USING (doc_id)
+    """,
+    doc="Cross-split contamination audit: for every TRAIN document, "
+        f"how many of its distinct {DECONTAM_NGRAM}-grams also occur "
+        "anywhere in the TEST split (the held-out leakage check a "
+        "training pipeline must run before reporting eval numbers — "
+        "decontam_ngram_overlap's sibling where the 'benchmark' is "
+        "the pipeline's own test split). The test side is "
+        "corpus-proportional, so unlike the benchmark case it cannot "
+        "be ASSUMED broadcastable: the audit is expressed as a plain "
+        "equi-join on the gram key and Catalyst picks the strategy "
+        "from size statistics — broadcast at fixture scale, "
+        "SortMergeJoin past the threshold, no code change and no "
+        "nested-loop either way. "
+        "The gram table feeds three consumers (test set, train side, "
+        "per-doc totals) and is persisted once (spill-safe; the "
+        "driver harness clears the cache between queries); at 100 TB "
+        "it would be checkpointed or a bloom filter on the test gram "
+        "set would pre-filter the train stream.",
+)
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    sh = F.array_distinct(
+        texting.word_ngrams(texting.tokens(F.col("text")), DECONTAM_NGRAM)
+    )
+    grams = (
+        docs.select("doc_id", F.explode(sh).alias("gram"))
+        .withColumn("bucket", _md5_bucket())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tg = (
+        grams.filter(F.col("bucket") >= VAL_LT).select("gram").distinct()
+    )
+    tr = grams.filter(F.col("bucket") < TRAIN_LT).select("doc_id", "gram")
+    tot = tr.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_grams"))
+    lk = tr.join(tg, "gram").groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_leaked")
+    )
+    return lk.join(tot, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_leaked",
+        F.round(F.col("n_leaked").cast("double") / F.col("n_grams"), 6).alias(
+            "leak_ratio"
+        ),
+    )

@@ -377,3 +377,18 @@ def test_scd2_windows_all_keyed_by_user(spark, sf_dir):
     assert wins, plan
     assert all("user_id" in w for w in wins), plan
     assert "Join" not in plan, plan
+
+
+def test_split_leakage_equijoins_and_single_gram_pass(spark, sf_dir):
+    """corpus_split_leakage: every join is a hash equi-join on the
+    gram/doc_id keys — never a nested loop, never a cartesian (the
+    planner picks broadcast vs shuffle from size statistics: the
+    fixture-scale test gram set broadcasts, a corpus-scale one flips
+    the same plan to SortMergeJoin with no code change) — and the
+    gram table is persisted so its three consumers share ONE
+    tokenize+explode pass (InMemoryTableScan, not three FileScans of
+    documents through the ngram projection)."""
+    plan = _plan(spark, sf_dir, "corpus_split_leakage")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("InMemoryTableScan") >= 3, plan
