@@ -77,6 +77,7 @@ HEADLINE = [
     "pii_redact",
     "corpus_pack_sequences",
     "corpus_mixture_sample",
+    "corpus_mixture_plan",
     "corpus_group_sample",
     "corpus_shuffle_assign",
     "decontam_exact_substring",

@@ -152,7 +152,10 @@ _PRIORITY = [
     # carries an exact-count oracle + in-row HLL bound; pack/sample
     # windows re-keyed to (source, shard) with the oracle replaying the
     # shard arithmetic
-    "approx_distinct", "approx_percentiles",
+    # (approx_percentiles rotated below after its green r04 row — its
+    # exact twin percentiles_by_type is green r01/r02; the slot funds
+    # the round-5 mixture planner)
+    "approx_distinct",
     "corpus_pack_sequences", "corpus_group_sample",
     # round-4 additions needing first driver evidence (the slots come
     # from the four rotated-out r03-green twins above)
@@ -173,6 +176,10 @@ _PRIORITY = [
     # — the held-out contamination check; slot funded by the rotated
     # streaming_dedup_watermark)
     "corpus_split_leakage",
+    # round-5: temperature-flattened mixture planning (derives the
+    # rates corpus_mixture_sample consumes; slot funded by the rotated
+    # approx_percentiles)
+    "corpus_mixture_plan",
     # round-5: 2-pass Misra-Gries heavy hitters (exact above N/k, no
     # long-tail groupBy; MG superset guarantee hypothesis-tested) and
     # the Zipf-slope corpus diagnostic (decimal-exact least squares)

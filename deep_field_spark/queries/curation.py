@@ -1263,3 +1263,70 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "leak_ratio"
         ),
     )
+
+
+# --- mixture planning -------------------------------------------------
+
+# alpha = 0.5 temperature flattening (multilingual-style alpha
+# sampling) written as sqrt so both engines compute the exactly-
+# rounded IEEE value; the token budget is the planner's knob.
+MIX_TOKEN_BUDGET = 200_000
+
+
+@register(
+    "corpus_mixture_plan",
+    oracle=f"""
+    WITH t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(len({TOKS_SQL})) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY 1),
+    w AS (SELECT source, n_docs, n_tokens,
+                 sqrt(CAST(n_tokens AS DOUBLE)) AS wgt FROM t),
+    tot AS (SELECT CAST(sum(CAST(wgt AS DECIMAL(28,9))) AS DOUBLE) AS tw
+            FROM w)
+    SELECT source, n_docs, n_tokens,
+           round(wgt / tw, 6) AS share,
+           CAST(round(wgt / tw * {MIX_TOKEN_BUDGET}, 0) AS BIGINT)
+             AS ideal_tokens,
+           round(least(1.0, round(wgt / tw * {MIX_TOKEN_BUDGET}, 0)
+                            / CAST(n_tokens AS DOUBLE)), 6) AS sample_rate,
+           round(round(wgt / tw * {MIX_TOKEN_BUDGET}, 0)
+                 / CAST(n_tokens AS DOUBLE), 4) AS epochs
+    FROM w, tot
+    """,
+    doc="Mixture planning: derive the per-source sampling plan that "
+        "corpus_mixture_sample consumes — temperature-flattened "
+        "(alpha = 0.5, i.e. sqrt-of-token-count) target shares over a "
+        "fixed token budget, with the resulting sample rate (< 1 = "
+        "downsample) or epoch factor (> 1 = repeat). One partial/"
+        "final agg to #sources rows + a 1-row broadcast total — "
+        "token counting rides the scan, nothing else is wide, so the "
+        "planner costs one pass at any corpus size. Per-source sqrt "
+        "weights are DECIMAL-cast before the total so the share "
+        "denominator is partial-agg-order-independent.",
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"))
+    t = (
+        docs.select("source", F.size(texting.tokens(F.col("text"))).alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+        )
+    )
+    w = t.withColumn("wgt", F.sqrt(F.col("n_tokens").cast("double")))
+    tot = w.agg(
+        F.sum(F.col("wgt").cast("decimal(28,9)")).cast("double").alias("tw")
+    )
+    share = F.col("wgt") / F.col("tw")
+    ideal = F.round(share * MIX_TOKEN_BUDGET, 0)
+    ntd = F.col("n_tokens").cast("double")
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("share"),
+        ideal.cast("bigint").alias("ideal_tokens"),
+        F.round(F.least(F.lit(1.0), ideal / ntd), 6).alias("sample_rate"),
+        F.round(ideal / ntd, 4).alias("epochs"),
+    )

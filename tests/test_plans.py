@@ -392,3 +392,16 @@ def test_split_leakage_equijoins_and_single_gram_pass(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("InMemoryTableScan") >= 3, plan
+
+
+def test_mixture_plan_is_one_agg_plus_broadcast_total(spark, sf_dir):
+    """corpus_mixture_plan: token counting rides the scan into one
+    partial/final agg (#sources rows); the only other wide node is
+    the 1-row total broadcast — no window, no cartesian beyond the
+    declared 1-row cross join."""
+    import re
+    plan = _plan(spark, sf_dir, "corpus_mixture_plan")
+    assert not re.search(r"\bWindow\b", plan), plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan[plan.index("Exchange"):]
