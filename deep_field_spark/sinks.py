@@ -15,6 +15,11 @@ parity row, S7-S9); this module is the cluster-scale output surface a
       batchId-keyed commit paths: replayed micro-batches (restart,
       speculative retry) overwrite their own directory instead of
       double-appending — the standard exactly-once parquet recipe.
+  compact_partitioned — small-file compaction with per-partition
+      atomic swap (post-hoc repair for streaming append footprints).
+  merge_upsert — copy-on-write MERGE INTO (upsert + delete) as one
+      statically-pruned job with dynamic partition overwrite: only
+      the partitions the updates touch are read or rewritten.
 """
 
 from __future__ import annotations
@@ -190,3 +195,124 @@ def compact_partitioned(
     shutil.rmtree(tmp, ignore_errors=True)
     files_after = sum(len(v) for v in _part_files(path).values())
     return {"files_before": files_before, "files_after": files_after}
+
+
+def merge_upsert(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str],
+    delete_col: str | None = None,
+    check_unique: bool = True,
+    partition_stable_keys: bool = True,
+) -> dict[str, int]:
+    """Copy-on-write MERGE (upsert + delete) into a partitioned
+    parquet table — the ``MERGE INTO`` shape of Delta/Iceberg without
+    a table format, as ONE Spark job:
+
+    - the affected-partition list is a metadata-scale collect (one row
+      per touched partition, never data rows) turned into a literal
+      partition filter, so the target scan is statically pruned to the
+      partitions the updates touch — a 100 TB table with a 1-partition
+      update reads 1 partition;
+    - surviving target rows = pruned target anti-joined against the
+      update keys (matched rows are replaced, not patched — the
+      copy-on-write contract);
+    - survivors ∪ upserts write back with dynamic partition overwrite:
+      Spark's commit protocol replaces exactly the partitions present
+      in the output and leaves every other directory untouched (the
+      surgical-overwrite property test_write_partitioned_dynamic_
+      overwrite_is_surgical already pins);
+    - rows flagged ``delete_col`` are dropped from the upsert side, so
+      a matched+flagged key disappears; a partition whose rows are ALL
+      deleted produces no output rows, which dynamic overwrite would
+      skip — those directories are removed explicitly.
+
+    ``updates`` must be key-unique (MERGE's multiple-matches error);
+    ``check_unique`` verifies with one tiny agg and raises.
+
+    ``partition_stable_keys=True`` (default) is the pruning contract:
+    a key's partition values never change, so matched rows can only
+    live in the partitions the updates name — a key whose update
+    carries a DIFFERENT partition value would leave its old row in
+    place and duplicate. When keys can move partitions, pass False:
+    a key-locate pre-pass (semi-join of the full target against the
+    update keys) finds every partition holding a matched key and adds
+    it to the rewrite set — one extra scan, the price of MERGE
+    without an index, which is exactly why table formats keep
+    key→file stats.
+
+    Returns partition-level stats.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    if check_unique:
+        dups = (
+            updates.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dups:
+            raise ValueError("updates are not unique on " + ",".join(key_cols))
+
+    upserts = updates
+    if delete_col is not None:
+        upserts = updates.filter(~F.col(delete_col)).drop(delete_col)
+        keys = updates.select(*key_cols).distinct()
+    else:
+        keys = upserts.select(*key_cols).distinct()
+
+    target = spark.read.parquet(path)
+    parts = {tuple(r) for r in updates.select(*partition_cols).distinct().collect()}
+    if not partition_stable_keys:
+        # key-locate pre-pass: matched keys may live in partitions the
+        # updates don't name — add those to the rewrite set
+        parts |= {
+            tuple(r)
+            for r in target.join(keys, key_cols, "left_semi")
+            .select(*partition_cols)
+            .distinct()
+            .collect()
+        }
+    parts = sorted(parts)
+    cond = F.lit(False)
+    for vals in parts:
+        c = F.lit(True)
+        for col, v in zip(partition_cols, vals):
+            c = c & (F.col(col) == F.lit(v))
+        cond = cond | c
+
+    survivors = target.filter(cond).join(keys, key_cols, "left_anti")
+    merged = survivors.unionByName(upserts.select(*target.columns)).persist()
+    # which touched partitions still have rows? must be derived from
+    # the merge OUTPUT before writing — after the write a fully-
+    # deleted partition's stale directory still reads back as live
+    out_parts = {
+        tuple(r) for r in merged.select(*partition_cols).distinct().collect()
+    }
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+    merged.unpersist()
+
+    # partitions fully emptied by deletes: dynamic overwrite wrote no
+    # directory for them, so drop the stale one (metadata-scale)
+    removed = 0
+    for vals in parts:
+        if vals not in out_parts:
+            rel = os.path.join(
+                *[f"{c}={v}" for c, v in zip(partition_cols, vals)]
+            )
+            full = os.path.join(path, rel)
+            if os.path.isdir(full):
+                shutil.rmtree(full)
+                removed += 1
+    return {
+        "partitions_touched": len(parts),
+        "partitions_deleted": removed,
+    }

@@ -118,3 +118,93 @@ def test_compaction_shrinks_files_and_preserves_data(spark, sf_dir, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan
+
+
+def test_merge_upsert_copy_on_write(spark, sf_dir, tmp_path):
+    """MERGE semantics: matched keys replaced, unmatched inserted,
+    delete-flagged removed, untouched partitions byte-identical, a
+    fully-deleted partition's directory dropped."""
+    import pytest
+
+    docs = table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_merge")
+    sinks.write_partitioned(docs, out, partition_cols=["source"])
+    srcs = sorted(r.source for r in docs.select("source").distinct().collect())
+    s_upd, s_solo, s_quiet = srcs[0], srcs[1], srcs[2]
+    # shrink s_solo to one row so a single delete empties the partition
+    solo = docs.filter(F.col("source") == s_solo).limit(1)
+    sinks.write_partitioned(solo, out, partition_cols=["source"])
+    solo_id = solo.first().doc_id
+    quiet_files = sorted(glob.glob(f"{out}/source={s_quiet}/*.parquet"))
+    quiet_stat = [(f, os.path.getmtime(f), os.path.getsize(f)) for f in quiet_files]
+
+    upd_ids = [r.doc_id for r in docs.filter(F.col("source") == s_upd).limit(2).collect()]
+    updates = spark.createDataFrame(
+        [
+            # matched → replace text
+            (upd_ids[0], "MERGED TEXT", "xx", s_upd, 11, False),
+            # unmatched → insert into existing partition
+            (10_000_001, "NEW DOC", "xx", s_upd, 7, False),
+            # unmatched new partition → insert
+            (10_000_002, "NEW PART", "xx", "src_new", 8, False),
+            # matched + delete flag → remove; partition becomes empty
+            (solo_id, "", "xx", s_solo, 0, True),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long, _deleted boolean",
+    )
+    stats = sinks.merge_upsert(
+        spark, out, updates, key_cols=["doc_id"], partition_cols=["source"],
+        delete_col="_deleted",
+    )
+    assert stats == {"partitions_touched": 3, "partitions_deleted": 1}
+
+    after = spark.read.parquet(out)
+    # matched row replaced, not duplicated
+    got = after.filter(F.col("doc_id") == upd_ids[0]).collect()
+    assert len(got) == 1 and got[0].text == "MERGED TEXT"
+    # other row of s_upd untouched
+    assert after.filter(F.col("doc_id") == upd_ids[1]).count() == 1
+    # inserts landed
+    assert after.filter(F.col("doc_id") == 10_000_001).count() == 1
+    assert after.filter(F.col("source") == "src_new").count() == 1
+    # delete removed the row AND the emptied partition directory
+    assert after.filter(F.col("doc_id") == solo_id).count() == 0
+    assert not os.path.isdir(f"{out}/source={s_solo}")
+    # untouched partition: exact same files, sizes, mtimes
+    assert [
+        (f, os.path.getmtime(f), os.path.getsize(f))
+        for f in sorted(glob.glob(f"{out}/source={s_quiet}/*.parquet"))
+    ] == quiet_stat
+    # key uniqueness enforced
+    dup = updates.unionByName(updates)
+    with pytest.raises(ValueError, match="not unique"):
+        sinks.merge_upsert(
+            spark, out, dup, key_cols=["doc_id"], partition_cols=["source"],
+            delete_col="_deleted",
+        )
+
+
+def test_merge_upsert_key_moves_partition(spark, sf_dir, tmp_path):
+    """A key whose update names a different partition value: the
+    default pruning contract would duplicate it (old row out of scan
+    scope), so partition_stable_keys=False runs the key-locate pass
+    and rewrites the old partition too — exactly one row per key
+    afterwards, total count unchanged."""
+    docs = table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_move")
+    sinks.write_partitioned(docs, out, partition_cols=["source"])
+    row = docs.orderBy("doc_id").first()
+    new_src = "src_moved"
+    updates = spark.createDataFrame(
+        [(row.doc_id, "MOVED", row.lang, new_src, 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sinks.merge_upsert(
+        spark, out, updates, key_cols=["doc_id"], partition_cols=["source"],
+        partition_stable_keys=False,
+    )
+    after = spark.read.parquet(out)
+    got = after.filter(F.col("doc_id") == row.doc_id).collect()
+    assert len(got) == 1
+    assert got[0].source == new_src and got[0].text == "MOVED"
+    assert after.count() == docs.count()
