@@ -78,6 +78,7 @@ HEADLINE = [
     "corpus_pack_sequences",
     "corpus_mixture_sample",
     "corpus_mixture_plan",
+    "corpus_length_buckets",
     "corpus_group_sample",
     "corpus_shuffle_assign",
     "decontam_exact_substring",

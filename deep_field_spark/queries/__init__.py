@@ -155,8 +155,10 @@ _PRIORITY = [
     # (approx_percentiles rotated below after its green r04 row — its
     # exact twin percentiles_by_type is green r01/r02; the slot funds
     # the round-5 mixture planner)
+    # (corpus_pack_sequences rotated below after its re-keyed green
+    # r04 row — its slot funds the round-5 length-bucketed batching)
     "approx_distinct",
-    "corpus_pack_sequences", "corpus_group_sample",
+    "corpus_group_sample",
     # round-4 additions needing first driver evidence (the slots come
     # from the four rotated-out r03-green twins above)
     "corpus_shuffle_assign", "decontam_exact_substring",
@@ -180,6 +182,9 @@ _PRIORITY = [
     # rates corpus_mixture_sample consumes; slot funded by the rotated
     # approx_percentiles)
     "corpus_mixture_plan",
+    # round-5: equal-mass length buckets + padding-waste accounting
+    # (slot funded by the rotated corpus_pack_sequences)
+    "corpus_length_buckets",
     # round-5: 2-pass Misra-Gries heavy hitters (exact above N/k, no
     # long-tail groupBy; MG superset guarantee hypothesis-tested) and
     # the Zipf-slope corpus diagnostic (decimal-exact least squares)

@@ -1330,3 +1330,87 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.least(F.lit(1.0), ideal / ntd), 6).alias("sample_rate"),
         F.round(ideal / ntd, 4).alias("epochs"),
     )
+
+
+# --- length-bucketed batching ----------------------------------------
+
+
+@register(
+    "corpus_length_buckets",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      CAST(len({TOKS_SQL}) AS BIGINT) AS n
+               FROM documents),
+    nz AS (SELECT doc_id, n FROM t WHERE n > 0),
+    q AS (SELECT quantile_cont(CAST(n AS DOUBLE), 0.25) AS q1,
+                 quantile_cont(CAST(n AS DOUBLE), 0.50) AS q2,
+                 quantile_cont(CAST(n AS DOUBLE), 0.75) AS q3
+          FROM nz),
+    b AS (SELECT doc_id, n,
+                 CASE WHEN CAST(n AS DOUBLE) <= q1 THEN 0
+                      WHEN CAST(n AS DOUBLE) <= q2 THEN 1
+                      WHEN CAST(n AS DOUBLE) <= q3 THEN 2
+                      ELSE 3 END AS bucket
+          FROM nz, q)
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n) AS BIGINT) AS min_tokens,
+           CAST(max(n) AS BIGINT) AS max_tokens,
+           CAST(sum(n) AS BIGINT) AS sum_tokens,
+           round(CAST(count(*) * max(n) - sum(n) AS DOUBLE)
+                 / (count(*) * max(n)), 6) AS pad_waste
+    FROM b GROUP BY 1
+    """,
+    doc="Length-bucketed batching: assign documents to equal-mass "
+        "token-length buckets (exact quartile bounds) and report each "
+        "bucket's padding waste — the fraction of a pad-to-bucket-max "
+        "batch that would be padding, the number inference/training "
+        "batching by length exists to minimize. Two passes over a "
+        "scan-level token count: the quartiles are one global agg to "
+        "a 1-row broadcast (at 100 TB swap in approx_percentile — "
+        "same plan, sketch-merge instead of sort), and every "
+        "per-bucket statistic, INCLUDING the waste ratio, derives "
+        "from the (count, min, max, sum) aggregate alone — "
+        "n·max - Σn needs no second pass over rows. Exact-percentile "
+        "interpolation is bit-identical between Spark `percentile` "
+        "and DuckDB `quantile_cont` (the percentiles_by_type parity "
+        "row proves it), so the bucket bounds replay exactly.",
+)
+def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"))
+    nz = docs.filter(texting.has_tokens("text")).select(
+        "doc_id", F.size(texting.tokens(F.col("text"))).cast("bigint").alias("n")
+    )
+    nd = F.col("n").cast("double")
+    q = nz.agg(
+        F.percentile(nd, F.lit(0.25)).alias("q1"),
+        F.percentile(nd, F.lit(0.50)).alias("q2"),
+        F.percentile(nd, F.lit(0.75)).alias("q3"),
+    )
+    b = nz.crossJoin(F.broadcast(q)).select(
+        "n",
+        F.when(nd <= F.col("q1"), 0)
+        .when(nd <= F.col("q2"), 1)
+        .when(nd <= F.col("q3"), 2)
+        .otherwise(3)
+        .cast("int")
+        .alias("bucket"),
+    )
+    g = b.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n").alias("min_tokens"),
+        F.max("n").alias("max_tokens"),
+        F.sum("n").alias("sum_tokens"),
+    )
+    return g.select(
+        "bucket",
+        "n_docs",
+        "min_tokens",
+        "max_tokens",
+        "sum_tokens",
+        F.round(
+            (F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens")).cast("double")
+            / (F.col("n_docs") * F.col("max_tokens")),
+            6,
+        ).alias("pad_waste"),
+    )

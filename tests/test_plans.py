@@ -405,3 +405,15 @@ def test_mixture_plan_is_one_agg_plus_broadcast_total(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
     assert "CartesianProduct" not in plan, plan
     assert "HashAggregate" in plan[plan.index("Exchange"):]
+
+
+def test_length_buckets_two_aggs_one_broadcast(spark, sf_dir):
+    """corpus_length_buckets: the quartile pass and the bucket-stats
+    pass are both partial/final aggs; the quartile row broadcasts
+    (the only nested-loop allowed); no window anywhere."""
+    import re
+    plan = _plan(spark, sf_dir, "corpus_length_buckets")
+    assert not re.search(r"\bWindow\b", plan), plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan[plan.index("Exchange"):]
