@@ -20,6 +20,9 @@ parity row, S7-S9); this module is the cluster-scale output surface a
   merge_upsert — copy-on-write MERGE INTO (upsert + delete) as one
       statically-pruned job with dynamic partition overwrite: only
       the partitions the updates touch are read or rewritten.
+  foreach_batch_merge_upsert — streaming CDC apply: per micro-batch
+      latest-version-per-key collapse, then merge_upsert; replays
+      are exactly-once by merge idempotency.
 """
 
 from __future__ import annotations
@@ -316,3 +319,55 @@ def merge_upsert(
         "partitions_touched": len(parts),
         "partitions_deleted": removed,
     }
+
+
+def foreach_batch_merge_upsert(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    partition_cols: list[str],
+    seq_col: str,
+    delete_col: str | None = None,
+) -> StreamingQuery:
+    """Streaming CDC apply: each micro-batch MERGEs into the
+    partitioned parquet table via ``merge_upsert`` — the
+    foreachBatch + MERGE recipe every lakehouse streaming-upsert
+    pipeline uses.
+
+    A CDC micro-batch can carry several versions of one key, so the
+    batch is first collapsed to the latest version per key by
+    ``seq_col`` (a keyed window — per-task state is one key's
+    in-batch versions). Exactly-once comes from merge idempotency,
+    not from batch-keyed paths: a replayed micro-batch (offsets
+    committed, write unacknowledged) re-applies the same upserts onto
+    a table where they already hold, reaching the same state.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy(*key_cols).orderBy(F.desc(seq_col))
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", seq_col)
+        )
+        merge_upsert(
+            batch_df.sparkSession,
+            path,
+            latest,
+            key_cols=key_cols,
+            partition_cols=partition_cols,
+            delete_col=delete_col,
+            check_unique=False,  # uniqueness holds by construction
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -208,3 +208,57 @@ def test_merge_upsert_key_moves_partition(spark, sf_dir, tmp_path):
     assert len(got) == 1
     assert got[0].source == new_src and got[0].text == "MOVED"
     assert after.count() == docs.count()
+
+
+def test_foreach_batch_merge_upsert_cdc_apply(spark, sf_dir, tmp_path):
+    """Streaming CDC apply: a change stream merges into the
+    partitioned table; multiple versions of one key in the stream
+    collapse to the latest by seq; deletes remove rows; replaying the
+    whole stream from a fresh checkpoint (crash-replay worst case)
+    reaches the identical final state — merge idempotency is the
+    exactly-once mechanism."""
+    import shutil
+
+    docs = table(spark, sf_dir, "documents")
+    out = str(tmp_path / "cdc_target")
+    sinks.write_partitioned(docs, out, partition_cols=["source"])
+    row = docs.orderBy("doc_id").first()
+    src0 = row.source
+    dead = docs.filter(F.col("source") == src0).orderBy(F.desc("doc_id")).first()
+
+    cdc_dir = str(tmp_path / "cdc_stream")
+    changes = spark.createDataFrame(
+        [
+            (row.doc_id, "V1", row.lang, src0, 2, False, 1),
+            (row.doc_id, "V2", row.lang, src0, 2, False, 2),   # later version wins
+            (20_000_001, "INS", "xx", src0, 3, False, 1),
+            (dead.doc_id, "", dead.lang, src0, 0, True, 1),    # delete
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long,"
+        " _deleted boolean, seq long",
+    )
+    changes.write.mode("overwrite").parquet(cdc_dir)
+
+    def run(ck):
+        stream = spark.readStream.schema(
+            spark.read.parquet(cdc_dir).schema
+        ).parquet(cdc_dir)
+        q = sinks.foreach_batch_merge_upsert(
+            stream, out, ck, key_cols=["doc_id"], partition_cols=["source"],
+            seq_col="seq", delete_col="_deleted",
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ck1"))
+    after = spark.read.parquet(out)
+    assert after.filter(F.col("doc_id") == row.doc_id).first().text == "V2"
+    assert after.filter(F.col("doc_id") == 20_000_001).count() == 1
+    assert after.filter(F.col("doc_id") == dead.doc_id).count() == 0
+    n1 = after.count()
+    state1 = sorted((r.doc_id, r.text) for r in after.collect())
+
+    # crash-replay worst case: fresh checkpoint re-delivers everything
+    run(str(tmp_path / "ck2"))
+    again = spark.read.parquet(out)
+    assert again.count() == n1
+    assert sorted((r.doc_id, r.text) for r in again.collect()) == state1
