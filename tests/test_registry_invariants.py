@@ -38,6 +38,10 @@ _GLOBAL_WINDOW_OK: set[str] = {
     "corpus_zipf_profile",
 }
 
+# the declared quadratic correctness baseline is the only legal
+# cartesian product in the repo
+_CARTESIAN_OK = {"knn_brute_force"}
+
 DRIVER_WINDOW = 50
 
 
@@ -60,6 +64,9 @@ def test_round5_additions_hold_window_slots():
         "multimodal_arrow_meta", "text_heavy_hitters",
         "curation_quality_classifier", "corpus_zipf_profile",
         "curation_source_divergence", "embedding_power_iteration",
+        "text_bm25_search", "curation_dsir_weights",
+        "events_scd2_intervals", "corpus_split_leakage",
+        "corpus_mixture_plan", "corpus_length_buckets",
     ):
         assert q in names, q
 
@@ -78,9 +85,14 @@ def _global_window_lines(plan: str) -> list[str]:
     "name", [n for n in REGISTRY if n not in _EXECUTING]
 )
 def test_no_partition_less_ordered_window(name, spark, sf_dir):
-    if name in _GLOBAL_WINDOW_OK:
-        pytest.skip("declared bounded-input exception")
     df = REGISTRY[name].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # 3. no undeclared cartesian product anywhere: the only allowed
+    # one is the declared brute-force kNN baseline (same plan pass as
+    # the window lint — one build per query)
+    if name not in _CARTESIAN_OK:
+        assert "CartesianProduct" not in plan, name
+    if name in _GLOBAL_WINDOW_OK:
+        pytest.skip("declared bounded-input exception")
     bad = _global_window_lines(plan)
     assert not bad, f"{name}:\n" + "\n".join(bad)
