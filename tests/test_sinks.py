@@ -262,3 +262,56 @@ def test_foreach_batch_merge_upsert_cdc_apply(spark, sf_dir, tmp_path):
     again = spark.read.parquet(out)
     assert again.count() == n1
     assert sorted((r.doc_id, r.text) for r in again.collect()) == state1
+
+
+def test_merge_upsert_property_vs_model(spark, sf_dir, tmp_path):
+    """Property: for arbitrary update/delete batches (existing keys,
+    new keys, moved partitions, emptied partitions), merge_upsert with
+    the key-locate pass reaches exactly the state a dict model
+    predicts, and applying the same batch twice is a no-op."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    base = {k: ("p%d" % (k % 3), "t%d" % k) for k in range(12)}
+
+    upd = st.tuples(
+        st.integers(min_value=0, max_value=17),           # key (some new)
+        st.sampled_from(["p0", "p1", "p2", "p3"]),        # partition (p3 new)
+        st.booleans(),                                    # delete flag
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(batch=st.lists(upd, min_size=1, max_size=10,
+                          unique_by=lambda u: u[0]))
+    def prop(batch):
+        out = str(tmp_path / f"m{abs(hash(tuple(batch)))}")
+        tgt = spark.createDataFrame(
+            [(k, p, t) for k, (p, t) in base.items()], "k long, p string, t string"
+        )
+        sinks.write_partitioned(tgt, out, partition_cols=["p"])
+
+        model = dict(base)
+        for k, p, dele in batch:
+            if dele:
+                model.pop(k, None)
+            else:
+                model[k] = (p, "u%d" % k)
+        updates = spark.createDataFrame(
+            [(k, p, "u%d" % k, dele) for k, p, dele in batch],
+            "k long, p string, t string, _del boolean",
+        )
+        for _ in range(2):  # second apply must be a no-op
+            sinks.merge_upsert(
+                spark, out, updates, key_cols=["k"], partition_cols=["p"],
+                delete_col="_del", partition_stable_keys=False,
+            )
+            got = {
+                r.k: (r.p, r.t) for r in spark.read.parquet(out).collect()
+            }
+            assert got == model, (got, model, batch)
+
+    prop()
