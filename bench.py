@@ -57,6 +57,7 @@ HEADLINE = [
     "events_scd2_intervals",
     "dedup_exact",
     "dedup_incremental_batch",
+    "dedup_incremental_minhash",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_token_stats",

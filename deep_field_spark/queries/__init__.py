@@ -113,8 +113,11 @@ _PRIORITY = [
     # and the components clusterer they build on stay)
     # (dedup_ngram_jaccard rotated below after green r01-r04 rows — its
     # DF-capped scale twin, which replays the cap, keeps the slot)
+    # (dedup_incremental_batch rotated below after green r02-r04 rows
+    # — the round-5 near-dup incremental twin takes the slot: it
+    # covers the harder shape of the same ingestion pattern)
     "dedup_ngram_jaccard_capped", "dedup_simhash",
-    "dedup_embedding_cosine", "dedup_incremental_batch",
+    "dedup_embedding_cosine", "dedup_incremental_minhash",
     # round-5: corpus-internal exact-substring dedup (anchor diagonals
     # + gaps-and-islands — the Lee et al. suffix-array step, Spark-shaped)
     # + its finishing step (per-doc merged dup-span accounting)

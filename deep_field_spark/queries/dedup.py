@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions import vectors
+from ..functions import texting, vectors
 from ..operators import dedup as D
 from . import register
 from .text import TOKS_SQL
@@ -695,4 +695,82 @@ def dedup_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_tokens",
         "n_tokens",
         (F.col("n_tokens") - F.col("dup_tokens")).cast("int").alias("kept_tokens"),
+    )
+
+
+# --- incremental near-dup: new batch vs corpus LSH state -------------
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (SELECT doc_id, shingles,
+                   list_transform(range(0, {NUM_HASHES}),
+                        s -> list_aggregate(list_transform(shingles,
+                             x -> md5(CAST(s AS VARCHAR) || '|' || x)), 'min')) AS sig
+            FROM shf),
+    banded AS (SELECT doc_id, shingles,
+                      unnest(range(0, {BANDS})) AS band
+               FROM sig),
+    keyed AS (SELECT b.doc_id, b.shingles, b.band,
+                     md5(s.sig[2*b.band + 1] || '|' || s.sig[2*b.band + 2]) AS key
+              FROM banded b JOIN sig s USING (doc_id)),
+    cand AS (SELECT DISTINCT b.doc_id AS doc_id, c.doc_id AS cid,
+                    b.shingles AS sb, c.shingles AS sc
+             FROM keyed b JOIN keyed c
+               ON b.band = c.band AND b.key = c.key
+              AND b.doc_id >= {INCR_BATCH_MIN_ID}
+              AND c.doc_id < {INCR_BATCH_MIN_ID}),
+    j AS (SELECT doc_id, cid,
+                 CAST(len(list_intersect(sb, sc)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sb, sc))) AS jac
+          FROM cand),
+    f AS (SELECT * FROM j WHERE jac >= {MINHASH_THRESHOLD}),
+    r AS (SELECT doc_id, cid, jac,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY jac DESC, cid) AS rn
+          FROM f)
+    SELECT doc_id, cid AS dup_of, round(jac, 6) AS jaccard
+    FROM r WHERE rn = 1
+    """,
+    doc="Incremental NEAR-dup ingestion: the newly-crawled batch "
+        "checked against the existing corpus's MinHash-LSH state — "
+        "dedup_incremental_batch's exact-digest sibling for the "
+        "near-duplicate case every production crawl actually has. "
+        "The corpus side of the band-key equi-join is exactly the "
+        "banded signature table (id, band, key): at 100 TB that state "
+        "is persisted once, bucketed on (band, key), and each daily "
+        "batch joins against it with zero corpus reshuffle and no "
+        "batch×corpus comparisons; candidates ride as id pairs only, "
+        "the exact-Jaccard verify re-joins shingle arrays on "
+        "candidates alone, and each batch doc reports its best "
+        "corpus match (ties to the lowest corpus id).",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(
+        D.exploded_shingles(docs, "text", "doc_id", NGRAM), "doc_id", NUM_HASHES
+    )
+    banded = D.band_keyed(sig, "doc_id", BANDS, NUM_HASHES // BANDS)
+    bb = banded.filter(F.col("doc_id") >= INCR_BATCH_MIN_ID)
+    cb = banded.filter(F.col("doc_id") < INCR_BATCH_MIN_ID).select(
+        F.col("doc_id").alias("cid"), "band", "key"
+    )
+    cand = bb.join(cb, ["band", "key"]).select("doc_id", "cid").distinct()
+    sh = D.shingled(docs, "text", "doc_id", NGRAM)
+    pair = (
+        cand.join(sh, "doc_id")
+        .join(
+            sh.select(F.col("doc_id").alias("cid"), F.col("shingles").alias("shc")),
+            "cid",
+        )
+        .withColumn("jac", texting.jaccard(F.col("shingles"), F.col("shc")))
+        .filter(F.col("jac") >= MINHASH_THRESHOLD)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jac"), F.asc("cid"))
+    return (
+        pair.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cid").alias("dup_of"), F.round("jac", 6).alias("jaccard"))
     )

@@ -417,3 +417,16 @@ def test_length_buckets_two_aggs_one_broadcast(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
     assert "CartesianProduct" not in plan, plan
     assert "HashAggregate" in plan[plan.index("Exchange"):]
+
+
+def test_incremental_minhash_id_only_candidates(spark, sf_dir):
+    """dedup_incremental_minhash: the batch⋈corpus-state join is a
+    hash equi-join on (band, key) with id-only payload; shingle
+    arrays re-join only on candidates; per-batch-doc best-match rank
+    is keyed by doc_id; no nested loop, no cartesian."""
+    import re
+    plan = _plan(spark, sf_dir, "dedup_incremental_minhash")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    wins = [l for l in plan.splitlines() if re.search(r"\bWindow\b", l)]
+    assert wins and all("doc_id" in w for w in wins), plan
