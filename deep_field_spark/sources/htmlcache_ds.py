@@ -1,0 +1,80 @@
+"""PySpark-4 Python DataSource for the HTML cache tree.
+
+The cache folder layout (``{root}/{PageType}/{name_id}.shtml``, one
+page per file — reference deepfield/scraping/pages.py keeps the same
+raw zone on disk) already reads via ``scraping.cache.read_cache``
+(wholetext + input_file_name). This module exposes the SAME rows
+through Spark's first-class source API instead:
+
+    spark.dataSource.register(HtmlCacheDataSource)
+    spark.read.format("bbref_cache").option("path", root).load()
+
+Why both exist: read_cache is a composition of built-in scans (zero
+Python in the read path — the faster default); the DataSource form is
+the extension-point parity row (SURVEY.md §2.1 custom sources) and
+the right shape when a source genuinely cannot be expressed as
+files-of-rows (an API pager, a rate-limited fetch frontier): the
+driver enumerates partitions (metadata only), and each executor reads
+its own partition's files in parallel — one InputPartition per cache
+file, so parallelism scales with the cache, not the page-type count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+PAGE_TYPES = ("GamePage", "PlayerPage", "SchedulePage")
+SCHEMA = "page_type string, name_id string, html string"
+
+
+class HtmlCacheDataSource(DataSource):
+    """format("bbref_cache"): options path (cache root), pagetype
+    (optional filter to one page type)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "bbref_cache"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> "HtmlCacheReader":
+        return HtmlCacheReader(self.options)
+
+
+class HtmlCacheReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        root = options.get("path")
+        if not root:
+            raise ValueError("bbref_cache requires .option('path', cache_root)")
+        self.root = root
+        want = options.get("pagetype")
+        self.types = (want,) if want else PAGE_TYPES
+
+    def partitions(self) -> list[InputPartition]:
+        # driver-side file enumeration is metadata-only; each file is
+        # its own partition so executors read the cache in parallel
+        parts: list[InputPartition] = []
+        for t in self.types:
+            d = os.path.join(self.root, t)
+            if not os.path.isdir(d):
+                continue
+            for fname in sorted(os.listdir(d)):
+                if fname.endswith(".shtml"):
+                    parts.append(InputPartition((t, os.path.join(d, fname))))
+        if not parts:
+            # contract: at least one partition, even for an empty cache
+            parts.append(InputPartition(None))
+        return parts
+
+    def read(self, partition: InputPartition):
+        if partition.value is None:
+            return
+        page_type, fpath = partition.value
+        name_id = os.path.basename(fpath)[: -len(".shtml")]
+        # newline="" keeps CRLF bytes verbatim — Spark's text reader
+        # never newline-translates, and the two sources must agree
+        with open(fpath, encoding="utf-8", newline="") as f:
+            yield (page_type, name_id, f.read())

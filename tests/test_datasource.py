@@ -1,0 +1,46 @@
+"""The Python DataSource form of the HTML cache source: same rows as
+the built-in-scan composition (read_cache), partition-per-file
+parallelism, page-type filtering."""
+
+from __future__ import annotations
+
+from deep_field_spark.scraping import cache as C
+from deep_field_spark.sources.htmlcache_ds import HtmlCacheDataSource
+
+RES = "/root/reference/tests/scraping/resources"
+
+
+def _register(spark):
+    try:
+        spark.dataSource.register(HtmlCacheDataSource)
+    except Exception as e:  # already registered in this session
+        if "already" not in str(e).lower():
+            raise
+
+
+def test_datasource_matches_read_cache(spark):
+    _register(spark)
+    ds = spark.read.format("bbref_cache").option("path", RES).load()
+    via_scan = C.read_cache(spark, RES)
+    a = sorted((r.page_type, r.name_id, len(r.html)) for r in ds.collect())
+    b = sorted((r.page_type, r.name_id, len(r.html)) for r in via_scan.collect())
+    assert a == b and a
+
+
+def test_datasource_partition_per_file_and_filter(spark):
+    _register(spark)
+    ds = spark.read.format("bbref_cache").option("path", RES).option(
+        "pagetype", "GamePage"
+    ).load()
+    rows = ds.collect()
+    assert rows and all(r.page_type == "GamePage" for r in rows)
+    # one partition per cache file: executor-side parallelism scales
+    # with the cache, not with the page-type count
+    assert ds.rdd.getNumPartitions() == len(rows)
+
+
+def test_datasource_empty_cache_ok(spark, tmp_path):
+    _register(spark)
+    ds = spark.read.format("bbref_cache").option("path", str(tmp_path)).load()
+    assert ds.count() == 0
+    assert [f.name for f in ds.schema.fields] == ["page_type", "name_id", "html"]
