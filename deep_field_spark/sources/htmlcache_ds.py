@@ -8,6 +8,7 @@ through Spark's first-class source API instead:
 
     spark.dataSource.register(HtmlCacheDataSource)
     spark.read.format("bbref_cache").option("path", root).load()
+    df.write.format("bbref_cache").option("path", root).mode("append").save()
 
 Why both exist: read_cache is a composition of built-in scans (zero
 Python in the read path — the faster default); the DataSource form is
@@ -23,7 +24,13 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 PAGE_TYPES = ("GamePage", "PlayerPage", "SchedulePage")
 SCHEMA = "page_type string, name_id string, html string"
@@ -42,6 +49,9 @@ class HtmlCacheDataSource(DataSource):
 
     def reader(self, schema) -> "HtmlCacheReader":
         return HtmlCacheReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "HtmlCacheWriter":
+        return HtmlCacheWriter(self.options)
 
 
 class HtmlCacheReader(DataSourceReader):
@@ -78,3 +88,52 @@ class HtmlCacheReader(DataSourceReader):
         # never newline-translates, and the two sources must agree
         with open(fpath, encoding="utf-8", newline="") as f:
             yield (page_type, name_id, f.read())
+
+
+class CacheCommit(WriterCommitMessage):
+    def __init__(self, files):
+        self.files = files
+
+
+class HtmlCacheWriter(DataSourceWriter):
+    """Executor-side writer: each partition lands its pages under a
+    task-temp root; commit() promotes them with atomic renames, abort()
+    discards — the two-phase commit every file sink needs so a failed
+    or speculative task never leaves half-written cache files."""
+
+    def __init__(self, options) -> None:
+        root = options.get("path")
+        if not root:
+            raise ValueError("bbref_cache write requires .option('path', cache_root)")
+        self.root = root
+        self.tmp = os.path.join(root, "._ds_tmp")
+
+    def write(self, rows):
+        import uuid
+
+        task_dir = os.path.join(self.tmp, uuid.uuid4().hex)
+        written: list[tuple[str, str]] = []
+        for row in rows:
+            d = os.path.join(task_dir, row.page_type)
+            os.makedirs(d, exist_ok=True)
+            rel = os.path.join(row.page_type, f"{row.name_id}.shtml")
+            with open(os.path.join(task_dir, rel), "w", encoding="utf-8",
+                      newline="") as f:
+                f.write(row.html)
+            written.append((task_dir, rel))
+        return CacheCommit(written)
+
+    def commit(self, messages):
+        import shutil
+
+        for m in messages:
+            for task_dir, rel in m.files:
+                dst = os.path.join(self.root, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(os.path.join(task_dir, rel), dst)
+        shutil.rmtree(self.tmp, ignore_errors=True)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self.tmp, ignore_errors=True)

@@ -44,3 +44,19 @@ def test_datasource_empty_cache_ok(spark, tmp_path):
     ds = spark.read.format("bbref_cache").option("path", str(tmp_path)).load()
     assert ds.count() == 0
     assert [f.name for f in ds.schema.fields] == ["page_type", "name_id", "html"]
+
+
+def test_datasource_write_roundtrip(spark, tmp_path):
+    _register(spark)
+    src = spark.read.format("bbref_cache").option("path", RES).option(
+        "pagetype", "GamePage"
+    ).load()
+    out = str(tmp_path / "cache_out")
+    src.write.format("bbref_cache").option("path", out).mode("append").save()
+    back = spark.read.format("bbref_cache").option("path", out).load()
+    a = sorted((r.page_type, r.name_id, len(r.html)) for r in src.collect())
+    b = sorted((r.page_type, r.name_id, len(r.html)) for r in back.collect())
+    assert a == b and a
+    # no temp litter after commit
+    import os
+    assert not os.path.isdir(os.path.join(out, "._ds_tmp"))
