@@ -748,11 +748,19 @@ def dedup_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "corpus match (ties to the lowest corpus id).",
 )
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     docs = table(spark, sf_dir, "documents")
     sig = D.minhash_signatures(
         D.exploded_shingles(docs, "text", "doc_id", NGRAM), "doc_id", NUM_HASHES
     )
-    banded = D.band_keyed(sig, "doc_id", BANDS, NUM_HASHES // BANDS)
+    # the banded table feeds BOTH join sides (batch slice + corpus
+    # state); persist it so shingle+minhash runs once — in production
+    # this is precisely the table that lives on disk as the LSH state,
+    # so the cache stands in for the persisted state read
+    banded = D.band_keyed(sig, "doc_id", BANDS, NUM_HASHES // BANDS).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bb = banded.filter(F.col("doc_id") >= INCR_BATCH_MIN_ID)
     cb = banded.filter(F.col("doc_id") < INCR_BATCH_MIN_ID).select(
         F.col("doc_id").alias("cid"), "band", "key"
