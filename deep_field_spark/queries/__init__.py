@@ -137,8 +137,10 @@ _PRIORITY = [
     # DECIMAL-exact Gram sums)
     "ann_recall_report", "embedding_power_iteration",
     # multimodal (feature_extract demoted: stub decode → no_oracle row;
-    # resize rotated below after its green r03 row)
-    "multimodal_binary_meta",
+    # resize rotated below after its green r03 row;
+    # multimodal_binary_meta rotated below after green r03+r04 —
+    # arrow_meta keeps multimodal in-window; its slot funds the BPE
+    # tokenizer trainer)
     # UDF/UDAF/UDTF surface (udtf_sentences rotated below after its
     # green r03 row; the cogrouped-map flavor takes the slot)
     # (grouped_map_interarrival rotated below after green r04 — the
@@ -177,6 +179,9 @@ _PRIORITY = [
     # importance weights (slots funded by the rotated udaf_grouped_
     # pandas and multimodal_frame_sample)
     "text_bm25_search", "curation_dsir_weights",
+    # round-5: distributed BPE tokenizer training (first merges,
+    # oracle-unrolled loop; slot funded by multimodal_binary_meta)
+    "text_bpe_train",
     # round-5: cross-split leakage audit (train grams ⋈ test gram set
     # — the held-out contamination check; slot funded by the rotated
     # streaming_dedup_watermark)

@@ -840,3 +840,105 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(F.col("score_dec").cast("double"), 6).alias("score"),
     )
+
+
+# --- BPE tokenizer training (first merges) ---------------------------
+
+BPE_MERGES = 3  # fixed merge count so the oracle replays the loop
+
+
+def _bpe_oracle() -> str:
+    """Unrolled DuckDB twin of the BPE merge loop: pair-count CTE →
+    top-merge CTE → literal replace, repeated BPE_MERGES times."""
+    parts = [
+        f"d0 AS (SELECT ' ' || array_to_string({TOKS_SQL}, ' ') || ' ' AS s"
+        "       FROM documents WHERE regexp_matches(text, '\\S'))"
+    ]
+    for i in range(1, BPE_MERGES + 1):
+        parts.append(
+            f"""t{i} AS (SELECT string_split(trim(s), ' ') AS w FROM d{i - 1}),
+    p{i} AS (SELECT unnest(list_transform(range(1, len(w)),
+                    j -> w[j] || ' ' || w[j+1])) AS pair
+             FROM t{i} WHERE len(w) >= 2),
+    c{i} AS (SELECT pair, CAST(count(*) AS BIGINT) AS n
+             FROM p{i} GROUP BY 1),
+    m{i} AS (SELECT pair, n FROM c{i} ORDER BY n DESC, pair LIMIT 1),
+    d{i} AS (SELECT replace(s, ' ' || m{i}.pair || ' ',
+                    ' ' || replace(m{i}.pair, ' ', chr(1)) || ' ') AS s
+             FROM d{i - 1}, m{i})"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, pair, n FROM m{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + union
+
+
+@register(
+    "text_bpe_train",
+    oracle=_bpe_oracle(),
+    doc=f"Distributed BPE tokenizer training — the first {BPE_MERGES} "
+        "merge rules learned from the corpus, the data side of "
+        "tokenizer construction (the merge table IS the tokenizer). "
+        "Each round is: adjacent-pair partial/final count agg → "
+        "1-row TakeOrdered top merge (max count, lexicographic "
+        "tie-break) broadcast back → literal-replace of the winning "
+        "pair (merged tokens joined with a \\x01 marker that cannot "
+        "occur in whitespace tokens). Every stage is scan-speed "
+        "column work + one tiny agg per round; production training "
+        "batches non-overlapping merges per round to cut iterations "
+        "— same plan shape, fewer passes. The oracle unrolls the "
+        "identical loop in DuckDB CTEs, so the learned rules are "
+        "hash-checked, not just plausible.",
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    s = docs.filter(texting.has_tokens("text")).select(
+        F.concat(
+            F.lit(" "), F.array_join(texting.tokens(F.col("text")), " "), F.lit(" ")
+        ).alias("s")
+    )
+    merges = []
+    for i in range(1, BPE_MERGES + 1):
+        # each round's winner feeds two consumers (the output union and
+        # the next recode) and the recoded corpus feeds the next count
+        # — persist both or round k re-executes every earlier round's
+        # aggregation through the lineage. Real BPE trainers materialize
+        # the recoded corpus per merge batch for exactly this reason.
+        s = s.persist(StorageLevel.MEMORY_AND_DISK)
+        w = F.split(F.trim("s"), " ")
+        pairs = s.select(
+            F.explode(
+                F.when(
+                    F.size(w) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - 1),
+                        lambda j: F.concat(
+                            F.element_at(w, j), F.lit(" "), F.element_at(w, j + 1)
+                        ),
+                    ),
+                )
+            ).alias("pair")
+        )
+        c = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+        m = c.orderBy(F.desc("n"), F.asc("pair")).limit(1).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        merges.append(m.select(F.lit(i).alias("merge_rank"), "pair", "n"))
+        s = s.crossJoin(F.broadcast(m)).select(
+            F.replace(
+                F.col("s"),
+                F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                F.concat(
+                    F.lit(" "),
+                    F.replace(F.col("pair"), F.lit(" "), F.lit("\x01")),
+                    F.lit(" "),
+                ),
+            ).alias("s")
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

@@ -430,3 +430,21 @@ def test_incremental_minhash_id_only_candidates(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     wins = [l for l in plan.splitlines() if re.search(r"\bWindow\b", l)]
     assert wins and all("doc_id" in w for w in wins), plan
+
+
+def test_bpe_train_rounds_are_aggs_plus_broadcast(spark, sf_dir):
+    """text_bpe_train: every merge round is a pair-count agg feeding a
+    1-row TakeOrdered winner broadcast back onto the corpus recode —
+    no window, no cartesian, and the per-round winner joins are 1-row
+    nested-loop broadcasts at most (one per merge)."""
+    import re
+    from deep_field_spark.queries.text import BPE_MERGES
+    plan = _plan(spark, sf_dir, "text_bpe_train")
+    assert not re.search(r"\bWindow\b", plan), plan
+    assert "CartesianProduct" not in plan, plan
+    # every nested-loop is the 1-row winner broadcast (BuildRight
+    # cross); the printed count exceeds BPE_MERGES only because cached
+    # lineage subtrees render once per consumer
+    bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert bnlj and all("BuildRight" in l for l in bnlj), plan
+    assert "TakeOrderedAndProject" in plan, plan
