@@ -66,6 +66,7 @@ HEADLINE = [
     "text_tfidf_topk",
     "text_bm25_search",
     "text_bpe_train",
+    "text_bpe_apply",
     "text_gopher_filters",
     "text_repetition_ratio",
     "text_chunk_overlap",

@@ -125,7 +125,10 @@ _PRIORITY = [
     # (join_full_outer rotated below after its green r04 row)
     # similarity / embeddings (quantize_int8: round-3's only hard red,
     # array column now serialized via to_json — needs a green row)
-    "knn_brute_force", "ann_lsh_bucket", "ann_lsh_multiprobe",
+    # (knn_brute_force rotated below after green r01-r04 rows — it is
+    # the declared quadratic baseline and five ANN rows stay
+    # in-window; its slot funds the BPE apply pass)
+    "ann_lsh_bucket", "ann_lsh_multiprobe",
     "ann_ivf_cells", "embedding_quantize_int8",
     # round-5: trained-cells IVF (distributed Lloyd's) + SemDeDup-style
     # per-cell semantic prune — the LLM-curation capability the round-4
@@ -181,7 +184,9 @@ _PRIORITY = [
     "text_bm25_search", "curation_dsir_weights",
     # round-5: distributed BPE tokenizer training (first merges,
     # oracle-unrolled loop; slot funded by multimodal_binary_meta)
-    "text_bpe_train",
+    # + the apply pass (per-doc recode + compression accounting; slot
+    # funded by the rotated knn_brute_force)
+    "text_bpe_train", "text_bpe_apply",
     # round-5: cross-split leakage audit (train grams ⋈ test gram set
     # — the held-out contamination check; slot funded by the rotated
     # streaming_dedup_watermark)

@@ -942,3 +942,115 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+def _bpe_apply_oracle() -> str:
+    """Unrolled twin of the apply pass: learn the merge table exactly
+    as _bpe_oracle does, then recode per-doc strings and count."""
+    parts = [
+        f"raw AS (SELECT doc_id, ' ' || array_to_string({TOKS_SQL}, ' ') || ' ' AS s"
+        "        FROM documents WHERE regexp_matches(text, '\\S'))",
+        "d0 AS (SELECT s FROM raw)",
+    ]
+    for i in range(1, BPE_MERGES + 1):
+        parts.append(
+            f"""t{i} AS (SELECT string_split(trim(s), ' ') AS w FROM d{i - 1}),
+    p{i} AS (SELECT unnest(list_transform(range(1, len(w)),
+                    j -> w[j] || ' ' || w[j+1])) AS pair
+             FROM t{i} WHERE len(w) >= 2),
+    c{i} AS (SELECT pair, CAST(count(*) AS BIGINT) AS n
+             FROM p{i} GROUP BY 1),
+    m{i} AS (SELECT pair, n FROM c{i} ORDER BY n DESC, pair LIMIT 1),
+    d{i} AS (SELECT replace(s, ' ' || m{i}.pair || ' ',
+                    ' ' || replace(m{i}.pair, ' ', chr(1)) || ' ') AS s
+             FROM d{i - 1}, m{i}),
+    a{i} AS (SELECT doc_id, replace(s, ' ' || m{i}.pair || ' ',
+                    ' ' || replace(m{i}.pair, ' ', chr(1)) || ' ') AS s
+             FROM {"raw" if i == 1 else f"a{i - 1}"}, m{i})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT r.doc_id,
+           CAST(len(string_split(trim(r.s), ' ')) AS BIGINT) AS n_tokens_raw,
+           CAST(len(string_split(trim(a.s), ' ')) AS BIGINT) AS n_tokens_bpe,
+           round(CAST(len(string_split(trim(a.s), ' ')) AS DOUBLE)
+                 / len(string_split(trim(r.s), ' ')), 6) AS compression
+    FROM raw r JOIN a{BPE_MERGES} a USING (doc_id)"""
+    )
+
+
+@register(
+    "text_bpe_apply",
+    oracle=_bpe_apply_oracle(),
+    doc="Tokenizer application — the other half of text_bpe_train: "
+        "recode every document with the learned merge table and "
+        "report per-doc token counts before/after plus the "
+        "compression ratio (the number a tokenizer exists to "
+        "improve). The merge table is learned from the corpus-level "
+        "recode chain exactly as in training (same winners, "
+        "hash-identical), then applied per doc as a chain of "
+        f"{BPE_MERGES} broadcast literal replaces — scan-speed, no "
+        "shuffle on the apply side at all; only the tiny training "
+        "aggs are wide. At scale the merge table is thousands of "
+        "rules applied in one pandas pass instead of chained "
+        "replaces — same broadcast-and-recode shape.",
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    raw = docs.filter(texting.has_tokens("text")).select(
+        "doc_id",
+        F.concat(
+            F.lit(" "), F.array_join(texting.tokens(F.col("text")), " "), F.lit(" ")
+        ).alias("s"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    s = raw.select("s")
+    applied = raw
+    for _ in range(BPE_MERGES):
+        s = s.persist(StorageLevel.MEMORY_AND_DISK)
+        w = F.split(F.trim("s"), " ")
+        pairs = s.select(
+            F.explode(
+                F.when(
+                    F.size(w) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - 1),
+                        lambda j: F.concat(
+                            F.element_at(w, j), F.lit(" "), F.element_at(w, j + 1)
+                        ),
+                    ),
+                )
+            ).alias("pair")
+        )
+        m = (
+            pairs.groupBy("pair").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair")).limit(1)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        recode = lambda col: F.replace(
+            col,
+            F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+            F.concat(
+                F.lit(" "),
+                F.replace(F.col("pair"), F.lit(" "), F.lit("\x01")),
+                F.lit(" "),
+            ),
+        )
+        s = s.crossJoin(F.broadcast(m)).select(recode(F.col("s")).alias("s"))
+        applied = applied.crossJoin(F.broadcast(m)).select(
+            "doc_id", recode(F.col("s")).alias("s")
+        )
+    nr = F.size(F.split(F.trim("s"), " ")).cast("bigint")
+    out_raw = raw.select("doc_id", nr.alias("n_tokens_raw"))
+    out_bpe = applied.select("doc_id", nr.alias("n_tokens_bpe"))
+    return out_raw.join(out_bpe, "doc_id").select(
+        "doc_id",
+        "n_tokens_raw",
+        "n_tokens_bpe",
+        F.round(
+            F.col("n_tokens_bpe").cast("double") / F.col("n_tokens_raw"), 6
+        ).alias("compression"),
+    )

@@ -448,3 +448,16 @@ def test_bpe_train_rounds_are_aggs_plus_broadcast(spark, sf_dir):
     bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
     assert bnlj and all("BuildRight" in l for l in bnlj), plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bpe_apply_is_broadcast_recode_no_shuffle_on_apply(spark, sf_dir):
+    """text_bpe_apply: the apply side is a chain of 1-row broadcast
+    literal replaces over the per-doc strings — the only wide stages
+    are the tiny training aggs and the final doc_id join; no window,
+    no cartesian, every nested-loop a BuildRight 1-row broadcast."""
+    import re
+    plan = _plan(spark, sf_dir, "text_bpe_apply")
+    assert not re.search(r"\bWindow\b", plan), plan
+    assert "CartesianProduct" not in plan, plan
+    bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert bnlj and all("BuildRight" in l for l in bnlj), plan
