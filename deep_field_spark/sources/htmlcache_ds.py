@@ -27,6 +27,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -52,6 +53,9 @@ class HtmlCacheDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "HtmlCacheWriter":
         return HtmlCacheWriter(self.options)
+
+    def streamReader(self, schema) -> "HtmlCacheStreamReader":
+        return HtmlCacheStreamReader(self.options)
 
 
 class HtmlCacheReader(DataSourceReader):
@@ -137,3 +141,61 @@ class HtmlCacheWriter(DataSourceWriter):
         import shutil
 
         shutil.rmtree(self.tmp, ignore_errors=True)
+
+
+class HtmlCacheStreamReader(DataSourceStreamReader):
+    """Micro-batch streaming reader over the cache tree: the offset is
+    {page_type: files_consumed} over the NAME-SORTED file list per
+    type, so a crawl that keeps dropping pages into the cache becomes
+    a stream — each batch's partitions are exactly the newly arrived
+    files (one InputPartition each, executor-side reads), replayed
+    batches re-derive the same file slice from the same offsets, and
+    nothing is read twice. File listing is driver-side metadata only,
+    the same economics as a file-source's directory poll.
+
+    Caveat the offset contract imposes (and the reason real file
+    sources track names, not counts): files must arrive append-only
+    in name order per type — the sorted-prefix offset is what makes
+    (start, end] deterministic under replay.
+    """
+
+    def __init__(self, options) -> None:
+        root = options.get("path")
+        if not root:
+            raise ValueError("bbref_cache stream requires .option('path', root)")
+        self.root = root
+
+    def _files(self, t: str) -> list[str]:
+        d = os.path.join(self.root, t)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".shtml")
+        )
+
+    def initialOffset(self) -> dict:
+        return {t: 0 for t in PAGE_TYPES}
+
+    def latestOffset(self) -> dict:
+        return {t: len(self._files(t)) for t in PAGE_TYPES}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        parts = []
+        for t in PAGE_TYPES:
+            fs = self._files(t)
+            for fpath in fs[int(start.get(t, 0)): int(end.get(t, 0))]:
+                parts.append(InputPartition((t, fpath)))
+        if not parts:
+            parts.append(InputPartition(None))
+        return parts
+
+    def read(self, partition: InputPartition):
+        if partition.value is None:
+            return
+        page_type, fpath = partition.value
+        name_id = os.path.basename(fpath)[: -len(".shtml")]
+        with open(fpath, encoding="utf-8", newline="") as f:
+            yield (page_type, name_id, f.read())
+
+    def commit(self, end: dict) -> None:
+        pass

@@ -60,3 +60,49 @@ def test_datasource_write_roundtrip(spark, tmp_path):
     # no temp litter after commit
     import os
     assert not os.path.isdir(os.path.join(out, "._ds_tmp"))
+
+
+def test_datasource_streaming_incremental_batches(spark, tmp_path):
+    """Streaming form: files arriving between micro-batch triggers are
+    picked up exactly once — offsets are sorted-prefix counts per page
+    type, so each availableNow pass consumes precisely the new files."""
+    import os
+    import shutil
+
+    _register(spark)
+    root = str(tmp_path / "cache_stream")
+    gp = os.path.join(root, "GamePage")
+    os.makedirs(gp)
+    src_files = sorted(
+        f for f in os.listdir(os.path.join(RES, "GamePage")) if f.endswith(".shtml")
+    )
+    assert len(src_files) >= 3
+    shutil.copy(os.path.join(RES, "GamePage", src_files[0]), gp)
+
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            spark.readStream.format("bbref_cache").option("path", root).load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got1 = {r.name_id for r in spark.read.parquet(out).collect()}
+    assert got1 == {src_files[0][: -len(".shtml")]}
+
+    # two more pages "arrive"; the next drain reads ONLY them
+    shutil.copy(os.path.join(RES, "GamePage", src_files[1]), gp)
+    shutil.copy(os.path.join(RES, "GamePage", src_files[2]), gp)
+    drain()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 3  # no re-reads, no misses
+    assert {r.name_id for r in rows} == {
+        f[: -len(".shtml")] for f in src_files[:3]
+    }
