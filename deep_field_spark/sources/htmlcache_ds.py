@@ -28,6 +28,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -56,6 +57,9 @@ class HtmlCacheDataSource(DataSource):
 
     def streamReader(self, schema) -> "HtmlCacheStreamReader":
         return HtmlCacheStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> "HtmlCacheStreamWriter":
+        return HtmlCacheStreamWriter(self.options)
 
 
 class HtmlCacheReader(DataSourceReader):
@@ -199,3 +203,24 @@ class HtmlCacheStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+class HtmlCacheStreamWriter(DataSourceStreamWriter):
+    """Streaming write into the cache tree: batch semantics are the
+    same task-temp + atomic-rename promotion as HtmlCacheWriter, and
+    page identity (page_type, name_id) makes replayed micro-batches
+    idempotent — a re-committed batch overwrites its own pages, never
+    duplicates them (same contract as sinks.foreach_batch_merge_upsert,
+    keyed by file path instead of table key)."""
+
+    def __init__(self, options) -> None:
+        self._inner = HtmlCacheWriter(options)
+
+    def write(self, rows):
+        return self._inner.write(rows)
+
+    def commit(self, messages, batchId: int) -> None:
+        self._inner.commit([m for m in messages if m is not None])
+
+    def abort(self, messages, batchId: int) -> None:
+        self._inner.abort(messages)

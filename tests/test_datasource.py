@@ -106,3 +106,29 @@ def test_datasource_streaming_incremental_batches(spark, tmp_path):
     assert {r.name_id for r in rows} == {
         f[: -len(".shtml")] for f in src_files[:3]
     }
+
+
+def test_datasource_stream_writer_cache_to_cache(spark, tmp_path):
+    """All four quadrants at once: stream FROM one cache tree INTO
+    another through the custom format — pages land once, identical
+    bytes, no temp litter."""
+    import os
+
+    _register(spark)
+    out = str(tmp_path / "cache_copy")
+    ck = str(tmp_path / "ckw")
+    q = (
+        spark.readStream.format("bbref_cache").option("path", RES).load()
+        .writeStream.format("bbref_cache")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    src = spark.read.format("bbref_cache").option("path", RES).load()
+    dst = spark.read.format("bbref_cache").option("path", out).load()
+    a = sorted((r.page_type, r.name_id, len(r.html)) for r in src.collect())
+    b = sorted((r.page_type, r.name_id, len(r.html)) for r in dst.collect())
+    assert a == b and a
+    assert not os.path.isdir(os.path.join(out, "._ds_tmp"))
