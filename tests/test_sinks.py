@@ -315,3 +315,36 @@ def test_merge_upsert_property_vs_model(spark, sf_dir, tmp_path):
             assert got == model, (got, model, batch)
 
     prop()
+
+
+def test_merge_upsert_multi_column_partitions(spark, sf_dir, tmp_path):
+    """Two-level partitioning (source, lang): pruning filter, dynamic
+    overwrite, and emptied-partition cleanup all handle nested
+    partition directories."""
+    docs = table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_2part")
+    sinks.write_partitioned(docs, out, partition_cols=["source", "lang"])
+    row = docs.orderBy("doc_id").first()
+    # shrink one (source, lang) leaf to a single row, then delete it
+    solo = docs.filter(
+        (F.col("source") == row.source) & (F.col("lang") == row.lang)
+    ).limit(1)
+    sinks.write_partitioned(solo, out, partition_cols=["source", "lang"])
+    solo_id = solo.first().doc_id
+    updates = spark.createDataFrame(
+        [(solo_id, "", row.lang, row.source, 0, True),
+         (30_000_001, "NEW", "zz", "src_new2", 3, False)],
+        "doc_id long, text string, lang string, source string, n_chars long,"
+        " _deleted boolean",
+    )
+    stats = sinks.merge_upsert(
+        spark, out, updates, key_cols=["doc_id"],
+        partition_cols=["source", "lang"], delete_col="_deleted",
+    )
+    assert stats["partitions_deleted"] == 1
+    after = spark.read.parquet(out)
+    assert after.filter(F.col("doc_id") == solo_id).count() == 0
+    assert after.filter(F.col("doc_id") == 30_000_001).count() == 1
+    import os
+    assert not os.path.isdir(f"{out}/source={row.source}/lang={row.lang}")
+    assert os.path.isdir(f"{out}/source=src_new2/lang=zz")
