@@ -58,6 +58,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_incremental_batch",
     "dedup_incremental_minhash",
+    "curation_dedup_report",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_token_stats",

@@ -107,7 +107,10 @@ _PRIORITY = [
     # dedup family (dedup_exact rotated below after green r01-r04:
     # the incremental twin + pipeline-e2e keep digest-dedup in-window;
     # its slot funds the power-iteration spectral diagnostic)
-    "dedup_minhash_lsh", "dedup_components",
+    # (dedup_components rotated below after green r03+r04 rows — the
+    # round-5 dedup dashboard exercises the same components machinery
+    # end-to-end against the exact-closure oracle and takes the slot)
+    "dedup_minhash_lsh", "curation_dedup_report",
     # (simhash_pairs, embedding_cosine_exact and keep_canonical rotated
     # below after green r03 rows — the capped/bucketed scale-path twins
     # and the components clusterer they build on stay)

@@ -782,3 +782,90 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("cid").alias("dup_of"), F.round("jac", 6).alias("jaccard"))
     )
+
+
+# --- per-source dedup dashboard --------------------------------------
+
+
+@register(
+    "curation_dedup_report",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CAND_CTE},
+    {_COMPONENTS_CLOSURE},
+    dg AS (SELECT doc_id, source, md5(text) AS digest FROM documents),
+    keep AS (SELECT digest, min(doc_id) AS keeper FROM dg GROUP BY 1),
+    fe AS (SELECT d.doc_id, d.source,
+                  CASE WHEN d.doc_id <> k.keeper THEN 1 ELSE 0 END AS is_exact
+           FROM dg d JOIN keep k USING (digest)),
+    champ AS (SELECT component, min(doc_id) AS champ, count(*) AS sz
+              FROM comp GROUP BY 1),
+    fn_ AS (SELECT c.doc_id,
+                   CASE WHEN c.doc_id <> ch.champ THEN 1 ELSE 0 END AS is_near
+            FROM comp c JOIN champ ch USING (component) WHERE ch.sz > 1),
+    fl AS (SELECT e.doc_id, e.source, e.is_exact,
+                  coalesce(n.is_near, 0) AS is_near
+           FROM fe e LEFT JOIN fn_ n USING (doc_id))
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_exact) AS BIGINT) AS n_exact_dup,
+           CAST(sum(is_near) AS BIGINT) AS n_near_dup,
+           CAST(sum(CASE WHEN is_exact = 1 OR is_near = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removable,
+           round(CAST(sum(CASE WHEN is_exact = 1 OR is_near = 1
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS removable_rate
+    FROM fl GROUP BY 1
+    """,
+    doc="Per-source dedup dashboard — the number a curation run "
+        "reports before anything is dropped: how many of each "
+        "source's documents are removable as exact duplicates "
+        "(non-keeper of their content digest) or near-duplicates "
+        "(non-canonical member of a MinHash connected component), "
+        "and the combined removable rate. Composes the existing "
+        "machinery end-to-end: digest groupBy, LSH candidate pairs, "
+        "exact-Jaccard verify, pointer-jumping components — then one "
+        "per-doc flag join and a #sources-row rollup. The oracle "
+        "replays the full chain including the exact recursive-CTE "
+        "closure, so the dashboard is hash-checked against ground "
+        "truth, not against our own clustering.",
+)
+def curation_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    dg = docs.select("doc_id", "source", F.md5("text").alias("digest"))
+    keep = dg.groupBy("digest").agg(F.min("doc_id").alias("keeper"))
+    fe = dg.join(keep, "digest").select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") != F.col("keeper"), 1).otherwise(0).alias("is_exact"),
+    )
+    pairs = D.minhash_lsh_pairs(
+        docs, "text", "doc_id",
+        ngram=NGRAM, num_hashes=NUM_HASHES, bands=BANDS,
+        threshold=MINHASH_THRESHOLD,
+    )
+    comp = connected_components(pairs)
+    champ = comp.groupBy("comp").agg(
+        F.min("v").alias("champ"), F.count("*").alias("sz")
+    )
+    fn = (
+        comp.join(champ, "comp")
+        .filter(F.col("sz") > 1)
+        .select(
+            F.col("v").alias("doc_id"),
+            F.when(F.col("v") != F.col("champ"), 1).otherwise(0).alias("is_near"),
+        )
+    )
+    fl = fe.join(fn, "doc_id", "left").select(
+        "doc_id", "source", "is_exact", F.coalesce("is_near", F.lit(0)).alias("is_near")
+    )
+    either = F.when((F.col("is_exact") == 1) | (F.col("is_near") == 1), 1).otherwise(0)
+    return fl.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("is_exact").alias("n_exact_dup"),
+        F.sum("is_near").alias("n_near_dup"),
+        F.sum(either).alias("n_removable"),
+        F.round(F.sum(either).cast("double") / F.count("*"), 6).alias(
+            "removable_rate"
+        ),
+    )

@@ -461,3 +461,14 @@ def test_bpe_apply_is_broadcast_recode_no_shuffle_on_apply(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
     assert bnlj and all("BuildRight" in l for l in bnlj), plan
+
+
+def test_dedup_report_hash_joins_and_source_rollup(spark, sf_dir):
+    """curation_dedup_report: digest/keeper/flag joins are hash
+    equi-joins, the near-dup side rides the components loop (already
+    pinned), and the rollup is a partial/final agg to #sources rows.
+    No cartesian, no nested loop."""
+    plan = _plan(spark, sf_dir, "curation_dedup_report")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan[plan.index("Exchange"):]
