@@ -39,6 +39,7 @@ HEADLINE = [
     "window_running_total",
     "window_rank_lag",
     "rollup_flag_status",
+    "unpivot_part_metrics",
     "cube_status_priority",
     "distinct_counts",
     "set_ops_customers",

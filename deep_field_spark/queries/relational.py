@@ -770,6 +770,35 @@ def pivot_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("l_returnflag", _r2(F.col("O")).alias("O"), _r2(F.col("F")).alias("F"))
 
 
+@register(
+    "unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric,
+           round(CAST(p_size AS DOUBLE), 2) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice',
+           round(CAST(p_retailprice AS DOUBLE), 2)
+    FROM part
+    """,
+    doc="Unpivot (melt) — pivot's inverse, completing the reshaping "
+        "parity pair: wide per-part metric columns become (metric, "
+        "value) rows via the native unpivot operator (Expand node — "
+        "each input row fans out to one row per metric with no "
+        "shuffle, the same shape sliding windows use).",
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    out = part.unpivot(
+        ["p_partkey"], ["p_size", "p_retailprice"], "metric", "value"
+    )
+    return out.select("p_partkey", "metric", _r2(F.col("value")).alias("value"))
+
+
 # ---------------------------------------------------------- set ops
 @register(
     "set_ops_customers",
