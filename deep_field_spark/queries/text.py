@@ -842,173 +842,42 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- BPE tokenizer training (first merges) ---------------------------
+
+# --- BPE tokenizer training + application ----------------------------
 
 BPE_MERGES = 3  # fixed merge count so the oracle replays the loop
 
+# Train and apply share ONE implementation of the merge-learning round
+# (Spark side) and ONE CTE builder (oracle side): the apply query's
+# "same winners, hash-identical" contract depends on the two paths
+# never diverging, so neither is allowed its own copy of the loop.
 
-def _bpe_oracle() -> str:
-    """Unrolled DuckDB twin of the BPE merge loop: pair-count CTE →
-    top-merge CTE → literal replace, repeated BPE_MERGES times."""
-    parts = [
-        f"d0 AS (SELECT ' ' || array_to_string({TOKS_SQL}, ' ') || ' ' AS s"
-        "       FROM documents WHERE regexp_matches(text, '\\S'))"
-    ]
-    for i in range(1, BPE_MERGES + 1):
-        parts.append(
-            f"""t{i} AS (SELECT string_split(trim(s), ' ') AS w FROM d{i - 1}),
-    p{i} AS (SELECT unnest(list_transform(range(1, len(w)),
-                    j -> w[j] || ' ' || w[j+1])) AS pair
-             FROM t{i} WHERE len(w) >= 2),
-    c{i} AS (SELECT pair, CAST(count(*) AS BIGINT) AS n
-             FROM p{i} GROUP BY 1),
-    m{i} AS (SELECT pair, n FROM c{i} ORDER BY n DESC, pair LIMIT 1),
-    d{i} AS (SELECT replace(s, ' ' || m{i}.pair || ' ',
-                    ' ' || replace(m{i}.pair, ' ', chr(1)) || ' ') AS s
-             FROM d{i - 1}, m{i})"""
-        )
-    union = "\n    UNION ALL ".join(
-        f"SELECT {i} AS merge_rank, pair, n FROM m{i}"
-        for i in range(1, BPE_MERGES + 1)
+
+def _bpe_recode(col, pair=None):
+    """Literal recode of the winning pair inside a padded token string
+    (merged tokens joined with a \x01 marker, which cannot occur in
+    whitespace tokens)."""
+    pair = F.col("pair") if pair is None else pair
+    return F.replace(
+        col,
+        F.concat(F.lit(" "), pair, F.lit(" ")),
+        F.concat(
+            F.lit(" "),
+            F.replace(pair, F.lit(" "), F.lit("\x01")),
+            F.lit(" "),
+        ),
     )
-    return "WITH " + ",\n    ".join(parts) + "\n    " + union
 
 
-@register(
-    "text_bpe_train",
-    oracle=_bpe_oracle(),
-    doc=f"Distributed BPE tokenizer training — the first {BPE_MERGES} "
-        "merge rules learned from the corpus, the data side of "
-        "tokenizer construction (the merge table IS the tokenizer). "
-        "Each round is: adjacent-pair partial/final count agg → "
-        "1-row TakeOrdered top merge (max count, lexicographic "
-        "tie-break) broadcast back → literal-replace of the winning "
-        "pair (merged tokens joined with a \\x01 marker that cannot "
-        "occur in whitespace tokens). Every stage is scan-speed "
-        "column work + one tiny agg per round; production training "
-        "batches non-overlapping merges per round to cut iterations "
-        "— same plan shape, fewer passes. The oracle unrolls the "
-        "identical loop in DuckDB CTEs, so the learned rules are "
-        "hash-checked, not just plausible.",
-)
-def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_rounds(s):
+    """Generator of (winner, recoded_s) per merge round over a frame
+    with a single padded-string column ``s``. The winner is the
+    (pair, n) row with the max count, lexicographic tie-break; both
+    the winner and the recoded corpus persist because each feeds two
+    consumers (output + next round / train + apply) and real BPE
+    trainers materialize the recoded corpus per merge batch anyway."""
     from pyspark import StorageLevel
 
-    docs = spread(table(spark, sf_dir, "documents"))
-    s = docs.filter(texting.has_tokens("text")).select(
-        F.concat(
-            F.lit(" "), F.array_join(texting.tokens(F.col("text")), " "), F.lit(" ")
-        ).alias("s")
-    )
-    merges = []
-    for i in range(1, BPE_MERGES + 1):
-        # each round's winner feeds two consumers (the output union and
-        # the next recode) and the recoded corpus feeds the next count
-        # — persist both or round k re-executes every earlier round's
-        # aggregation through the lineage. Real BPE trainers materialize
-        # the recoded corpus per merge batch for exactly this reason.
-        s = s.persist(StorageLevel.MEMORY_AND_DISK)
-        w = F.split(F.trim("s"), " ")
-        pairs = s.select(
-            F.explode(
-                F.when(
-                    F.size(w) >= 2,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(w) - 1),
-                        lambda j: F.concat(
-                            F.element_at(w, j), F.lit(" "), F.element_at(w, j + 1)
-                        ),
-                    ),
-                )
-            ).alias("pair")
-        )
-        c = pairs.groupBy("pair").agg(F.count("*").alias("n"))
-        m = c.orderBy(F.desc("n"), F.asc("pair")).limit(1).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        merges.append(m.select(F.lit(i).alias("merge_rank"), "pair", "n"))
-        s = s.crossJoin(F.broadcast(m)).select(
-            F.replace(
-                F.col("s"),
-                F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
-                F.concat(
-                    F.lit(" "),
-                    F.replace(F.col("pair"), F.lit(" "), F.lit("\x01")),
-                    F.lit(" "),
-                ),
-            ).alias("s")
-        )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
-
-
-def _bpe_apply_oracle() -> str:
-    """Unrolled twin of the apply pass: learn the merge table exactly
-    as _bpe_oracle does, then recode per-doc strings and count."""
-    parts = [
-        f"raw AS (SELECT doc_id, ' ' || array_to_string({TOKS_SQL}, ' ') || ' ' AS s"
-        "        FROM documents WHERE regexp_matches(text, '\\S'))",
-        "d0 AS (SELECT s FROM raw)",
-    ]
-    for i in range(1, BPE_MERGES + 1):
-        parts.append(
-            f"""t{i} AS (SELECT string_split(trim(s), ' ') AS w FROM d{i - 1}),
-    p{i} AS (SELECT unnest(list_transform(range(1, len(w)),
-                    j -> w[j] || ' ' || w[j+1])) AS pair
-             FROM t{i} WHERE len(w) >= 2),
-    c{i} AS (SELECT pair, CAST(count(*) AS BIGINT) AS n
-             FROM p{i} GROUP BY 1),
-    m{i} AS (SELECT pair, n FROM c{i} ORDER BY n DESC, pair LIMIT 1),
-    d{i} AS (SELECT replace(s, ' ' || m{i}.pair || ' ',
-                    ' ' || replace(m{i}.pair, ' ', chr(1)) || ' ') AS s
-             FROM d{i - 1}, m{i}),
-    a{i} AS (SELECT doc_id, replace(s, ' ' || m{i}.pair || ' ',
-                    ' ' || replace(m{i}.pair, ' ', chr(1)) || ' ') AS s
-             FROM {"raw" if i == 1 else f"a{i - 1}"}, m{i})"""
-        )
-    return (
-        "WITH "
-        + ",\n    ".join(parts)
-        + f"""
-    SELECT r.doc_id,
-           CAST(len(string_split(trim(r.s), ' ')) AS BIGINT) AS n_tokens_raw,
-           CAST(len(string_split(trim(a.s), ' ')) AS BIGINT) AS n_tokens_bpe,
-           round(CAST(len(string_split(trim(a.s), ' ')) AS DOUBLE)
-                 / len(string_split(trim(r.s), ' ')), 6) AS compression
-    FROM raw r JOIN a{BPE_MERGES} a USING (doc_id)"""
-    )
-
-
-@register(
-    "text_bpe_apply",
-    oracle=_bpe_apply_oracle(),
-    doc="Tokenizer application — the other half of text_bpe_train: "
-        "recode every document with the learned merge table and "
-        "report per-doc token counts before/after plus the "
-        "compression ratio (the number a tokenizer exists to "
-        "improve). The merge table is learned from the corpus-level "
-        "recode chain exactly as in training (same winners, "
-        "hash-identical), then applied per doc as a chain of "
-        f"{BPE_MERGES} broadcast literal replaces — scan-speed, no "
-        "shuffle on the apply side at all; only the tiny training "
-        "aggs are wide. At scale the merge table is thousands of "
-        "rules applied in one pandas pass instead of chained "
-        "replaces — same broadcast-and-recode shape.",
-)
-def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
-
-    docs = spread(table(spark, sf_dir, "documents"))
-    raw = docs.filter(texting.has_tokens("text")).select(
-        "doc_id",
-        F.concat(
-            F.lit(" "), F.array_join(texting.tokens(F.col("text")), " "), F.lit(" ")
-        ).alias("s"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    s = raw.select("s")
-    applied = raw
     for _ in range(BPE_MERGES):
         s = s.persist(StorageLevel.MEMORY_AND_DISK)
         w = F.split(F.trim("s"), " ")
@@ -1030,18 +899,126 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("n"), F.asc("pair")).limit(1)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        recode = lambda col: F.replace(
-            col,
-            F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
-            F.concat(
-                F.lit(" "),
-                F.replace(F.col("pair"), F.lit(" "), F.lit("\x01")),
-                F.lit(" "),
-            ),
+        s = s.crossJoin(F.broadcast(m)).select(_bpe_recode(F.col("s")).alias("s"))
+        yield m, s
+
+
+def _bpe_corpus_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"))
+    return docs.filter(texting.has_tokens("text")).select(
+        "doc_id",
+        F.concat(
+            F.lit(" "), F.array_join(texting.tokens(F.col("text")), " "), F.lit(" ")
+        ).alias("s"),
+    )
+
+
+def _bpe_round_sql(i: int) -> str:
+    """One DuckDB merge round: pair counts over d{i-1} → winner m{i}
+    → corpus recode d{i}. Shared verbatim by both oracles."""
+    return f"""t{i} AS (SELECT string_split(trim(s), ' ') AS w FROM d{i - 1}),
+    p{i} AS (SELECT unnest(list_transform(range(1, len(w)),
+                    j -> w[j] || ' ' || w[j+1])) AS pair
+             FROM t{i} WHERE len(w) >= 2),
+    c{i} AS (SELECT pair, CAST(count(*) AS BIGINT) AS n
+             FROM p{i} GROUP BY 1),
+    m{i} AS (SELECT pair, n FROM c{i} ORDER BY n DESC, pair LIMIT 1),
+    d{i} AS (SELECT replace(s, ' ' || m{i}.pair || ' ',
+                    ' ' || replace(m{i}.pair, ' ', chr(1)) || ' ') AS s
+             FROM d{i - 1}, m{i})"""
+
+
+_BPE_RAW_CTE = (
+    f"raw AS (SELECT doc_id, ' ' || array_to_string({TOKS_SQL}, ' ') || ' ' AS s"
+    "        FROM documents WHERE regexp_matches(text, '\\S'))"
+)
+
+
+def _bpe_oracle() -> str:
+    parts = [_BPE_RAW_CTE, "d0 AS (SELECT s FROM raw)"]
+    parts += [_bpe_round_sql(i) for i in range(1, BPE_MERGES + 1)]
+    union = "\n    UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, pair, n FROM m{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + union
+
+
+def _bpe_apply_oracle() -> str:
+    parts = [_BPE_RAW_CTE, "d0 AS (SELECT s FROM raw)"]
+    for i in range(1, BPE_MERGES + 1):
+        parts.append(_bpe_round_sql(i))
+        src = "raw" if i == 1 else f"a{i - 1}"
+        parts.append(
+            f"""a{i} AS (SELECT doc_id, replace(s, ' ' || m{i}.pair || ' ',
+                    ' ' || replace(m{i}.pair, ' ', chr(1)) || ' ') AS s
+             FROM {src}, m{i})"""
         )
-        s = s.crossJoin(F.broadcast(m)).select(recode(F.col("s")).alias("s"))
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT r.doc_id,
+           CAST(len(string_split(trim(r.s), ' ')) AS BIGINT) AS n_tokens_raw,
+           CAST(len(string_split(trim(a.s), ' ')) AS BIGINT) AS n_tokens_bpe,
+           round(CAST(len(string_split(trim(a.s), ' ')) AS DOUBLE)
+                 / len(string_split(trim(r.s), ' ')), 6) AS compression
+    FROM raw r JOIN a{BPE_MERGES} a USING (doc_id)"""
+    )
+
+
+@register(
+    "text_bpe_train",
+    oracle=_bpe_oracle(),
+    doc=f"Distributed BPE tokenizer training — the first {BPE_MERGES} "
+        "merge rules learned from the corpus, the data side of "
+        "tokenizer construction (the merge table IS the tokenizer). "
+        "Each round is: adjacent-pair partial/final count agg → "
+        "1-row TakeOrdered top merge (max count, lexicographic "
+        "tie-break) broadcast back → literal-replace of the winning "
+        "pair (merged tokens joined with a \\x01 marker that cannot "
+        "occur in whitespace tokens). Every stage is scan-speed "
+        "column work + one tiny agg per round; production training "
+        "batches non-overlapping merges per round to cut iterations "
+        "— same plan shape, fewer passes. The oracle unrolls the "
+        "identical loop in DuckDB CTEs, so the learned rules are "
+        "hash-checked, not just plausible.",
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _bpe_corpus_strings(spark, sf_dir).select("s")
+    merges = []
+    for i, (m, _s) in enumerate(_bpe_rounds(s), start=1):
+        merges.append(m.select(F.lit(i).alias("merge_rank"), "pair", "n"))
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+@register(
+    "text_bpe_apply",
+    oracle=_bpe_apply_oracle(),
+    doc="Tokenizer application — the other half of text_bpe_train: "
+        "recode every document with the learned merge table and "
+        "report per-doc token counts before/after plus the "
+        "compression ratio (the number a tokenizer exists to "
+        "improve). The merge winners come from the SAME _bpe_rounds "
+        "loop the trainer runs (one implementation, so the two "
+        "queries cannot diverge), then apply per doc as a chain of "
+        f"{BPE_MERGES} broadcast literal replaces — scan-speed, no "
+        "shuffle on the apply side at all; only the tiny training "
+        "aggs are wide. At scale the merge table is thousands of "
+        "rules applied in one pandas pass instead of chained "
+        "replaces — same broadcast-and-recode shape.",
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    raw = _bpe_corpus_strings(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    applied = raw
+    for m, _s in _bpe_rounds(raw.select("s")):
         applied = applied.crossJoin(F.broadcast(m)).select(
-            "doc_id", recode(F.col("s")).alias("s")
+            "doc_id", _bpe_recode(F.col("s")).alias("s")
         )
     nr = F.size(F.split(F.trim("s"), " ")).cast("bigint")
     out_raw = raw.select("doc_id", nr.alias("n_tokens_raw"))

@@ -262,13 +262,33 @@ def merge_upsert(
 
     upserts = updates
     if delete_col is not None:
-        upserts = updates.filter(~F.col(delete_col)).drop(delete_col)
+        # NULL flag means "not deleted": a bare ~col(delete_col) is
+        # NULL for NULL flags and the filter would silently drop the
+        # row from the upsert side while its key still anti-joins the
+        # target — the row would vanish instead of upserting
+        upserts = updates.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
         keys = updates.select(*key_cols).distinct()
     else:
         keys = upserts.select(*key_cols).distinct()
 
     target = spark.read.parquet(path)
     parts = {tuple(r) for r in updates.select(*partition_cols).distinct().collect()}
+    # the emptied-partition cleanup below reconstructs directory names
+    # as literal f"{col}={value}"; Spark escapes special characters in
+    # partition paths and writes NULLs as __HIVE_DEFAULT_PARTITION__,
+    # where that reconstruction (and the literal pruning filter) would
+    # silently miss — fail loudly instead of corrupting
+    for vals in parts:
+        for v in vals:
+            if v is None or not str(v).replace("-", "").replace("_", "").replace(
+                ".", ""
+            ).isalnum():
+                raise ValueError(
+                    f"partition value {v!r} is null or needs path escaping; "
+                    "merge_upsert requires path-safe, non-null partition values"
+                )
     if not partition_stable_keys:
         # key-locate pre-pass: matched keys may live in partitions the
         # updates don't name — add those to the rewrite set
@@ -349,21 +369,33 @@ def foreach_batch_merge_upsert(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # merge_upsert runs several independent jobs over its updates
+        # (partition collect, output-partition collect, the write); an
+        # unpersisted window-over-shuffle is re-evaluated per job and
+        # row_number over tied (key, seq) pairs can pick DIFFERENT
+        # winners each time — the touched-partition list and the
+        # written rows could then disagree. Persisting pins ONE
+        # outcome for all consumers; equal-seq ties remain arbitrary
+        # (as in any CDC apply) but are now internally consistent.
         w = Window.partitionBy(*key_cols).orderBy(F.desc(seq_col))
         latest = (
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn", seq_col)
+            .persist()
         )
-        merge_upsert(
-            batch_df.sparkSession,
-            path,
-            latest,
-            key_cols=key_cols,
-            partition_cols=partition_cols,
-            delete_col=delete_col,
-            check_unique=False,  # uniqueness holds by construction
-        )
+        try:
+            merge_upsert(
+                batch_df.sparkSession,
+                path,
+                latest,
+                key_cols=key_cols,
+                partition_cols=partition_cols,
+                delete_col=delete_col,
+                check_unique=False,  # uniqueness holds by construction
+            )
+        finally:
+            latest.unpersist()
 
     return (
         stream_df.writeStream.foreachBatch(_apply)

@@ -53,7 +53,7 @@ class HtmlCacheDataSource(DataSource):
         return HtmlCacheReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> "HtmlCacheWriter":
-        return HtmlCacheWriter(self.options)
+        return HtmlCacheWriter(self.options, overwrite=overwrite)
 
     def streamReader(self, schema) -> "HtmlCacheStreamReader":
         return HtmlCacheStreamReader(self.options)
@@ -109,12 +109,20 @@ class HtmlCacheWriter(DataSourceWriter):
     discards — the two-phase commit every file sink needs so a failed
     or speculative task never leaves half-written cache files."""
 
-    def __init__(self, options) -> None:
+    def __init__(self, options, overwrite: bool = False) -> None:
+        import uuid
+
         root = options.get("path")
         if not root:
             raise ValueError("bbref_cache write requires .option('path', cache_root)")
         self.root = root
-        self.tmp = os.path.join(root, "._ds_tmp")
+        self.overwrite = overwrite
+        # per-writer staging dir (uuid minted driver-side, shipped to
+        # executors with the pickled writer): two concurrent writes to
+        # the same root stage in DIFFERENT directories, so one job's
+        # commit/abort rmtree cannot clobber the other's in-flight
+        # task files
+        self.tmp = os.path.join(root, f"._ds_tmp_{uuid.uuid4().hex}")
 
     def write(self, rows):
         import uuid
@@ -134,6 +142,16 @@ class HtmlCacheWriter(DataSourceWriter):
     def commit(self, messages):
         import shutil
 
+        if self.overwrite:
+            # mode("overwrite") contract: the committed frame REPLACES
+            # the cache — clear existing pages (driver-side, before
+            # promotion) so stale files don't read back as live data
+            for t in PAGE_TYPES:
+                d = os.path.join(self.root, t)
+                if os.path.isdir(d):
+                    for f in os.listdir(d):
+                        if f.endswith(".shtml"):
+                            os.remove(os.path.join(d, f))
         for m in messages:
             for task_dir, rel in m.files:
                 dst = os.path.join(self.root, rel)
@@ -168,6 +186,10 @@ class HtmlCacheStreamReader(DataSourceStreamReader):
         if not root:
             raise ValueError("bbref_cache stream requires .option('path', root)")
         self.root = root
+        # honor the same pagetype filter as the batch reader — the
+        # offset dict simply only carries the requested types
+        want = options.get("pagetype")
+        self.types = (want,) if want else PAGE_TYPES
 
     def _files(self, t: str) -> list[str]:
         d = os.path.join(self.root, t)
@@ -178,14 +200,14 @@ class HtmlCacheStreamReader(DataSourceStreamReader):
         )
 
     def initialOffset(self) -> dict:
-        return {t: 0 for t in PAGE_TYPES}
+        return {t: 0 for t in self.types}
 
     def latestOffset(self) -> dict:
-        return {t: len(self._files(t)) for t in PAGE_TYPES}
+        return {t: len(self._files(t)) for t in self.types}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         parts = []
-        for t in PAGE_TYPES:
+        for t in self.types:
             fs = self._files(t)
             for fpath in fs[int(start.get(t, 0)): int(end.get(t, 0))]:
                 parts.append(InputPartition((t, fpath)))

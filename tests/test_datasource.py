@@ -132,3 +132,37 @@ def test_datasource_stream_writer_cache_to_cache(spark, tmp_path):
     b = sorted((r.page_type, r.name_id, len(r.html)) for r in dst.collect())
     assert a == b and a
     assert not os.path.isdir(os.path.join(out, "._ds_tmp"))
+
+
+def test_datasource_write_overwrite_replaces_cache(spark, tmp_path):
+    """mode('overwrite') must REPLACE the cache: pages absent from the
+    written frame do not survive."""
+    import os
+
+    _register(spark)
+    out = str(tmp_path / "cache_ovw")
+    full = spark.read.format("bbref_cache").option("path", RES).option(
+        "pagetype", "GamePage"
+    ).load()
+    full.write.format("bbref_cache").option("path", out).mode("append").save()
+    n_full = spark.read.format("bbref_cache").option("path", out).load().count()
+    one = full.orderBy("name_id").limit(1)
+    one.write.format("bbref_cache").option("path", out).mode("overwrite").save()
+    back = spark.read.format("bbref_cache").option("path", out).load().collect()
+    assert n_full > 1 and len(back) == 1
+    assert back[0].name_id == one.first().name_id
+
+
+def test_datasource_stream_honors_pagetype(spark, tmp_path):
+    _register(spark)
+    out = str(tmp_path / "st_out")
+    ck = str(tmp_path / "st_ck")
+    q = (
+        spark.readStream.format("bbref_cache").option("path", RES)
+        .option("pagetype", "SchedulePage").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert rows and all(r.page_type == "SchedulePage" for r in rows)

@@ -132,7 +132,7 @@ def test_merge_upsert_copy_on_write(spark, sf_dir, tmp_path):
     srcs = sorted(r.source for r in docs.select("source").distinct().collect())
     s_upd, s_solo, s_quiet = srcs[0], srcs[1], srcs[2]
     # shrink s_solo to one row so a single delete empties the partition
-    solo = docs.filter(F.col("source") == s_solo).limit(1)
+    solo = docs.filter(F.col("source") == s_solo).orderBy("doc_id").limit(1)
     sinks.write_partitioned(solo, out, partition_cols=["source"])
     solo_id = solo.first().doc_id
     quiet_files = sorted(glob.glob(f"{out}/source={s_quiet}/*.parquet"))
@@ -328,7 +328,7 @@ def test_merge_upsert_multi_column_partitions(spark, sf_dir, tmp_path):
     # shrink one (source, lang) leaf to a single row, then delete it
     solo = docs.filter(
         (F.col("source") == row.source) & (F.col("lang") == row.lang)
-    ).limit(1)
+    ).orderBy("doc_id").limit(1)
     sinks.write_partitioned(solo, out, partition_cols=["source", "lang"])
     solo_id = solo.first().doc_id
     updates = spark.createDataFrame(
@@ -348,3 +348,44 @@ def test_merge_upsert_multi_column_partitions(spark, sf_dir, tmp_path):
     import os
     assert not os.path.isdir(f"{out}/source={row.source}/lang={row.lang}")
     assert os.path.isdir(f"{out}/source=src_new2/lang=zz")
+
+
+def test_merge_upsert_null_delete_flag_is_upsert(spark, sf_dir, tmp_path):
+    """A NULL delete flag must mean 'not deleted': the row upserts
+    instead of silently vanishing (a bare ~col(flag) filter is NULL
+    for NULL flags and would drop the row from the upsert side while
+    its key still anti-joins the target)."""
+    docs = table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_nullflag")
+    sinks.write_partitioned(docs, out, partition_cols=["source"])
+    row = docs.orderBy("doc_id").first()
+    updates = spark.createDataFrame(
+        [(row.doc_id, "NULLFLAG UPSERT", row.lang, row.source, 9, None)],
+        "doc_id long, text string, lang string, source string, n_chars long,"
+        " _deleted boolean",
+    )
+    sinks.merge_upsert(
+        spark, out, updates, key_cols=["doc_id"], partition_cols=["source"],
+        delete_col="_deleted",
+    )
+    got = spark.read.parquet(out).filter(F.col("doc_id") == row.doc_id).collect()
+    assert len(got) == 1 and got[0].text == "NULLFLAG UPSERT"
+
+
+def test_merge_upsert_rejects_unsafe_partition_values(spark, sf_dir, tmp_path):
+    """Partition values that Spark would path-escape (or NULLs) must
+    raise instead of silently missing the pruning filter and the
+    emptied-directory cleanup."""
+    import pytest
+
+    docs = table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_unsafe")
+    sinks.write_partitioned(docs, out, partition_cols=["source"])
+    bad = spark.createDataFrame(
+        [(90_000_001, "X", "xx", "a=b", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with pytest.raises(ValueError, match="path-safe"):
+        sinks.merge_upsert(
+            spark, out, bad, key_cols=["doc_id"], partition_cols=["source"]
+        )
