@@ -149,6 +149,7 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
 
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
         json.dumps(
             {
@@ -156,7 +157,22 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+            }
+        )
+    )
+    # Tail-proof headline: the full per-query line above exceeds the
+    # driver's bounded tail capture at 80+ queries (BENCH_r05 parsed
+    # null). Print a compact machine-readable line LAST so the tail
+    # always retains the headline number.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "n_queries": len(timings),
+                "sf": sf_val,
             }
         )
     )

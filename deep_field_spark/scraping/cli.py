@@ -18,8 +18,8 @@ Differences by design:
     order, dataset-parallel.
 
 Parity pieces:
-  - F16 year-range validation (scraper.py:26-32): 1871 ≤ start ≤ end
-    ≤ current year, else exit 2.
+  - F16 year-range validation (scraper.py:26-32): 1920 ≤ start ≤ end
+    ≤ current year (EARLIEST_YEAR = 1920, scraper.py:11), else exit 2.
   - db-name sanitization (script_utils.py:29-39): basename only,
     ``.db`` suffix enforced.
   - Crawl-delay guardrail (scraper.py:34-44): delays below 3.0 s warn
@@ -36,12 +36,14 @@ import datetime
 import os
 import sys
 
-MIN_YEAR = 1871  # first professional season the reference accepts
+# Earliest season the reference accepts: EARLIEST_YEAR = 1920
+# (/root/reference/deepfield/scraper.py:11 — the live-ball era start).
+MIN_YEAR = 1920
 MIN_CRAWL_DELAY = 3.0
 
 
 def validate_years(start: int, end: int | None) -> tuple[int, int]:
-    """F16: inclusive [start, end] bounded to [1871, current year]."""
+    """F16: inclusive [start, end] bounded to [1920, current year]."""
     end = start if end is None else end
     this_year = datetime.date.today().year
     if not (MIN_YEAR <= start <= end <= this_year):
@@ -117,6 +119,13 @@ def main(argv: list[str] | None = None) -> int:
             fetch_fn=default_fetcher() if args.online else None,
             crawl_delay=crawl_delay,
         )
+    except KeyboardInterrupt:
+        # E5 parity with the reference's graceful ^C exit
+        # (/root/reference/deepfield/scraper.py:50-54 "Ending scrape").
+        # The idempotent upserts + anti-join frontier make any partial
+        # scrape safe to resume by rerunning the same command.
+        print("Ending scrape (interrupted); rerun to resume", file=sys.stderr)
+        return 130
     finally:
         spark.stop()
     counters["crawl_delay_secs"] = crawl_delay

@@ -377,8 +377,13 @@ def resolve_plays(parsed_games: DataFrame, players_dim: DataFrame) -> DataFrame:
             F.col("side").alias(f"{role}_k_side"),
             F.col("roster_name").alias(f"{role}_known"),
         )
+        # No broadcast hint: `k` is keyed by game_name_id and grows
+        # linearly with the number of games (~40 rows/game; a full-
+        # history backfill is ~10M rows). The join is a clean
+        # (game, side, name) equi-join, so AQE picks broadcast at
+        # fixture scale and shuffle-hash at backfill scale on its own.
         plays = plays.join(
-            F.broadcast(k),
+            k,
             (F.col("game_name_id") == F.col(f"{role}_k_game"))
             & (F.col(f"{role}_side") == F.col(f"{role}_k_side"))
             & (F.col(role) == F.col(f"{role}_known")),
@@ -420,8 +425,10 @@ def resolve_plays(parsed_games: DataFrame, players_dim: DataFrame) -> DataFrame:
             F.col("roster_name").alias(f"{role}_m_name"),
             F.col("ids").alias(f"{role}_ids"),
         )
+        # Same as the `k` probe above: per-game-keyed, unbounded growth
+        # with games scraped — never force a broadcast here.
         plays = plays.join(
-            F.broadcast(m),
+            m,
             (F.col("game_name_id") == F.col(f"{role}_m_game"))
             & (F.col(f"{role}_side") == F.col(f"{role}_m_side"))
             & (F.col(f"eff_{role}") == F.col(f"{role}_m_name")),

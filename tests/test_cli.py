@@ -20,9 +20,14 @@ class TestArgValidation:
     def test_year_bounds(self):
         assert cli.validate_years(2017, None) == (2017, 2017)
         assert cli.validate_years(1990, 2000) == (1990, 2000)
-        for bad in [(1870, None), (2017, 2016), (1999, 3000)]:
+        for bad in [(1870, None), (1919, None), (2017, 2016), (1999, 3000)]:
             with pytest.raises(ValueError):
                 cli.validate_years(*bad)
+
+    def test_min_year_matches_reference(self):
+        # /root/reference/deepfield/scraper.py:11 EARLIEST_YEAR = 1920
+        assert cli.MIN_YEAR == 1920
+        assert cli.validate_years(1920, None) == (1920, 1920)
 
     def test_year_upper_bound_is_current_year(self):
         y = datetime.date.today().year
@@ -48,6 +53,25 @@ class TestArgValidation:
 
     def test_main_rejects_bad_years(self):
         assert cli.main(["1870"]) == 2
+
+    def test_main_traps_keyboard_interrupt(self, monkeypatch, capsys):
+        """E5: ^C mid-scrape exits cleanly with the reference's
+        'Ending scrape' message (scraper.py:50-54) instead of a
+        traceback; resume works by rerunning (idempotent upserts)."""
+        import deep_field_spark.session as sess
+        import deep_field_spark.scraping.orchestrate as orch
+
+        class _FakeSpark:
+            def stop(self):
+                pass
+
+        def _boom(*a, **k):
+            raise KeyboardInterrupt
+
+        monkeypatch.setattr(sess, "get_spark", lambda *a, **k: _FakeSpark())
+        monkeypatch.setattr(orch, "scrape_from_cache", _boom)
+        assert cli.main(["2017"]) == 130
+        assert "Ending scrape" in capsys.readouterr().err
 
 
 def test_cli_year_scoped_run(spark, tmp_path):

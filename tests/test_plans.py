@@ -472,3 +472,53 @@ def test_dedup_report_hash_joins_and_source_rollup(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "HashAggregate" in plan[plan.index("Exchange"):]
+
+
+def test_resolve_plays_never_forces_pergame_broadcast(spark):
+    """resolve_plays (scraping/pipeline.py): the effective-name probe
+    `k` and the name->ids multimap `m` are keyed by game_name_id and
+    grow linearly with games scraped (~40 rows/game; a full-history
+    backfill is ~10M rows) — they must NOT carry a forced broadcast
+    hint. With autoBroadcastJoinThreshold=-1 every size-based
+    broadcast disappears and only hints survive, so the plan may
+    contain at most the one deliberate hint: the bounded players_dim
+    dimension join. The four k/m joins must plan as shuffle joins."""
+    import deep_field_spark.scraping.pipeline as P
+
+    game = {
+        "rosters": [
+            {"side": s, "pos": i, "name_raw": f"P{i}{s}", "name_id": f"id{i}{s}"}
+            for s in ("home", "away") for i in range(3)
+        ],
+        "plays": [
+            {"play_num": i, "inning": "t1", "outs": "0", "pitches": "",
+             "desc": "d", "runners": "---", "batter": "P0away",
+             "pitcher": "P0home"}
+            for i in range(4)
+        ],
+    }
+    parsed = spark.createDataFrame(
+        [("G000000000", None, game["rosters"], game["plays"], None)],
+        P.GAME_PARSED_SCHEMA,
+    )
+    players = P.mock_players_from_games(parsed)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            P.resolve_plays(parsed, players)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # the 4 per-game-keyed k/m probe joins must be shuffle equi-joins
+    # at -1 threshold; any BroadcastHashJoin on the (game, side, name)
+    # composite keys means a forced hint crept back in. Remaining
+    # broadcasts are the bounded players_dim / dense_ids dims only.
+    n_shuffle_joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert n_shuffle_joins >= 4, plan
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line:
+            assert "_k_game" not in line and "_m_game" not in line, line
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
