@@ -1213,9 +1213,11 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM tr GROUP BY 1),
     lk AS (SELECT t.doc_id, CAST(count(*) AS INT) AS n_leaked
            FROM tr t JOIN tg USING (gram) GROUP BY 1)
-    SELECT l.doc_id, o.n_grams, l.n_leaked,
-           round(CAST(l.n_leaked AS DOUBLE) / o.n_grams, 6) AS leak_ratio
-    FROM lk l JOIN tot o USING (doc_id)
+    SELECT o.doc_id, o.n_grams,
+           CAST(coalesce(l.n_leaked, 0) AS INT) AS n_leaked,
+           round(CAST(coalesce(l.n_leaked, 0) AS DOUBLE) / o.n_grams, 6)
+               AS leak_ratio
+    FROM tot o LEFT JOIN lk l USING (doc_id)
     """,
     doc="Cross-split contamination audit: for every TRAIN document, "
         f"how many of its distinct {DECONTAM_NGRAM}-grams also occur "
@@ -1255,11 +1257,14 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     lk = tr.join(tg, "gram").groupBy("doc_id").agg(
         F.count("*").cast("int").alias("n_leaked")
     )
-    return lk.join(tot, "doc_id").select(
+    # tot LEFT JOIN lk so zero-leak train docs appear with n_leaked=0
+    # — the audit really does cover EVERY train document
+    n_leaked = F.coalesce(F.col("n_leaked"), F.lit(0)).cast("int")
+    return tot.join(lk, "doc_id", "left").select(
         "doc_id",
         "n_grams",
-        "n_leaked",
-        F.round(F.col("n_leaked").cast("double") / F.col("n_grams"), 6).alias(
+        n_leaked.alias("n_leaked"),
+        F.round(n_leaked.cast("double") / F.col("n_grams"), 6).alias(
             "leak_ratio"
         ),
     )

@@ -332,9 +332,13 @@ def _cos_pair_sql() -> str:
 
 
 def _emb_bucket_sql() -> str:
+    return _bucket_sql_for("embeddings")
+
+
+def _bucket_sql_for(tbl: str) -> str:
     from .similarity import _bucket_sql
 
-    return _bucket_sql("embeddings")
+    return _bucket_sql(tbl)
 
 
 # Multi-probe: own bucket + every 1-bit flip. Like the MinHash banding
@@ -347,11 +351,48 @@ def _probe_masks(n_planes: int | None = None) -> list[int]:
     return [0] + [1 << j for j in range(n_planes)]
 
 
+# The synthetic embeddings carry no organic near-duplicates (max
+# pairwise cosine 0.51 measured, threshold 0.8) — four driver rounds
+# of "0 rows == 0 rows" proved only empty-vs-empty agreement. Plant
+# deterministic perturbed twins exactly as dedup_semantic does
+# (y = 0.9·x + 0.05 per component → cosine to parent ≥ 0.899), so the
+# detector has real positives to find and the green row is evidence.
+def _aug_embeddings_sql() -> str:
+    from .similarity import SEM_OFFSET, SEM_PLANT_MOD
+
+    return f"""aug AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+               AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + {SEM_OFFSET},
+             list_transform(embedding, x -> 0.9 * CAST(x AS DOUBLE) + 0.05)
+      FROM embeddings WHERE vec_id % {SEM_PLANT_MOD} = 0)"""
+
+
+def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import SEM_OFFSET, SEM_PLANT_MOD
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    twins = emb.filter(F.col("vec_id") % SEM_PLANT_MOD == 0).select(
+        (F.col("vec_id") + SEM_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") * 0.9 + 0.05
+        ).alias("embedding"),
+    )
+    return base.unionByName(twins)
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH bucketed AS (
-      SELECT vec_id, embedding, {_emb_bucket_sql()} AS bucket FROM embeddings),
+    WITH {_aug_embeddings_sql()},
+    bucketed AS (
+      SELECT vec_id, embedding, {_bucket_sql_for('aug')} AS bucket FROM aug),
     probes AS (
       SELECT vec_id, xor(bucket::BIGINT, unnest([{", ".join(str(m) for m in _probe_masks())}])::BIGINT) AS pb
       FROM bucketed),
@@ -359,8 +400,8 @@ def _probe_masks(n_planes: int | None = None) -> list[int]:
       SELECT DISTINCT p.vec_id AS id_a, t.vec_id AS id_b
       FROM probes p JOIN bucketed t ON p.pb = t.bucket AND p.vec_id < t.vec_id)
     SELECT id_a, id_b, round({_cos_pair_sql()}, 4) AS cos_sim
-    FROM cand JOIN embeddings a ON a.vec_id = id_a
-              JOIN embeddings b ON b.vec_id = id_b
+    FROM cand JOIN aug a ON a.vec_id = id_a
+              JOIN aug b ON b.vec_id = id_b
     WHERE {_cos_pair_sql()} >= {COSINE_THRESHOLD}
     """,
     doc="Embedding near-dup pairs, LSH-bucketed: deterministic random-"
@@ -368,13 +409,15 @@ def _probe_masks(n_planes: int | None = None) -> list[int]:
         "verify inside candidates only. No O(n²) BroadcastNestedLoopJoin "
         "anywhere in the plan; candidate volume ~ n²/2**n_planes. The "
         "oracle replays the identical probe arithmetic so the result is "
-        "exactly hash-checked. Brute-force twin: "
-        "dedup_embedding_cosine_exact.",
+        "exactly hash-checked. Near-dup twins are deterministically "
+        "planted (the corpus has no organic pairs above threshold; "
+        "same harness as dedup_semantic, replayed by the oracle). "
+        "Brute-force twin: dedup_embedding_cosine_exact.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import DIM, N_PLANES
 
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = _aug_embeddings(spark, sf_dir)
     bucketed = emb.select(
         "vec_id",
         vectors.hyperplane_sign_bucket(F.col("embedding"), DIM, N_PLANES).alias("bucket"),
@@ -407,18 +450,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_cosine_exact",
     oracle=f"""
+    WITH {_aug_embeddings_sql()}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round({_cos_pair_sql()}, 4) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
     WHERE {_cos_pair_sql()} >= {COSINE_THRESHOLD}
     """,
     doc="Brute-force cosine near-dup pairs — the TEST-SCALE oracle twin "
         "of dedup_embedding_cosine (deliberately O(n²); excluded from "
         "the bench headline; proves the bucketed path's recall on the "
-        "synthetic corpus).",
+        "synthetic corpus, including the planted near-dup twins).",
 )
 def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = _aug_embeddings(spark, sf_dir)
     a = emb.alias("a")
     b = emb.alias("b")
     cos = vectors.cosine(F.col("a.embedding"), F.col("b.embedding"))

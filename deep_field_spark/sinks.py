@@ -230,7 +230,10 @@ def merge_upsert(
     - rows flagged ``delete_col`` are dropped from the upsert side, so
       a matched+flagged key disappears; a partition whose rows are ALL
       deleted produces no output rows, which dynamic overwrite would
-      skip — those directories are removed explicitly.
+      skip — those directories are removed explicitly;
+    - a nonexistent/empty target bootstraps: the non-deleted upserts
+      are written as the initial table (the first micro-batch of a CDC
+      stream needs no pre-created target).
 
     ``updates`` must be key-unique (MERGE's multiple-matches error);
     ``check_unique`` verifies with one tiny agg and raises.
@@ -273,22 +276,25 @@ def merge_upsert(
     else:
         keys = upserts.select(*key_cols).distinct()
 
-    target = spark.read.parquet(path)
+    try:
+        target = spark.read.parquet(path)
+    except Exception:
+        # bootstrap: no parquet footprint at the target yet (the first
+        # micro-batch of a CDC stream) — nothing to merge against, so
+        # the non-deleted upserts ARE the table
+        out = upserts
+        (
+            out.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+        n_parts = out.select(*partition_cols).distinct().count()
+        return {
+            "partitions_touched": n_parts,
+            "partitions_deleted": 0,
+            "bootstrapped": True,
+        }
     parts = {tuple(r) for r in updates.select(*partition_cols).distinct().collect()}
-    # the emptied-partition cleanup below reconstructs directory names
-    # as literal f"{col}={value}"; Spark escapes special characters in
-    # partition paths and writes NULLs as __HIVE_DEFAULT_PARTITION__,
-    # where that reconstruction (and the literal pruning filter) would
-    # silently miss — fail loudly instead of corrupting
-    for vals in parts:
-        for v in vals:
-            if v is None or not str(v).replace("-", "").replace("_", "").replace(
-                ".", ""
-            ).isalnum():
-                raise ValueError(
-                    f"partition value {v!r} is null or needs path escaping; "
-                    "merge_upsert requires path-safe, non-null partition values"
-                )
     if not partition_stable_keys:
         # key-locate pre-pass: matched keys may live in partitions the
         # updates don't name — add those to the rewrite set
@@ -299,6 +305,23 @@ def merge_upsert(
             .distinct()
             .collect()
         }
+    # the emptied-partition cleanup below reconstructs directory names
+    # as literal f"{col}={value}"; Spark escapes special characters in
+    # partition paths and writes NULLs as __HIVE_DEFAULT_PARTITION__,
+    # where that reconstruction (and the literal pruning filter) would
+    # silently miss — fail loudly instead of corrupting. Validated
+    # AFTER the key-locate union so target-derived partition values
+    # (a matched key living in a NULL/escaped partition) are rejected
+    # too — a literal filter can never prune those correctly.
+    for vals in parts:
+        for v in vals:
+            if v is None or not str(v).replace("-", "").replace("_", "").replace(
+                ".", ""
+            ).isalnum():
+                raise ValueError(
+                    f"partition value {v!r} is null or needs path escaping; "
+                    "merge_upsert requires path-safe, non-null partition values"
+                )
     parts = sorted(parts)
     cond = F.lit(False)
     for vals in parts:
@@ -308,7 +331,15 @@ def merge_upsert(
         cond = cond | c
 
     survivors = target.filter(cond).join(keys, key_cols, "left_anti")
-    merged = survivors.unionByName(upserts.select(*target.columns)).persist()
+    # localCheckpoint (eager), not persist(): the write below
+    # OVERWRITES the same path this lineage reads. A persist() only
+    # caches — an evicted partition or lost executor would recompute
+    # from the partially-deleted input mid-write (silent corruption).
+    # Checkpointing materializes and SEVERS the lineage, so loss of
+    # the checkpointed blocks fails the job loudly instead.
+    merged = survivors.unionByName(
+        upserts.select(*target.columns)
+    ).localCheckpoint(eager=True)
     # which touched partitions still have rows? must be derived from
     # the merge OUTPUT before writing — after the write a fully-
     # deleted partition's stale directory still reads back as live
@@ -321,7 +352,7 @@ def merge_upsert(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
-    merged.unpersist()
+    merged.unpersist()  # frees the checkpointed blocks (RDD-backed)
 
     # partitions fully emptied by deletes: dynamic overwrite wrote no
     # directory for them, so drop the stale one (metadata-scale)

@@ -57,9 +57,12 @@ def test_datasource_write_roundtrip(spark, tmp_path):
     a = sorted((r.page_type, r.name_id, len(r.html)) for r in src.collect())
     b = sorted((r.page_type, r.name_id, len(r.html)) for r in back.collect())
     assert a == b and a
-    # no temp litter after commit
+    # no temp litter after commit: staging dirs are ._ds_tmp_<uuid>,
+    # so glob the pattern rather than a literal name
+    import glob
     import os
-    assert not os.path.isdir(os.path.join(out, "._ds_tmp"))
+    leaked = glob.glob(os.path.join(out, "**", "._ds_tmp*"), recursive=True)
+    assert leaked == [], leaked
 
 
 def test_datasource_streaming_incremental_batches(spark, tmp_path):

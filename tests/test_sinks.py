@@ -389,3 +389,42 @@ def test_merge_upsert_rejects_unsafe_partition_values(spark, sf_dir, tmp_path):
         sinks.merge_upsert(
             spark, out, bad, key_cols=["doc_id"], partition_cols=["source"]
         )
+
+
+def test_merge_upsert_rejects_unsafe_target_partition_too(spark, tmp_path):
+    """With partition_stable_keys=False, the key-locate pre-pass adds
+    TARGET-derived partitions to the rewrite set; a matched key living
+    in a NULL partition of the existing table must be rejected (the
+    literal pruning filter can never match NULL), not silently left
+    as a surviving duplicate."""
+    import pytest
+
+    out = str(tmp_path / "tgt_null_part")
+    tgt = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "p1")],
+        "k long, v string, part string",
+    )
+    tgt.write.partitionBy("part").parquet(out)
+    upd = spark.createDataFrame([(1, "a2", "p1")], "k long, v string, part string")
+    with pytest.raises(ValueError, match="path-safe"):
+        sinks.merge_upsert(
+            spark, out, upd, key_cols=["k"], partition_cols=["part"],
+            partition_stable_keys=False,
+        )
+
+
+def test_merge_upsert_bootstraps_missing_target(spark, tmp_path):
+    """First CDC micro-batch against a nonexistent path: the
+    non-deleted upserts become the initial table."""
+    out = str(tmp_path / "fresh_tbl")
+    upd = spark.createDataFrame(
+        [(1, "a", "p1", False), (2, "b", "p2", True)],
+        "k long, v string, part string, is_del boolean",
+    )
+    stats = sinks.merge_upsert(
+        spark, out, upd, key_cols=["k"], partition_cols=["part"],
+        delete_col="is_del",
+    )
+    assert stats.get("bootstrapped") is True
+    rows = {(r.k, r.v, r.part) for r in spark.read.parquet(out).collect()}
+    assert rows == {(1, "a", "p1")}
