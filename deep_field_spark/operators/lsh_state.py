@@ -1,0 +1,156 @@
+"""Persisted MinHash-LSH state: the day-2 incremental-dedup artifact.
+
+The one-shot queries (queries/dedup.py) rebuild banded signatures per
+run; a production crawl does that exactly once, keeps the banded table
+ON DISK, and joins each day's batch against it. This module is that
+artifact:
+
+- ``build``: banded signature table bucketed on (band, key) + a
+  shingle table bucketed on the doc id, both written once via
+  ``sinks.write_bucketed`` — the bucket layout IS the shuffle, paid at
+  build time; every subsequent batch join against the state reads it
+  exchange-free on the corpus side (the batch side, always the tiny
+  side, shuffles to match).
+- ``ingest``: a new batch is (1) anti-joined against the state's known
+  ids — re-running an interrupted ingest is a no-op for already-
+  absorbed docs, the scrape pipeline's frontier idempotence applied to
+  corpus growth; (2) signed and band-joined against the state to get
+  candidate pairs (id pairs only, text never shuffles); (3) verified
+  with exact Jaccard against the state's shingle table; (4) appended
+  to both state tables, so the next batch sees it.
+
+At 100 TB the two state tables are the only corpus-sized artifacts and
+neither moves at ingest time: the (band, key) bucketing co-locates the
+candidate join, the id bucketing co-locates the verify join, and batch
+work scales with the batch.
+
+Reference parity note: the reference has no incremental near-dup state
+(it is an exact-keyed scraper); this is part of the LLM-training-data
+surface (MinHash/LSH family, SURVEY §2 additions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import sinks
+from ..functions import texting
+from . import dedup as D
+
+STATE_BUCKETS = 8
+
+
+def _tables(name: str) -> tuple[str, str]:
+    return f"{name}_bands", f"{name}_shingles"
+
+
+def build(
+    docs: DataFrame,
+    name: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int,
+    num_hashes: int,
+    bands: int,
+    num_buckets: int = STATE_BUCKETS,
+) -> None:
+    """Materialize the LSH state for an initial corpus (overwrite)."""
+    t_bands, t_shingles = _tables(name)
+    sh = D.shingled(docs, text_col, id_col, ngram)
+    sig = D.minhash_signatures(
+        D.exploded_shingles(docs, text_col, id_col, ngram), id_col, num_hashes
+    )
+    banded = D.band_keyed(sig, id_col, bands, num_hashes // bands)
+    sinks.write_bucketed(banded, t_bands, ["band", "key"], num_buckets)
+    sinks.write_bucketed(sh, t_shingles, [id_col], num_buckets)
+
+
+def drop(spark: SparkSession, name: str) -> None:
+    for t in _tables(name):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def ingest(
+    spark: SparkSession,
+    name: str,
+    batch: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    append: bool = True,
+    num_buckets: int = STATE_BUCKETS,
+) -> DataFrame:
+    """Dedup a batch against the persisted state; optionally absorb it.
+
+    Returns one row per NEW batch doc: ``(id, dup_of, jaccard)`` with
+    ``dup_of``/``jaccard`` NULL when the doc has no state match at or
+    above ``threshold`` (ties resolve to the best Jaccard, then the
+    lowest state id — the same contract as dedup_incremental_minhash).
+    Docs already absorbed into the state are excluded entirely, which
+    makes a replayed ingest exactly-once: candidates are emitted the
+    first time a doc is seen and never again.
+    """
+    t_bands, t_shingles = _tables(name)
+    state_bands = spark.table(t_bands)
+    state_sh = spark.table(t_shingles)
+
+    known = state_sh.select(id_col)
+    new = batch.join(known, id_col, "left_anti")
+
+    new_sh = D.shingled(new, text_col, id_col, ngram)
+    sig = D.minhash_signatures(
+        D.exploded_shingles(new, text_col, id_col, ngram), id_col, num_hashes
+    )
+    new_banded = D.band_keyed(sig, id_col, bands, num_hashes // bands)
+
+    cand = (
+        new_banded.join(
+            state_bands.select(
+                F.col(id_col).alias("_state_id"), "band", "key"
+            ),
+            ["band", "key"],
+        )
+        .select(id_col, "_state_id")
+        .distinct()
+    )
+    pair = (
+        cand.join(new_sh, id_col)
+        .join(
+            state_sh.select(
+                F.col(id_col).alias("_state_id"),
+                F.col("shingles").alias("_state_shingles"),
+            ),
+            "_state_id",
+        )
+        .withColumn(
+            "jaccard", texting.jaccard(F.col("shingles"), F.col("_state_shingles"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("jaccard"), F.asc("_state_id"))
+    best = (
+        pair.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col("_state_id").alias("dup_of"), "jaccard")
+    )
+    report = new.select(id_col).join(best, id_col, "left").select(
+        id_col, "dup_of", F.round("jaccard", 6).alias("jaccard")
+    )
+
+    if append:
+        # the report must be computed OFF the pre-append state; sever
+        # lineage before mutating the tables it reads
+        report = report.localCheckpoint(eager=True)
+        new_banded.write.mode("append").format("parquet").bucketBy(
+            num_buckets, "band", "key"
+        ).saveAsTable(t_bands)
+        new_sh.write.mode("append").format("parquet").bucketBy(
+            num_buckets, id_col
+        ).saveAsTable(t_shingles)
+    return report

@@ -792,39 +792,39 @@ def dedup_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "corpus match (ties to the lowest corpus id).",
 )
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
+    # The corpus's banded signatures + shingles are a REAL on-disk
+    # artifact here (operators/lsh_state): two bucketed tables — bands
+    # on (band, key), shingles on doc_id — built once, then the batch
+    # joins against them exchange-free on the corpus side. This is the
+    # day-2 ingestion path itself, not a cache standing in for it; the
+    # state is rebuilt (overwrite) per run only so the query stays
+    # hermetic for the driver. Two-successive-batch ingestion with
+    # exactly-once candidates is pinned in tests/test_lsh_state.py.
+    import hashlib
+
+    from ..operators import lsh_state
 
     docs = table(spark, sf_dir, "documents")
-    sig = D.minhash_signatures(
-        D.exploded_shingles(docs, "text", "doc_id", NGRAM), "doc_id", NUM_HASHES
+    name = "lsh_incr_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    lsh_state.build(
+        docs.filter(F.col("doc_id") < INCR_BATCH_MIN_ID),
+        name,
+        ngram=NGRAM,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
     )
-    # the banded table feeds BOTH join sides (batch slice + corpus
-    # state); persist it so shingle+minhash runs once — in production
-    # this is precisely the table that lives on disk as the LSH state,
-    # so the cache stands in for the persisted state read
-    banded = D.band_keyed(sig, "doc_id", BANDS, NUM_HASHES // BANDS).persist(
-        StorageLevel.MEMORY_AND_DISK
+    report = lsh_state.ingest(
+        spark,
+        name,
+        docs.filter(F.col("doc_id") >= INCR_BATCH_MIN_ID),
+        ngram=NGRAM,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        threshold=MINHASH_THRESHOLD,
+        append=False,
     )
-    bb = banded.filter(F.col("doc_id") >= INCR_BATCH_MIN_ID)
-    cb = banded.filter(F.col("doc_id") < INCR_BATCH_MIN_ID).select(
-        F.col("doc_id").alias("cid"), "band", "key"
-    )
-    cand = bb.join(cb, ["band", "key"]).select("doc_id", "cid").distinct()
-    sh = D.shingled(docs, "text", "doc_id", NGRAM)
-    pair = (
-        cand.join(sh, "doc_id")
-        .join(
-            sh.select(F.col("doc_id").alias("cid"), F.col("shingles").alias("shc")),
-            "cid",
-        )
-        .withColumn("jac", texting.jaccard(F.col("shingles"), F.col("shc")))
-        .filter(F.col("jac") >= MINHASH_THRESHOLD)
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("jac"), F.asc("cid"))
-    return (
-        pair.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("cid").alias("dup_of"), F.round("jac", 6).alias("jaccard"))
+    return report.filter(F.col("dup_of").isNotNull()).select(
+        "doc_id", "dup_of", "jaccard"
     )
 
 

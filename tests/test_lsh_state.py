@@ -1,0 +1,126 @@
+"""Persisted LSH state (operators/lsh_state): the day-2 incremental
+near-dup ingestion artifact — state on disk as bucketed tables, batches
+joined against it, exactly-once candidate emission on replay."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from deep_field_spark.catalog import table
+from deep_field_spark.operators import lsh_state
+from deep_field_spark.queries.dedup import (
+    BANDS,
+    MINHASH_THRESHOLD,
+    NGRAM,
+    NUM_HASHES,
+)
+
+KW = dict(
+    ngram=NGRAM, num_hashes=NUM_HASHES, bands=BANDS, threshold=MINHASH_THRESHOLD
+)
+
+
+@pytest.fixture()
+def state_name(spark):
+    name = f"lshst_{uuid.uuid4().hex[:8]}"
+    yield name
+    lsh_state.drop(spark, name)
+
+
+def _brute_best(docs, lo, hi, corpus_hi):
+    """Reference answer: best exact-Jaccard corpus match per batch doc
+    computed with NO LSH (full join) — the state path may only differ
+    by missing sub-threshold rows LSH never promises (none planted
+    here below band-collision reach at this threshold)."""
+    from deep_field_spark.functions import texting
+    from deep_field_spark.operators import dedup as D
+    from pyspark.sql import Window
+
+    sh = D.shingled(docs, "text", "doc_id", NGRAM)
+    b = sh.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+    c = sh.filter(F.col("doc_id") < corpus_hi).select(
+        F.col("doc_id").alias("cid"), F.col("shingles").alias("shc")
+    )
+    pair = (
+        b.crossJoin(c)
+        .withColumn("jac", texting.jaccard(F.col("shingles"), F.col("shc")))
+        .filter(F.col("jac") >= MINHASH_THRESHOLD)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jac"), F.asc("cid"))
+    return {
+        (r.doc_id, r.cid, round(r.jac, 6))
+        for r in pair.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+
+
+def test_two_batch_ingest_exactly_once(spark, sf_dir, state_name):
+    docs = table(spark, sf_dir, "documents")
+    lsh_state.build(docs.filter(F.col("doc_id") < 300), state_name, **{
+        k: v for k, v in KW.items() if k != "threshold"
+    })
+
+    batch_a = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+    batch_b = docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 500))
+
+    # batch A: every doc reported once; matches agree with brute force
+    ra = lsh_state.ingest(spark, state_name, batch_a, **KW)
+    a_rows = ra.collect()
+    assert len(a_rows) == batch_a.count()
+    assert len({r.doc_id for r in a_rows}) == len(a_rows)
+    got_a = {
+        (r.doc_id, r.dup_of, r.jaccard) for r in a_rows if r.dup_of is not None
+    }
+    assert got_a == _brute_best(docs, 300, 400, 300)
+
+    # replayed ingest of batch A: exactly-once — all docs already
+    # absorbed, nothing re-emitted, state tables unchanged
+    n_bands = spark.table(f"{state_name}_bands").count()
+    assert lsh_state.ingest(spark, state_name, batch_a, **KW).count() == 0
+    assert spark.table(f"{state_name}_bands").count() == n_bands
+
+    # batch B sees corpus + batch A as its state
+    rb = lsh_state.ingest(spark, state_name, batch_b, **KW)
+    got_b = {
+        (r.doc_id, r.dup_of, r.jaccard)
+        for r in rb.collect()
+        if r.dup_of is not None
+    }
+    assert got_b == _brute_best(docs, 400, 500, 400)
+
+
+def test_state_join_is_colocated_on_buckets(spark, sf_dir, state_name):
+    """The candidate join against the state's (band, key) bucketed
+    table must not exchange the corpus side — the whole point of
+    paying the bucket shuffle at build time."""
+    docs = table(spark, sf_dir, "documents")
+    lsh_state.build(docs.filter(F.col("doc_id") < 300), state_name, **{
+        k: v for k, v in KW.items() if k != "threshold"
+    })
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        report = lsh_state.ingest(
+            spark, state_name,
+            docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 350)),
+            append=False, **KW,
+        )
+        plan = report._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # both state scans are bucketed relations: no Exchange directly
+    # above a state-table file scan
+    lines = plan.splitlines()
+    scans = [
+        i for i, l in enumerate(lines)
+        if "FileScan" in l and state_name in l
+    ]
+    assert scans, plan
+    for i in scans:
+        above = "\n".join(lines[max(0, i - 2): i])
+        assert "Exchange" not in above, plan
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
