@@ -93,7 +93,9 @@ HEADLINE = [
     "curation_pipeline_e2e",
     "curation_quality_classifier",
     "curation_dsir_weights",
+    "curation_quality_train",
     "corpus_split_leakage",
+    "graph_pagerank",
     "dedup_exact_substring_runs",
     "dedup_dup_span_removal",
     "knn_brute_force",

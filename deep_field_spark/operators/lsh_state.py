@@ -56,8 +56,23 @@ def build(
     bands: int,
     num_buckets: int = STATE_BUCKETS,
 ) -> None:
-    """Materialize the LSH state for an initial corpus (overwrite)."""
+    """Materialize the LSH state for an initial corpus (overwrite).
+
+    Stale managed-table LOCATIONS are cleared first: the warehouse
+    directory outlives an in-memory catalog (a fresh session sees the
+    old run's directory but no table entry, and saveAsTable refuses
+    with LOCATION_ALREADY_EXISTS), so build is self-healing across
+    sessions.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = docs.sparkSession
     t_bands, t_shingles = _tables(name)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (t_bands, t_shingles):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t.lower()}", ignore_errors=True)
     sh = D.shingled(docs, text_col, id_col, ngram)
     sig = D.minhash_signatures(
         D.exploded_shingles(docs, text_col, id_col, ngram), id_col, num_hashes

@@ -119,7 +119,16 @@ _PRIORITY = [
     # (dedup_incremental_batch rotated below after green r02-r04 rows
     # — the round-5 near-dup incremental twin takes the slot: it
     # covers the harder shape of the same ingestion pattern)
-    "dedup_ngram_jaccard_capped", "dedup_simhash",
+    # (dedup_simhash rotated below after green r01/r03/r04/r05 rows —
+    # the hamming-pairs machinery it builds on is also proven by the
+    # r03-green dedup_simhash_pairs; its round-6 slot funds the
+    # in-engine quality-classifier TRAINING loop)
+    "dedup_ngram_jaccard_capped",
+    # r6: dedup_embedding_cosine now plants near-dup twins (its four
+    # prior green rows were empty-vs-empty; this round's row is the
+    # first non-vacuous evidence) — keep it in-window.
+    # dedup_incremental_minhash now drives the PERSISTED bucketed
+    # LSH-state path (operators/lsh_state) — keep for fresh evidence.
     "dedup_embedding_cosine", "dedup_incremental_minhash",
     # round-5: corpus-internal exact-substring dedup (anchor diagonals
     # + gaps-and-islands — the Lee et al. suffix-array step, Spark-shaped)
@@ -131,7 +140,10 @@ _PRIORITY = [
     # (knn_brute_force rotated below after green r01-r04 rows — it is
     # the declared quadratic baseline and five ANN rows stay
     # in-window; its slot funds the BPE apply pass)
-    "ann_lsh_bucket", "ann_lsh_multiprobe",
+    # (ann_lsh_bucket rotated below after green r01/r03/r04/r05 rows —
+    # ann_lsh_multiprobe, its strictly-harder superset, stays
+    # in-window; the slot funds the round-6 unpivot driver evidence)
+    "ann_lsh_multiprobe",
     "ann_ivf_cells", "embedding_quantize_int8",
     # round-5: trained-cells IVF (distributed Lloyd's) + SemDeDup-style
     # per-cell semantic prune — the LLM-curation capability the round-4
@@ -180,7 +192,9 @@ _PRIORITY = [
     "text_bigram_logprob",
     # round-3 additions, green r03 (+ tfidf, oracle-bearing, fills the
     # 50th slot so no no-oracle row sits inside the budget window)
-    "text_chunk_overlap", "text_vocab_topk", "text_tfidf_topk",
+    # (text_chunk_overlap rotated below after green r03/r04/r05 rows —
+    # its round-6 slot funds graph_pagerank's first driver evidence)
+    "text_vocab_topk", "text_tfidf_topk",
     # round-5: Okapi BM25 top-k retrieval and DSIR hashed-ngram
     # importance weights (slots funded by the rotated udaf_grouped_
     # pandas and multimodal_frame_sample)
@@ -208,6 +222,15 @@ _PRIORITY = [
     # round-5: per-source Jensen-Shannon divergence from the corpus
     # distribution (mixture-design diagnostic, decimal-exact)
     "curation_source_divergence",
+    # round-6 additions needing first driver evidence:
+    # - unpivot_part_metrics: the only oracle-bearing query that has
+    #   never had a driver row (landed late in r5 outside the window)
+    # - curation_quality_train: in-engine logistic-regression training
+    #   (fixed-iteration GD, DECIMAL-exact gradients, oracle replays
+    #   the loop) — the round-5 verdict's optional #8
+    # - graph_pagerank: fixed-iteration link centrality over the
+    #   customer↔supplier graph, fully unrolled in the oracle
+    "unpivot_part_metrics", "curation_quality_train", "graph_pagerank",
     # no-oracle scrape fixtures (golden/diff-sim-gated locally; driver
     # rows are permanently "no_oracle" — moved below the oracle-bearing
     # set so they stop eating top-50 budget slots)
@@ -226,6 +249,7 @@ def load_registry() -> dict[str, Query]:
         from . import dedup  # noqa: F401
         from . import similarity  # noqa: F401
         from . import events  # noqa: F401
+        from . import graph  # noqa: F401
         from . import multimodal  # noqa: F401
         from . import scrape  # noqa: F401
         from . import udfs  # noqa: F401

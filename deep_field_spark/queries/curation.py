@@ -1016,6 +1016,155 @@ def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- quality classifier TRAINING --------------------------------------
+
+# Distributed logistic-regression training of the quality model itself
+# — the offline step curation_quality_classifier's literal weights
+# stand in for, now done in-engine: full-batch gradient descent with a
+# FIXED iteration count, the gradient a partial/final hash agg with
+# DECIMAL-exact component sums (partial-agg order cannot change a
+# bit), the 5-weight vector broadcast back onto the scan each round —
+# the exact discipline of ann_ivf_kmeans, so a DuckDB oracle replays
+# the entire training loop and the learned weights are hash-checked.
+# Label: lang == 'en' (predicting a held-out signal from the quality
+# features, the weak-supervision shape of a fastText quality model).
+QT_ITERS = 5
+QT_LR = 0.5
+QT_FEATURES = ["bias", "alpha_ratio", "stopword_ratio", "mwl_centered", "len_ok"]
+
+
+def _qt_features_sql() -> str:
+    return f"""qt AS (SELECT doc_id, n_chars, {TOKS_SQL} AS toks,
+                      strlen(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))
+                        AS n_alpha,
+                      strlen(text) AS n_raw,
+                      CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+               FROM documents),
+    qf AS (SELECT doc_id, y,
+                 1.0 AS x0,
+                 CAST(n_alpha AS DOUBLE) / n_raw AS x1,
+                 CAST(len(list_filter(toks,
+                      x -> list_contains({STOPWORDS_SQL}, x))) AS DOUBLE)
+                   / len(toks) AS x2,
+                 abs(CAST(list_aggregate(list_transform(toks,
+                      x -> CAST(len(x) AS DOUBLE)), 'sum') AS DOUBLE)
+                   / len(toks) - 6.0) AS x3,
+                 CASE WHEN n_chars BETWEEN 100 AND 5000
+                      THEN 1.0 ELSE 0.0 END AS x4
+          FROM qt WHERE len(toks) > 0)"""
+
+
+def _qt_gd_ctes() -> str:
+    """Unrolled gradient-descent CTE chain: qw0..qw{QT_ITERS}."""
+    nf = len(QT_FEATURES)
+    parts = [
+        "qw0 AS (SELECT "
+        + ", ".join(f"0.0 AS w{j}" for j in range(nf))
+        + ")"
+    ]
+    for it in range(1, QT_ITERS + 1):
+        z = " + ".join(f"w.w{j} * f.x{j}" for j in range(nf))
+        grads = ", ".join(
+            f"CAST(sum(CAST((1.0 / (1.0 + exp(-({z}))) - f.y) * f.x{j} "
+            f"AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS g{j}"
+            for j in range(nf)
+        )
+        step = ", ".join(
+            f"CAST(CAST(w.w{j} - {QT_LR} * g.g{j} AS DECIMAL(28,9)) "
+            f"AS DOUBLE) AS w{j}"
+            for j in range(nf)
+        )
+        parts.append(f"qg{it} AS (SELECT {grads} FROM qf f, qw{it - 1} w)")
+        parts.append(f"qw{it} AS (SELECT {step} FROM qw{it - 1} w, qg{it} g)")
+    return ",\n    ".join(parts)
+
+
+@register(
+    "curation_quality_train",
+    oracle=f"""
+    WITH {_qt_features_sql()},
+    {_qt_gd_ctes()}
+    {" UNION ALL ".join(
+        f"SELECT '{name}' AS feature, round(w{j}, 6) AS weight FROM qw{QT_ITERS}"
+        for j, name in enumerate(QT_FEATURES)
+    )}
+    """,
+    doc="In-engine TRAINING of the quality classifier: full-batch "
+        "logistic-regression gradient descent over the scan-speed "
+        "quality signals with lang='en' as the weak label. Fixed "
+        f"{QT_ITERS} iterations; each round broadcasts the 5-weight "
+        "row back onto the feature scan (the corpus never shuffles — "
+        "a round moves 5 DECIMAL partial sums per map task), the "
+        "per-feature gradient is a DECIMAL(28,9)-exact partial/final "
+        "agg, and the weight step requantizes to DECIMAL(28,9) so "
+        "iteration inputs are bit-identical across engines. The "
+        "oracle replays the whole loop; the learned weights are "
+        "hash-checked, completing the fastText-stage story "
+        "curation_quality_classifier's literal weights deferred.",
+)
+def curation_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = texting.tokens(F.col("text"))
+    t = docs.filter(texting.has_tokens("text")).select(
+        "doc_id",
+        "n_chars",
+        tok.alias("toks"),
+        F.octet_length(F.regexp_replace("text", "[^a-zA-Z ]", "")).alias("n_alpha"),
+        F.octet_length("text").alias("n_raw"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    stop_arr = F.array(*[F.lit(w) for w in texting.EN_STOPWORDS])
+    mwl = (
+        F.aggregate(F.col("toks"), F.lit(0.0), lambda a, x: a + F.length(x).cast("double"))
+        / F.size("toks")
+    )
+    nf = len(QT_FEATURES)
+    f = t.select(
+        "doc_id",
+        "y",
+        F.lit(1.0).alias("x0"),
+        (F.col("n_alpha").cast("double") / F.col("n_raw")).alias("x1"),
+        (
+            F.size(F.filter(F.col("toks"), lambda x: F.array_contains(stop_arr, x)))
+            .cast("double") / F.size("toks")
+        ).alias("x2"),
+        F.abs(mwl - 6.0).alias("x3"),
+        F.when(F.col("n_chars").between(100, 5000), 1.0).otherwise(0.0).alias("x4"),
+    )
+    w = spark.range(1).select(
+        *[F.lit(0.0).alias(f"w{j}") for j in range(nf)]
+    )
+    for _ in range(QT_ITERS):
+        scored = f.crossJoin(F.broadcast(w))
+        z = sum(
+            (F.col(f"w{j}") * F.col(f"x{j}") for j in range(1, nf)),
+            F.col("w0") * F.col("x0"),
+        )
+        e = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y")
+        g = scored.agg(
+            *[
+                (
+                    F.sum((e * F.col(f"x{j}")).cast("decimal(28,9)")).cast("double")
+                    / F.count("*")
+                ).alias(f"g{j}")
+                for j in range(nf)
+            ]
+        )
+        w = w.crossJoin(F.broadcast(g)).select(
+            *[
+                (F.col(f"w{j}") - QT_LR * F.col(f"g{j}"))
+                .cast("decimal(28,9)")
+                .cast("double")
+                .alias(f"w{j}")
+                for j in range(nf)
+            ]
+        )
+    pairs = ", ".join(
+        f"'{name}', round(w{j}, 6)" for j, name in enumerate(QT_FEATURES)
+    )
+    return w.selectExpr(f"stack({nf}, {pairs}) AS (feature, weight)")
+
+
 # --- per-source distribution divergence ------------------------------
 
 

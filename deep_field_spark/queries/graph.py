@@ -1,0 +1,140 @@
+"""Graph queries: fixed-iteration PageRank over the order graph.
+
+The iterative-algorithm family alongside connected components
+(operators/components.py), Lloyd's k-means (queries/similarity.py)
+and logistic-regression training (queries/curation.py): a per-round
+message-passing agg with DECIMAL-exact sums and a requantized state,
+so a DuckDB oracle replays the whole loop and the converged values
+are hash-checked, not eyeballed.
+
+Curation relevance: PageRank-style link centrality is a standard
+web-corpus quality signal (host/domain authority weighting in crawl
+curation); here the graph is the bipartite customer↔supplier order
+graph the TPC-H-ish testdata actually has.
+
+Reference parity note: the reference has no graph operators (it is a
+fixed 3-level scrape hierarchy, SURVEY §1.1); this extends the
+LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from . import register
+
+PR_ITERS = 5
+PR_DAMPING = 0.85
+SUPP_OFFSET = 1_000_000  # supplier node id = offset + suppkey
+
+
+def _pr_ctes() -> str:
+    """Unrolled PageRank CTE chain: r0..r{PR_ITERS} over `edges`."""
+    parts = [
+        f"""e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (SELECT c AS src, {SUPP_OFFSET} + s AS dst FROM e0
+              UNION ALL
+              SELECT {SUPP_OFFSET} + s, c FROM e0),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+            FROM edges GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+    r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+           FROM deg, nn)"""
+    ]
+    for it in range(1, PR_ITERS + 1):
+        parts.append(f"""m{it} AS (
+      SELECT e.dst, r.rank / d.deg AS contrib
+      FROM edges e JOIN r{it - 1} r ON e.src = r.node
+                   JOIN deg d ON e.src = d.src),
+    a{it} AS (SELECT dst, CAST(sum(CAST(contrib AS DECIMAL(38,18)))
+                               AS DOUBLE) AS s
+              FROM m{it} GROUP BY 1),
+    r{it} AS (SELECT d.src AS node,
+                     CAST(CAST(CAST(0.15 AS DOUBLE) / nn.n
+                               + CAST(0.85 AS DOUBLE) * coalesce(a.s, 0.0)
+                          AS DECIMAL(38,18)) AS DOUBLE) AS rank
+              FROM deg d CROSS JOIN nn LEFT JOIN a{it} a ON d.src = a.dst)""")
+    return ",\n    ".join(parts)
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+    WITH {_pr_ctes()}
+    SELECT node,
+           CASE WHEN node >= {SUPP_OFFSET} THEN 'supplier'
+                ELSE 'customer' END AS node_type,
+           round(rank * nn.n, 6) AS centrality
+    FROM r{PR_ITERS}, nn
+    """,
+    doc=f"Fixed-{PR_ITERS}-iteration PageRank (d={PR_DAMPING}) over the "
+        "undirected bipartite customer↔supplier order graph — link "
+        "centrality as a curation quality signal. Each round is one "
+        "message-passing hash agg: contributions rank/deg flow along "
+        "edges, in-sums are DECIMAL(38,18)-exact (partial-agg order "
+        "cannot change a bit), the new rank requantizes to "
+        "DECIMAL(38,18) so iteration inputs stay bit-identical across "
+        "engines, and the teleport term keeps the distribution "
+        "stochastic (undirected edges mean no dangling mass). The "
+        "edge list is built once and persisted; a round shuffles "
+        "(node, partial-sum) pairs only, never the edge payload. "
+        "Output is every node's centrality scaled by N (scale-free "
+        "units). The oracle replays the whole loop unrolled.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = e0.select(
+        F.col("c").alias("src"), (F.lit(SUPP_OFFSET) + F.col("s")).alias("dst")
+    ).unionAll(
+        e0.select(
+            (F.lit(SUPP_OFFSET) + F.col("s")).alias("src"), F.col("c").alias("dst")
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    n_df = deg.agg(F.count("*").alias("n"))
+    ranks = deg.crossJoin(F.broadcast(n_df)).select(
+        F.col("src").alias("node"),
+        (F.lit(1.0) / F.col("n")).alias("rank"),
+    )
+    for _ in range(PR_ITERS):
+        msg = (
+            edges.join(ranks, edges.src == F.col("node"))
+            .join(deg, "src")
+            .select("dst", (F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        agg = msg.groupBy("dst").agg(
+            F.sum(F.col("contrib").cast("decimal(38,18)")).cast("double").alias("s")
+        )
+        ranks = (
+            deg.join(agg, deg.src == agg.dst, "left")
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                F.col("src").alias("node"),
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
+                )
+                .cast("decimal(38,18)")
+                .cast("double")
+                .alias("rank"),
+            )
+        )
+    return ranks.crossJoin(F.broadcast(n_df)).select(
+        "node",
+        F.when(F.col("node") >= SUPP_OFFSET, "supplier")
+        .otherwise("customer")
+        .alias("node_type"),
+        F.round(F.col("rank") * F.col("n"), 6).alias("centrality"),
+    )
