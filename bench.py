@@ -94,6 +94,8 @@ HEADLINE = [
     "curation_quality_classifier",
     "curation_dsir_weights",
     "curation_quality_train",
+    "decontam_embedding",
+    "embedding_pq_codes",
     "corpus_split_leakage",
     "graph_pagerank",
     "dedup_exact_substring_runs",

@@ -144,7 +144,11 @@ _PRIORITY = [
     # ann_lsh_multiprobe, its strictly-harder superset, stays
     # in-window; the slot funds the round-6 unpivot driver evidence)
     "ann_lsh_multiprobe",
-    "ann_ivf_cells", "embedding_quantize_int8",
+    # (ann_ivf_cells rotated below after green r03/r04/r05 rows — its
+    # trained twin ann_ivf_kmeans, a strict superset of the serving
+    # shape, stays in-window; the slot funds the round-6 product-
+    # quantization codebooks, the next step of the same IVF-PQ story)
+    "embedding_pq_codes", "embedding_quantize_int8",
     # round-5: trained-cells IVF (distributed Lloyd's) + SemDeDup-style
     # per-cell semantic prune — the LLM-curation capability the round-4
     # verdict ranked top-missing
@@ -181,7 +185,11 @@ _PRIORITY = [
     # (corpus_pack_sequences rotated below after its re-keyed green
     # r04 row — its slot funds the round-5 length-bucketed batching)
     "approx_distinct",
-    "corpus_group_sample",
+    # (corpus_group_sample rotated below after green r02/r04/r05 rows —
+    # sampling stays in-window via corpus_shuffle_assign and
+    # corpus_mixture_plan; its slot funds the round-6 embedding-space
+    # decontamination, the paraphrase case n-gram decontam misses)
+    "decontam_embedding",
     # round-4 additions needing first driver evidence (the slots come
     # from the four rotated-out r03-green twins above)
     "corpus_shuffle_assign", "decontam_exact_substring",

@@ -913,3 +913,121 @@ def curation_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "removable_rate"
         ),
     )
+
+
+# --- embedding-space decontamination ----------------------------------
+
+# Semantic decontam: a test example that is a light PARAPHRASE of a
+# train document defeats n-gram decontamination entirely; in embedding
+# space it sits at cosine ~0.9. Flag every TRAIN doc whose embedding is
+# near any TEST-split embedding — the same hyperplane-LSH + 1-bit
+# multiprobe + verify-on-candidates shape as dedup_embedding_cosine,
+# but across the split boundary (test side only probes train buckets,
+# never train×train). Contaminated twins are deterministically planted
+# on the test side (organic max cosine is 0.51); the oracle replays
+# planting, bucketing, probing and verification.
+DCE_PLANT_MOD = 25
+DCE_OFFSET = 2_000_000
+
+
+def _dce_splits_sql() -> str:
+    from .curation import TRAIN_LT, VAL_LT, _BUCKET_FROM_H_SQL
+
+    return f"""hb AS (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE))
+                       AS embedding
+              FROM embeddings),
+    bk AS (SELECT vec_id, {_BUCKET_FROM_H_SQL} AS bucket, embedding FROM hb),
+    tr AS (SELECT vec_id, embedding FROM bk WHERE bucket < {TRAIN_LT}),
+    te AS (SELECT vec_id, embedding FROM bk WHERE bucket >= {VAL_LT}
+           UNION ALL
+           SELECT vec_id + {DCE_OFFSET},
+                  list_transform(embedding, x -> 0.9 * x + 0.05)
+           FROM tr WHERE vec_id % {DCE_PLANT_MOD} = 0)"""
+
+
+@register(
+    "decontam_embedding",
+    oracle=f"""
+    WITH {_dce_splits_sql()},
+    trb AS (SELECT vec_id, embedding, {_bucket_sql_for('tr')} AS bucket FROM tr),
+    teb AS (SELECT vec_id, embedding, {_bucket_sql_for('te')} AS bucket FROM te),
+    pr AS (SELECT vec_id,
+                  xor(bucket::BIGINT, unnest([{", ".join(str(m) for m in _probe_masks())}])::BIGINT) AS pb
+           FROM trb),
+    cand AS (SELECT DISTINCT p.vec_id AS train_id, t.vec_id AS test_id
+             FROM pr p JOIN teb t ON p.pb = t.bucket),
+    v AS (SELECT train_id, test_id, {_cos_pair_sql()} AS cos
+          FROM cand JOIN tr a ON a.vec_id = train_id
+                    JOIN te b ON b.vec_id = test_id)
+    SELECT train_id AS doc_id, test_id AS contaminated_by,
+           round(cos, 4) AS cos_sim
+    FROM (SELECT train_id, test_id, cos,
+                 row_number() OVER (PARTITION BY train_id
+                                    ORDER BY cos DESC, test_id) AS rn
+          FROM v WHERE cos >= {COSINE_THRESHOLD})
+    WHERE rn = 1
+    """,
+    doc="Embedding-space decontamination: flag every TRAIN document "
+        "whose embedding has a TEST-split neighbor at cosine ≥ "
+        f"{COSINE_THRESHOLD} — the paraphrase-contamination check "
+        "n-gram decontam (decontam_ngram_overlap / "
+        "decontam_exact_substring) cannot see. Hyperplane-LSH buckets "
+        "+ 1-bit multiprobe keep it off the train×test cross product: "
+        "candidates are bucket collisions only, the exact cosine "
+        "verify runs on candidates, and each flagged train doc "
+        "reports its closest test contaminant. Test-side twins of "
+        "sampled train docs are deterministically planted (organic "
+        "max cosine 0.51); the oracle replays the full pipeline.",
+)
+def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curation import TRAIN_LT, VAL_LT
+    from .similarity import DIM, N_PLANES
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2), 16, 10
+        ).cast("int").alias("bucket"),
+    )
+    tr = emb.filter(F.col("bucket") < TRAIN_LT).select("vec_id", "embedding")
+    te = emb.filter(F.col("bucket") >= VAL_LT).select("vec_id", "embedding").unionByName(
+        tr.filter(F.col("vec_id") % DCE_PLANT_MOD == 0).select(
+            (F.col("vec_id") + DCE_OFFSET).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 0.9 + 0.05).alias("embedding"),
+        )
+    )
+    lsh = vectors.hyperplane_sign_bucket(F.col("embedding"), DIM, N_PLANES)
+    trb = tr.select("vec_id", lsh.alias("bucket"))
+    teb = te.select(F.col("vec_id").alias("test_id"), lsh.alias("tbucket"))
+    pr = trb.select(
+        "vec_id",
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in _probe_masks(N_PLANES)])
+        ).alias("pb"),
+    )
+    cand = (
+        pr.join(teb, F.col("pb") == F.col("tbucket"))
+        .select(F.col("vec_id").alias("train_id"), "test_id")
+        .distinct()
+    )
+    ea = tr.select(F.col("vec_id").alias("train_id"), F.col("embedding").alias("e_a"))
+    eb = te.select(F.col("vec_id").alias("test_id"), F.col("embedding").alias("e_b"))
+    cos = vectors.cosine(F.col("e_a"), F.col("e_b"))
+    v = (
+        cand.join(ea, "train_id")
+        .join(eb, "test_id")
+        .filter(cos >= COSINE_THRESHOLD)
+        .select("train_id", "test_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("train_id").orderBy(F.desc("cos"), F.asc("test_id"))
+    return (
+        v.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("train_id").alias("doc_id"),
+            F.col("test_id").alias("contaminated_by"),
+            F.round("cos", 4).alias("cos_sim"),
+        )
+    )

@@ -845,3 +845,164 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("vv", 6).alias("loading"),
         F.round("lam", 6).alias("eigenvalue"),
     )
+
+
+# --- product quantization ---------------------------------------------
+
+# PQ: split each vector into M contiguous subvectors, k-means each
+# subspace independently (L2, fixed iterations, first-K init), encode
+# every vector as M small codes — the compression step behind IVF-PQ
+# serving indexes (8 codes of 3 bits here stand in for the usual 8
+# bits at production scale; the plan shape is identical). The output
+# is pure INTEGER codes, so the hash check is exact with no float
+# rounding concerns; determinism inside the loop uses the same
+# DECIMAL-exact mean discipline as ann_ivf_kmeans.
+PQ_M = 4          # subspaces (DIM/PQ_M dims each)
+PQ_K = 8          # centroids per subspace
+PQ_ITERS = 2      # fixed Lloyd rounds, oracle-unrolled
+PQ_SUBDIM = DIM // PQ_M
+
+
+def _pq_l2_sql(v: str, c: str) -> str:
+    """Squared L2 between subvector lists v.sv and c.c (index order)."""
+    return (
+        f"list_aggregate(list_transform(range(1, {PQ_SUBDIM} + 1), "
+        f"i -> ({v}.sv[i] - {c}.c[i]) * ({v}.sv[i] - {c}.c[i])), 'sum')"
+    )
+
+
+def _pq_ctes() -> str:
+    """CTE chain: subvectors sv, codebooks pc0..pc{PQ_ITERS}."""
+    parts = [
+        f"""sv AS (
+      SELECT vec_id, sub,
+             list_transform(embedding[sub * {PQ_SUBDIM} + 1 :
+                                      (sub + 1) * {PQ_SUBDIM}],
+                            x -> CAST(x AS DOUBLE)) AS sv
+      FROM embeddings, unnest(range(0, {PQ_M})) AS t(sub)),
+    pc0 AS (
+      SELECT sub, vec_id AS cid, sv AS c FROM sv WHERE vec_id < {PQ_K})"""
+    ]
+    for it in range(1, PQ_ITERS + 1):
+        parts.append(f"""ps{it} AS (
+      SELECT v.vec_id, v.sub, c.cid, {_pq_l2_sql('v', 'c')} AS d
+      FROM sv v JOIN pc{it - 1} c ON v.sub = c.sub),
+    pa{it} AS (
+      SELECT vec_id, sub, cid FROM (
+        SELECT vec_id, sub, cid,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d, cid) AS rn
+        FROM ps{it}) WHERE rn = 1),
+    pm{it} AS (
+      SELECT sub, cid, i,
+             CAST(sum(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS v
+      FROM (SELECT a.sub, a.cid,
+                   unnest(range(1, {PQ_SUBDIM} + 1)) AS i,
+                   unnest(e.sv) AS x
+            FROM pa{it} a JOIN sv e
+              ON a.vec_id = e.vec_id AND a.sub = e.sub)
+      GROUP BY sub, cid, i),
+    pc{it} AS (SELECT sub, cid, list(v ORDER BY i) AS c
+               FROM pm{it} GROUP BY sub, cid)""")
+    return ",\n    ".join(parts)
+
+
+@register(
+    "embedding_pq_codes",
+    oracle=f"""
+    WITH {_pq_ctes()},
+    fs AS (
+      SELECT v.vec_id, v.sub, c.cid, {_pq_l2_sql('v', 'c')} AS d
+      FROM sv v JOIN pc{PQ_ITERS} c ON v.sub = c.sub),
+    fa AS (
+      SELECT vec_id, sub, cid FROM (
+        SELECT vec_id, sub, cid,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d, cid) AS rn
+        FROM fs) WHERE rn = 1)
+    SELECT vec_id,
+           CAST(sum(CASE WHEN sub = 0 THEN cid END) AS INT) AS code0,
+           CAST(sum(CASE WHEN sub = 1 THEN cid END) AS INT) AS code1,
+           CAST(sum(CASE WHEN sub = 2 THEN cid END) AS INT) AS code2,
+           CAST(sum(CASE WHEN sub = 3 THEN cid END) AS INT) AS code3
+    FROM fa GROUP BY vec_id
+    """,
+    doc=f"Product quantization: each vector split into {PQ_M} "
+        f"contiguous {PQ_SUBDIM}-dim subvectors; each subspace gets "
+        f"its own {PQ_K}-centroid codebook via fixed-{PQ_ITERS}-round "
+        "distributed Lloyd's (L2, first-K init, DECIMAL-exact mean "
+        "updates — ann_ivf_kmeans' discipline per subspace), and "
+        "every vector encodes as its nearest code per subspace — the "
+        "compression step of an IVF-PQ serving index, shrinking "
+        f"{DIM}×float32 to {PQ_M} small codes. All shuffles carry "
+        "(id, sub, code) or codebook-sized rows, never full vectors "
+        "twice; codes are integers so the oracle check is exact with "
+        "no float rounding. The oracle replays subspace training and "
+        "assignment unrolled.",
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    sv = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(m).alias("sub"),
+                    F.transform(
+                        F.slice("embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM),
+                        lambda x: x.cast("double"),
+                    ).alias("sv"),
+                )
+                for m in range(PQ_M)
+            ])
+        ).alias("t"),
+    ).select("vec_id", "t.sub", "t.sv")
+
+    cent = sv.filter(F.col("vec_id") < PQ_K).select(
+        "sub", F.col("vec_id").alias("cid"), F.col("sv").alias("c")
+    )
+    d_expr = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, t: a + t,
+    )
+    for _ in range(PQ_ITERS):
+        scores = sv.join(F.broadcast(cent), "sub").select(
+            "vec_id", "sub", "sv", "cid", d_expr.alias("d")
+        )
+        w = Window.partitionBy("vec_id", "sub").orderBy("d", "cid")
+        assign = (
+            scores.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "sub", "sv", "cid")
+        )
+        pe = assign.select("sub", "cid", F.posexplode("sv").alias("pos", "x"))
+        sums = pe.groupBy("sub", "cid", "pos").agg(
+            F.sum(F.col("x").cast("decimal(28,9)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        comp = sums.select(
+            "sub", "cid", "pos", (F.col("s").cast("double") / F.col("n")).alias("v")
+        )
+        cent = (
+            comp.groupBy("sub", "cid")
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "v"))).alias("pp"))
+            .select("sub", "cid", F.col("pp.v").alias("c"))
+        )
+    final = sv.join(F.broadcast(cent), "sub").select(
+        "vec_id", "sub", "cid", d_expr.alias("d")
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("d", "cid")
+    fa = (
+        final.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "cid")
+    )
+    return fa.groupBy("vec_id").agg(
+        *[
+            F.sum(F.when(F.col("sub") == m, F.col("cid")))
+            .cast("int")
+            .alias(f"code{m}")
+            for m in range(PQ_M)
+        ]
+    )

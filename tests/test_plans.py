@@ -522,3 +522,45 @@ def test_resolve_plays_never_forces_pergame_broadcast(spark):
             assert "_k_game" not in line and "_m_game" not in line, line
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pagerank_rounds_are_hash_aggs_no_cartesian(spark, sf_dir):
+    """graph_pagerank: each round is message-passing hash aggs over
+    equi-joins; the only nested-loops are the declared 1-row N
+    broadcasts (teleport term); partial/final agg present."""
+    plan = _plan(spark, sf_dir, "graph_pagerank")
+    assert "CartesianProduct" not in plan, plan
+    bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert all("BuildRight" in l for l in bnlj), plan
+    assert "HashAggregate" in plan[plan.index("Exchange"):]
+
+
+def test_quality_train_rounds_broadcast_weights(spark, sf_dir):
+    """curation_quality_train: every round broadcasts the 1-row weight
+    vector onto the feature scan — no window, no cartesian, the
+    gradient is a partial/final agg."""
+    import re
+    plan = _plan(spark, sf_dir, "curation_quality_train")
+    assert not re.search(r"\bWindow\b", plan), plan
+    assert "CartesianProduct" not in plan, plan
+    bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert bnlj and all("BuildRight" in l for l in bnlj), plan
+    assert "HashAggregate" in plan[plan.index("Exchange"):]
+
+
+def test_pq_codes_codebook_broadcast_no_cartesian(spark, sf_dir):
+    """embedding_pq_codes: the per-subspace codebook (M*K rows) joins
+    as a broadcast equi-join on sub; assignment windows are keyed by
+    (vec_id, sub); no cartesian, no nested loop."""
+    plan = _plan(spark, sf_dir, "embedding_pq_codes")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_decontam_embedding_no_cross_product(spark, sf_dir):
+    """decontam_embedding: the train-test comparison rides LSH bucket
+    equi-joins + candidate verify — never a train x test product."""
+    plan = _plan(spark, sf_dir, "decontam_embedding")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
