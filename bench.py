@@ -74,6 +74,8 @@ HEADLINE = [
     "text_chunk_overlap",
     "text_vocab_topk",
     "text_heavy_hitters",
+    "text_countmin_freq",
+    "join_skew_salted",
     "corpus_zipf_profile",
     "curation_source_divergence",
     "curation_source_profile",

@@ -202,7 +202,12 @@ _PRIORITY = [
     # 50th slot so no no-oracle row sits inside the budget window)
     # (text_chunk_overlap rotated below after green r03/r04/r05 rows —
     # its round-6 slot funds graph_pagerank's first driver evidence)
-    "text_vocab_topk", "text_tfidf_topk",
+    # (text_vocab_topk rotated below after green r03/r04/r05 rows — its
+    # slot funds the round-6 count-min sketch, the harder member of the
+    # same frequency family; text_tfidf_topk rotated after green
+    # r02/r04/r05 — text_bm25_search, its strict superset, stays
+    # in-window; its slot funds the salted skew join)
+    "text_countmin_freq", "join_skew_salted",
     # round-5: Okapi BM25 top-k retrieval and DSIR hashed-ngram
     # importance weights (slots funded by the rotated udaf_grouped_
     # pandas and multimodal_frame_sample)

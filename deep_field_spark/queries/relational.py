@@ -1035,3 +1035,52 @@ def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM csq_part
         """
     )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    WITH d AS (SELECT event_type, CAST(count(*) AS BIGINT) AS type_n
+               FROM events GROUP BY 1)
+    SELECT e.user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(d.type_n) AS BIGINT) AS exposure
+    FROM events e JOIN d USING (event_type)
+    GROUP BY 1
+    """,
+    doc="Salted join for catastrophically skewed keys: events carry "
+        "only 5 distinct event_type values, so a plain large-large "
+        "equi-join on event_type funnels each hot key through one "
+        "reducer. The salted form replicates the dimension side 16x "
+        "(one copy per salt) and routes each probe row to a "
+        "deterministic salt (xxhash64 of its id % 16), turning the "
+        "join key into (event_type, salt) — every hot key spreads "
+        "over 16 reducers, results identical to the plain join (the "
+        "oracle IS the plain join). AQE skew-split covers this case "
+        "adaptively when stats are visible; explicit salting is the "
+        "plan-stable form for known-degenerate keys, and composes "
+        "with any aggregate above it. At test scale the replicated "
+        "dim is broadcast-sized, which is fine — the salt columns "
+        "are inert under broadcast and load-bearing past the "
+        "threshold.",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    SALTS = 16
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.pmod(F.xxhash64("event_id"), F.lit(SALTS)).alias("salt"),
+    )
+    dim = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("type_n"))
+        .withColumn(
+            "salt", F.explode(F.array(*[F.lit(s) for s in range(SALTS)]))
+        )
+    )
+    return (
+        ev.join(dim, ["event_type", "salt"])
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("type_n").alias("exposure"))
+    )

@@ -1031,3 +1031,106 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens_bpe").cast("double") / F.col("n_tokens_raw"), 6
         ).alias("compression"),
     )
+
+
+# --- count-min sketch --------------------------------------------------
+
+# The third sketch in the frequency toolbox (next to HLL approx-distinct
+# and Misra-Gries heavy hitters): a D×W counter grid, fully mergeable
+# (partial/final hash agg), answering point frequency queries with
+# one-sided error (estimate ≥ truth, overshoot bounded by collisions
+# per row). Hashes are md5-derived so DuckDB replays them bit-for-bit;
+# the report joins the sketch estimate against the exact count for the
+# top terms — the error contract is the output, same posture as
+# ann_recall_report.
+CM_DEPTH = 4
+CM_WIDTH = 64
+CM_TOPN = 20
+
+
+def _cm_bucket_sql(d: str, term: str) -> str:
+    """DuckDB twin of the Spark md5 bucket: first 2 hex chars % W."""
+    h = f"md5(CAST({d} AS VARCHAR) || '|' || {term})"
+    return (
+        f"((16 * (strpos('0123456789abcdef', substring({h}, 1, 1)) - 1) "
+        f"+ (strpos('0123456789abcdef', substring({h}, 2, 1)) - 1)) "
+        f"% {CM_WIDTH})"
+    )
+
+
+def _cm_bucket(d, term) -> F.Column:
+    h = F.md5(F.concat(d.cast("string"), F.lit("|"), term))
+    return (
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % CM_WIDTH
+    )
+
+
+@register(
+    "text_countmin_freq",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({TOKS_SQL}) AS term FROM documents),
+    cells AS (SELECT unnest(range(0, {CM_DEPTH})) AS d, term FROM tok),
+    sketch AS (SELECT d, {_cm_bucket_sql('d', 'term')} AS bucket,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM cells GROUP BY 1, 2),
+    exact AS (SELECT term, CAST(count(*) AS BIGINT) AS n_exact
+              FROM tok GROUP BY 1),
+    cand AS (SELECT term, n_exact FROM (
+               SELECT term, n_exact,
+                      row_number() OVER (ORDER BY n_exact DESC, term) AS rk
+               FROM exact) WHERE rk <= {CM_TOPN}),
+    probes AS (SELECT c.term, c.n_exact, d.d,
+                      {_cm_bucket_sql('d.d', 'c.term')} AS bucket
+               FROM cand c, unnest(range(0, {CM_DEPTH})) AS d(d)),
+    est AS (SELECT p.term, p.n_exact, min(s.c) AS n_est
+            FROM probes p JOIN sketch s
+              ON p.d = s.d AND p.bucket = s.bucket
+            GROUP BY 1, 2)
+    SELECT term, n_exact, n_est,
+           round(CAST(n_est AS DOUBLE) / n_exact, 6) AS inflation
+    FROM est
+    """,
+    doc=f"Count-min sketch point-frequency estimates: a {CM_DEPTH}×"
+        f"{CM_WIDTH} counter grid built in ONE partial/final hash agg "
+        "over (row, md5-bucket) — the sketch is mergeable by "
+        "construction, so map-side combines do the heavy lifting and "
+        f"the reduced state is {CM_DEPTH * CM_WIDTH} counters total "
+        "regardless of corpus size. Point queries take the min over "
+        f"the {CM_DEPTH} rows (one-sided error: estimate ≥ truth). "
+        f"The report probes the top-{CM_TOPN} terms and joins exact "
+        "counts against sketch estimates — the error contract IS the "
+        "output, and the oracle replays the identical md5 bucket "
+        "arithmetic so even the collisions are hash-checked.",
+)
+def text_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(texting.tokens(F.col("text"))).alias("term")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    ds = F.explode(F.array(*[F.lit(d) for d in range(CM_DEPTH)]))
+    cells = tok.select("term", ds.alias("d"))
+    sketch = cells.groupBy("d", _cm_bucket(F.col("d"), F.col("term")).alias("bucket")).agg(
+        F.count("*").alias("c")
+    )
+    exact = tok.groupBy("term").agg(F.count("*").alias("n_exact"))
+    # global top-N: orderBy+limit plans as TakeOrderedAndProject
+    cand = exact.orderBy(F.desc("n_exact"), F.asc("term")).limit(CM_TOPN)
+    probes = cand.select(
+        "term", "n_exact", ds.alias("d")
+    ).withColumn("bucket", _cm_bucket(F.col("d"), F.col("term")))
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("term", "n_exact")
+        .agg(F.min("c").alias("n_est"))
+    )
+    return est.select(
+        "term",
+        "n_exact",
+        "n_est",
+        F.round(F.col("n_est").cast("double") / F.col("n_exact"), 6).alias(
+            "inflation"
+        ),
+    )
