@@ -169,3 +169,39 @@ def ingest(
             num_buckets, id_col
         ).saveAsTable(t_shingles)
     return report
+
+
+def foreach_batch_ingest(
+    stream_df: DataFrame,
+    name: str,
+    report_path: str,
+    checkpoint: str,
+    **ingest_kwargs,
+):
+    """Streaming form of the day-2 ingestion: each micro-batch of
+    newly-crawled docs is deduped against (and absorbed into) the
+    persisted LSH state, and its dedup report lands in
+    ``{report_path}/batch_id={id}``.
+
+    Exactly-once composes from two idempotencies: a replayed
+    micro-batch's docs are already in the state, so ``ingest``'s
+    anti-join reports them as already-absorbed (empty), and the
+    batch-id-keyed report directory overwrites itself — the same
+    contract as sinks.foreach_batch_idempotent + merge idempotency.
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        report = ingest(spark, name, batch_df, **ingest_kwargs)
+        report.write.mode("overwrite").parquet(
+            f"{report_path}/batch_id={batch_id}"
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

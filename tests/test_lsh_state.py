@@ -124,3 +124,59 @@ def test_state_join_is_colocated_on_buckets(spark, sf_dir, state_name):
         above = "\n".join(lines[max(0, i - 2): i])
         assert "Exchange" not in above, plan
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+
+
+def test_streaming_ingest_foreach_batch(spark, sf_dir, state_name, tmp_path):
+    """Streaming day-2 ingestion: docs arriving as micro-batches are
+    deduped against and absorbed into the persisted state; per-batch
+    reports land batch-id-keyed; a second availableNow pass over the
+    same files ingests nothing new."""
+    import os
+
+    docs = table(spark, sf_dir, "documents")
+    lsh_state.build(docs.filter(F.col("doc_id") < 300), state_name, **{
+        k: v for k, v in KW.items() if k != "threshold"
+    })
+
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+    docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400)).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{src}/f1")
+    reports = str(tmp_path / "reports")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{src}/*")
+    q = lsh_state.foreach_batch_ingest(stream, state_name, reports, ckpt, **KW)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(reports)
+    assert got.count() == 100
+    flagged = {
+        (r.doc_id, r.dup_of, r.jaccard)
+        for r in got.filter(F.col("dup_of").isNotNull()).collect()
+    }
+    assert flagged == _brute_best(docs, 300, 400, 300)
+
+    # second batch of files, new availableNow pass: only new docs flow,
+    # and they see corpus + batch-1 as their state
+    docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 500)).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{src}/f2")
+    stream2 = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{src}/*")
+    q2 = lsh_state.foreach_batch_ingest(stream2, state_name, reports, ckpt, **KW)
+    q2.awaitTermination(120)
+
+    got2 = spark.read.parquet(reports)
+    assert got2.count() == 200  # 100 per ingested batch, no re-emission
+    flagged2 = {
+        (r.doc_id, r.dup_of, r.jaccard)
+        for r in got2.filter(
+            (F.col("dup_of").isNotNull()) & (F.col("doc_id") >= 400)
+        ).collect()
+    }
+    assert flagged2 == _brute_best(docs, 400, 500, 400)
