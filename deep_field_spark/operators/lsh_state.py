@@ -45,6 +45,16 @@ def _tables(name: str) -> tuple[str, str]:
     return f"{name}_bands", f"{name}_shingles"
 
 
+def _banded_from_shingles(
+    sh: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, key) derived from an (id, shingles-array) frame, so
+    the raw text is never re-tokenized for the signature pass."""
+    exploded = sh.select(id_col, F.explode("shingles").alias("shingle"))
+    sig = D.minhash_signatures(exploded, id_col, num_hashes)
+    return D.band_keyed(sig, id_col, bands, num_hashes // bands)
+
+
 def build(
     docs: DataFrame,
     name: str,
@@ -74,12 +84,14 @@ def build(
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"{wh}/{t.lower()}", ignore_errors=True)
     sh = D.shingled(docs, text_col, id_col, ngram)
-    sig = D.minhash_signatures(
-        D.exploded_shingles(docs, text_col, id_col, ngram), id_col, num_hashes
-    )
-    banded = D.band_keyed(sig, id_col, bands, num_hashes // bands)
-    sinks.write_bucketed(banded, t_bands, ["band", "key"], num_buckets)
     sinks.write_bucketed(sh, t_shingles, [id_col], num_buckets)
+    # signatures derive from the just-written shingle TABLE, not a
+    # second tokenize pass over the raw text — the corpus is read
+    # once as text, once as (id, shingles)
+    banded = _banded_from_shingles(
+        docs.sparkSession.table(t_shingles), id_col, num_hashes, bands
+    )
+    sinks.write_bucketed(banded, t_bands, ["band", "key"], num_buckets)
 
 
 def drop(spark: SparkSession, name: str) -> None:
@@ -118,11 +130,10 @@ def ingest(
     known = state_sh.select(id_col)
     new = batch.join(known, id_col, "left_anti")
 
-    new_sh = D.shingled(new, text_col, id_col, ngram)
-    sig = D.minhash_signatures(
-        D.exploded_shingles(new, text_col, id_col, ngram), id_col, num_hashes
-    )
-    new_banded = D.band_keyed(sig, id_col, bands, num_hashes // bands)
+    # shingle the batch once, derive signatures from the persisted
+    # frame — the batch text is tokenized exactly one time
+    new_sh = D.shingled(new, text_col, id_col, ngram).persist()
+    new_banded = _banded_from_shingles(new_sh, id_col, num_hashes, bands)
 
     cand = (
         new_banded.join(
@@ -168,6 +179,10 @@ def ingest(
         new_sh.write.mode("append").format("parquet").bucketBy(
             num_buckets, id_col
         ).saveAsTable(t_shingles)
+        new_sh.unpersist()
+    # append=False leaves new_sh cached for the caller's consumption
+    # of the report (the session's clearCache-between-queries
+    # discipline reclaims it)
     return report
 
 

@@ -1118,7 +1118,12 @@ def curation_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(F.col("toks"), F.lit(0.0), lambda a, x: a + F.length(x).cast("double"))
         / F.size("toks")
     )
+    from pyspark import StorageLevel
+
     nf = len(QT_FEATURES)
+    # the tokenize-heavy feature pass runs ONCE; every GD round scans
+    # the persisted 6-column frame (at 100 TB: a materialized feature
+    # table, the standard trainer input layout)
     f = t.select(
         "doc_id",
         "y",
@@ -1130,7 +1135,7 @@ def curation_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("x2"),
         F.abs(mwl - 6.0).alias("x3"),
         F.when(F.col("n_chars").between(100, 5000), 1.0).otherwise(0.0).alias("x4"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     w = spark.range(1).select(
         *[F.lit(0.0).alias(f"w{j}") for j in range(nf)]
     )
