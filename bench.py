@@ -56,6 +56,7 @@ HEADLINE = [
     "events_anomaly_zscore",
     "events_transition_matrix",
     "events_scd2_intervals",
+    "events_resample_gapfill",
     "dedup_exact",
     "dedup_incremental_batch",
     "dedup_incremental_minhash",

@@ -82,9 +82,12 @@ _PRIORITY = [
     # (streaming_dedup_watermark rotated below after green r03+r04
     # rows — five streaming rows stay in-window; its slot funds the
     # round-5 cross-split leakage audit)
-    "streaming_tumbling_hourly",
+    # (streaming_tumbling_hourly rotated below after green r03/r04/r05
+    # rows — its oracle is shared with the batch twin, and four
+    # streaming rows stay in-window; its slot funds the round-6
+    # resample/gap-fill time-series prep)
     "streaming_session_window", "streaming_stateful_counts",
-    "streaming_stream_join",
+    "streaming_stream_join", "events_resample_gapfill",
     # round-5: stream-static dimension enrichment (the standard
     # streaming lookup pattern; slot funded by events_cohort_retention,
     # green r01-r04)

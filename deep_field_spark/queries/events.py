@@ -517,3 +517,75 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.when(F.col("valid_to").isNull(), 1).otherwise(0).cast("int").alias("is_current"),
     )
+
+
+@register(
+    "events_resample_gapfill",
+    oracle="""
+    WITH h AS (SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+                      CAST(count(*) AS BIGINT) AS n_events,
+                      round(avg(value), 6) AS avg_value
+               FROM events GROUP BY 1, 2),
+    rng AS (SELECT user_id, min(hour_ts) AS h0, max(hour_ts) AS h1
+            FROM h GROUP BY 1),
+    grid AS (SELECT r.user_id, g.g AS hour_ts
+             FROM rng r, unnest(generate_series(r.h0, r.h1,
+                                                INTERVAL 1 HOUR)) AS g(g)),
+    j AS (SELECT g.user_id, g.hour_ts,
+                 coalesce(h.n_events, 0) AS n_events, h.avg_value
+          FROM grid g LEFT JOIN h USING (user_id, hour_ts))
+    SELECT user_id, hour_ts, n_events,
+           last_value(avg_value IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY hour_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS value_ffill
+    FROM j
+    """,
+    doc="Time-series resampling with gap fill: per-user hourly "
+        "activity resampled onto a dense hour grid spanning each "
+        "user's own [first, last] hour — silent hours appear with "
+        "n_events=0 and the metric forward-filled from the last "
+        "observed hour (the standard prep for feeding event streams "
+        "to sequence models / anomaly detectors, which cannot see "
+        "gaps that are not rows). The grid is generated per user with "
+        "sequence+explode (rows scale with user-hours, no cross "
+        "join); the fill is one user-keyed window — per-task state is "
+        "one user's grid, and a year-long grid per user is ~9k rows, "
+        "so a hot user cannot melt a reducer. Leading nulls are "
+        "impossible by construction (each grid starts at an observed "
+        "hour).",
+)
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    rng = h.groupBy("user_id").agg(
+        F.min("hour_ts").alias("h0"), F.max("hour_ts").alias("h1")
+    )
+    grid = rng.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(h0, h1, interval 1 hour)")
+        ).alias("hour_ts"),
+    )
+    j = grid.join(h, ["user_id", "hour_ts"], "left").select(
+        "user_id",
+        "hour_ts",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "avg_value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "hour_ts",
+        "n_events",
+        F.last("avg_value", ignorenulls=True).over(w).alias("value_ffill"),
+    )
