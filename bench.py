@@ -114,6 +114,7 @@ HEADLINE = [
     "embedding_quantize_int8",
     "multimodal_frame_sample",
     "multimodal_arrow_meta",
+    "multimodal_decode_real",
     "udaf_grouped_pandas",
     "cogrouped_map_asof",
     "map_funcs_events",

@@ -126,7 +126,11 @@ _PRIORITY = [
     # the hamming-pairs machinery it builds on is also proven by the
     # r03-green dedup_simhash_pairs; its round-6 slot funds the
     # in-engine quality-classifier TRAINING loop)
-    "dedup_ngram_jaccard_capped",
+    # (dedup_ngram_jaccard_capped rotated below after green r03/r04/r05
+    # rows — Jaccard stays in-window via dedup_minhash_lsh and the
+    # incremental twin; its slot funds the round-6 hash-checked REAL
+    # image decode, the multimodal family's first non-rows-only row)
+    "multimodal_decode_real",
     # r6: dedup_embedding_cosine now plants near-dup twins (its four
     # prior green rows were empty-vs-empty; this round's row is the
     # first non-vacuous evidence) — keep it in-window.

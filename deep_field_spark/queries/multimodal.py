@@ -128,3 +128,101 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_arrow_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = MM.binary_corpus(spark, sf_dir)
     return MM.arrow_chunk_meta(corpus, chunk=64)
+
+
+# --- REAL image decode, hash-checked ----------------------------------
+
+# The container has no codec libraries, but binary PPM needs none: the
+# decoder in sources/multimodal.py parses P6 with the stdlib. To make
+# the real-decode path ORACLE-checkable, each doc gets a deterministic
+# 4x4 synthetic image whose raster bytes are md5-derived from its id —
+# DuckDB regenerates the identical bytes from the same md5 arithmetic
+# and recomputes the channel means in SQL, so the decoded features are
+# hash-checked, not rows-only. (multimodal_feature_extract remains the
+# fake-path plumbing check for formats that DO need codecs.)
+IMG_W = IMG_H = 4
+_IMG_BYTES = 3 * IMG_W * IMG_H  # 48 = 3 md5 digests
+
+
+@register(
+    "multimodal_decode_real",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, t.i,
+             md5(CAST(doc_id AS VARCHAR) || '|' || CAST(t.i // 16 AS VARCHAR))
+               AS h,
+             (t.i % 16) AS k
+      FROM documents, unnest(range(0, {_IMG_BYTES})) AS t(i)),
+    v AS (SELECT doc_id, i,
+             16 * (strpos('0123456789abcdef', substring(h, 2 * k + 1, 1)) - 1)
+               + (strpos('0123456789abcdef', substring(h, 2 * k + 2, 1)) - 1)
+               AS byte
+          FROM b)
+    SELECT doc_id,
+           {IMG_W} AS width, {IMG_H} AS height,
+           round(avg(CASE WHEN i % 3 = 0 THEN byte END) / 255.0, 6) AS mean_r,
+           round(avg(CASE WHEN i % 3 = 1 THEN byte END) / 255.0, 6) AS mean_g,
+           round(avg(CASE WHEN i % 3 = 2 THEN byte END) / 255.0, 6) AS mean_b
+    FROM v GROUP BY doc_id
+    """,
+    doc="REAL image decode, hash-checked: every doc carries a "
+        f"deterministic {IMG_W}x{IMG_H} binary-PPM payload (raster "
+        "bytes md5-derived from the doc id), the codec-free P6 decoder "
+        "(sources/multimodal.py:decode_ppm, stdlib-only) runs inside "
+        "the Arrow-batched mapInPandas operator with fake=False, and "
+        "the per-channel means come back as decoded features. The "
+        "oracle regenerates the identical raster bytes from the same "
+        "md5 arithmetic and recomputes the means in SQL — the first "
+        "hash-checked real-decode row of the multimodal family; "
+        "compressed formats still require codecs and keep the honest "
+        "stub + fake plumbing path.",
+)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("mr", T.DoubleType(), False),
+            T.StructField("mg", T.DoubleType(), False),
+            T.StructField("mb", T.DoubleType(), False),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        header = b"P6\n%d %d\n255\n" % (IMG_W, IMG_H)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                raw = b"".join(
+                    hashlib.md5(f"{doc_id}|{j}".encode()).digest()
+                    for j in range(_IMG_BYTES // 16)
+                )
+                feat = MM.decode_payload(
+                    header + raw[:_IMG_BYTES], "image/x-portable-pixmap"
+                )
+                rows.append(
+                    (int(doc_id), int(feat[0]), int(feat[1]),
+                     feat[2], feat[3], feat[4])
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "mr", "mg", "mb"]
+            )
+
+    feats = docs.mapInPandas(op, schema=schema)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mr", 6).alias("mean_r"),
+        F.round("mg", 6).alias("mean_g"),
+        F.round("mb", 6).alias("mean_b"),
+    )

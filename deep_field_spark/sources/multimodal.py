@@ -2,11 +2,14 @@
 
 Image/audio/video content rides as a ``binary`` column with a metadata
 struct; decode / feature-extract run as Arrow-batched ``mapInPandas``
-operators. The decode step is STUBBED (no image/audio libs in this
-container): ``decode_payload`` raises NotImplementedError unless
+operators. Decode is REAL for codec-free formats — binary PPM (P6) and
+uncompressed 24-bit BMP parse with the stdlib alone (``decode_ppm`` /
+``decode_bmp``; nearest-neighbor ``resize_ppm``) — and STUBBED for
+compressed formats (JPEG/PNG/MP4 need codec libraries this container
+lacks): there ``decode_payload`` raises NotImplementedError unless
 ``fake=True``, in which case a deterministic md5-derived feature vector
-stands in — the Spark-side plumbing (schema, batch shape, partitioning)
-is real and tested either way.
+stands in. The Spark-side plumbing (schema, batch shape, partitioning)
+is identical on every path and tested on all of them.
 
 At 100 TB the payload column dominates IO: keep it in its own parquet
 column (never in the shuffle key), push metadata predicates down so
@@ -75,11 +78,103 @@ def _fake_features(payload: bytes) -> list[float]:
     return [b / 256.0 for b in digest[:FEATURE_DIM]]
 
 
-def decode_payload(payload: bytes, mime: str):
-    """Real decode entry point — unimplemented in this container."""
-    raise NotImplementedError(
-        f"no media codec available for {mime!r}; install a decoder or use fake=True"
-    )
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a P6 header: returns (width, height, maxval, data_offset).
+    Handles whitespace runs and # comments per the netpbm spec."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 ppm")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte before raster data
+    w, h, maxval = fields
+    return w, h, maxval, pos
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, list[float]]:
+    """Decode binary PPM (P6): (width, height, [mean_r, mean_g, mean_b])
+    with means normalized to [0, 1]. Pure stdlib — no codec needed."""
+    w, h, maxval, off = _ppm_header(payload)
+    raster = payload[off:off + 3 * w * h]
+    if len(raster) != 3 * w * h:
+        raise ValueError("truncated ppm raster")
+    n = w * h
+    sums = [0, 0, 0]
+    for i, b in enumerate(raster):
+        sums[i % 3] += b
+    return w, h, [s / n / maxval for s in sums]
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
+    """Decode uncompressed 24-bit BMP: (width, height, channel means
+    as [mean_r, mean_g, mean_b] in [0, 1]). Pure stdlib."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    flipped = h > 0  # positive height = bottom-up rows
+    h = abs(h)
+    row_bytes = (3 * w + 3) // 4 * 4
+    sums = [0, 0, 0]  # B, G, R order on disk
+    for r in range(h):
+        row = payload[data_off + r * row_bytes:][: 3 * w]
+        for i, b in enumerate(row):
+            sums[i % 3] += b
+    n = w * h
+    _ = flipped  # row order does not affect channel means
+    return w, h, [sums[2] / n / 255.0, sums[1] / n / 255.0, sums[0] / n / 255.0]
+
+
+def resize_ppm(payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resample of a P6 ppm to (width, height),
+    re-emitted as P6. Pure stdlib."""
+    w, h, maxval, off = _ppm_header(payload)
+    raster = payload[off:off + 3 * w * h]
+    out = bytearray(b"P6\n%d %d\n%d\n" % (width, height, maxval))
+    for y in range(height):
+        sy = y * h // height
+        for x in range(width):
+            sx = x * w // width
+            p = 3 * (sy * w + sx)
+            out += raster[p:p + 3]
+    return bytes(out)
+
+
+def decode_payload(payload: bytes, mime: str) -> list[float]:
+    """Real decode for codec-free formats (binary PPM, uncompressed
+    24-bit BMP — parseable with the stdlib alone): returns the
+    FEATURE_DIM feature vector [width, height, mean_r, mean_g, mean_b,
+    luma, n_pixels, 0]. Compressed formats (JPEG/PNG/MP4) still raise
+    — no codec libraries in this container; a PIL/ffmpeg-backed decode
+    slots in here without touching the Spark plan."""
+    b = bytes(payload)
+    if b[:2] == b"P6":
+        w, h, (mr, mg, mb) = decode_ppm(b)
+    elif b[:2] == b"BM":
+        w, h, (mr, mg, mb) = decode_bmp(b)
+    else:
+        raise NotImplementedError(
+            f"no media codec available for {mime!r}; supported codec-free "
+            "formats: image/x-portable-pixmap (P6), uncompressed 24-bit "
+            "image/bmp"
+        )
+    luma = 0.2126 * mr + 0.7152 * mg + 0.0722 * mb
+    return [float(w), float(h), mr, mg, mb, luma, float(w * h), 0.0]
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -121,8 +216,13 @@ def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                raise NotImplementedError("no image codec available; use fake=True")
-            out_payload = [bytes(p)[:target] for p in pdf["payload"]]
+                # real path: nearest-neighbor resample for codec-free
+                # P6 ppm payloads; anything else still needs a codec
+                out_payload = [
+                    resize_ppm(bytes(p), width, height) for p in pdf["payload"]
+                ]
+            else:
+                out_payload = [bytes(p)[:target] for p in pdf["payload"]]
             metas = [
                 {"mime": m["mime"], "n_bytes": len(p), "width": width, "height": height}
                 for m, p in zip(pdf["meta"], out_payload)
