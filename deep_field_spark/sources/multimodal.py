@@ -3,13 +3,15 @@
 Image/audio/video content rides as a ``binary`` column with a metadata
 struct; decode / feature-extract run as Arrow-batched ``mapInPandas``
 operators. Decode is REAL for codec-free formats — binary PPM (P6) and
-uncompressed 24-bit BMP parse with the stdlib alone (``decode_ppm`` /
-``decode_bmp``; nearest-neighbor ``resize_ppm``) — and STUBBED for
-compressed formats (JPEG/PNG/MP4 need codec libraries this container
-lacks): there ``decode_payload`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic md5-derived feature vector
-stands in. The Spark-side plumbing (schema, batch shape, partitioning)
-is identical on every path and tested on all of them.
+uncompressed 24-bit BMP images (``decode_ppm`` / ``decode_bmp``;
+nearest-neighbor ``resize_ppm``), 16-bit PCM WAV audio
+(``decode_wav``) and YUV4MPEG2 raw video (``split_y4m_frames``) all
+parse with the stdlib alone — and STUBBED for compressed formats
+(JPEG/PNG/MP4 need codec libraries this container lacks): there
+``decode_payload`` raises NotImplementedError unless ``fake=True``,
+in which case a deterministic md5-derived feature vector stands in.
+The Spark-side plumbing (schema, batch shape, partitioning) is
+identical on every path and tested on all of them.
 
 At 100 TB the payload column dominates IO: keep it in its own parquet
 column (never in the shuffle key), push metadata predicates down so
@@ -140,6 +142,58 @@ def decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
     return w, h, [sums[2] / n / 255.0, sums[1] / n / 255.0, sums[0] / n / 255.0]
 
 
+def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
+    """Decode PCM WAV (RIFF) with the stdlib ``wave`` module:
+    (n_channels, sample_rate, n_frames, rms) — rms normalized to
+    [0, 1] over 16-bit samples. Codec-free: PCM is raw samples."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        nch, sw, rate, nfr = (
+            w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
+        )
+        if sw != 2:
+            raise NotImplementedError("only 16-bit PCM supported")
+        raw = w.readframes(nfr)
+    n = len(raw) // 2
+    if n == 0:
+        return nch, rate, 0, 0.0
+    acc = 0
+    for (s,) in struct.iter_unpack("<h", raw):
+        acc += s * s
+    return nch, rate, nfr, (acc / n) ** 0.5 / 32768.0
+
+
+def split_y4m_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Split a YUV4MPEG2 stream (codec-free raw video) into frames:
+    (width, height, [frame_bytes...]). Frames are 4:2:0 planar
+    (w*h*3/2 bytes) following each FRAME marker line."""
+    b = bytes(payload)
+    nl = b.index(b"\n")
+    header = b[:nl].split(b" ")
+    if header[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    for tok in header[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+    if not w or not h:
+        raise ValueError("missing W/H in y4m header")
+    frame_size = w * h * 3 // 2
+    frames, pos = [], nl + 1
+    while pos < len(b):
+        if b[pos:pos + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        pos = b.index(b"\n", pos) + 1
+        frames.append(b[pos:pos + frame_size])
+        pos += frame_size
+    return w, h, frames
+
+
 def resize_ppm(payload: bytes, width: int, height: int) -> bytes:
     """Nearest-neighbor resample of a P6 ppm to (width, height),
     re-emitted as P6. Pure stdlib."""
@@ -245,11 +299,18 @@ def sample_frames(
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("no video codec available; use fake=True")
             ids, idxs, payloads = [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(p)
+                if not fake:
+                    # real path: codec-free YUV4MPEG2 streams split on
+                    # FRAME markers; every_n-th frame sampled
+                    _, _, frames = split_y4m_frames(b)
+                    for fi in range(0, len(frames), every_n):
+                        ids.append(doc_id)
+                        idxs.append(fi // every_n)
+                        payloads.append(frames[fi])
+                    continue
                 n_chunks = (len(b) + frame_bytes - 1) // frame_bytes
                 for ci in range(0, n_chunks, every_n):
                     ids.append(doc_id)

@@ -91,3 +91,49 @@ def test_real_resize_through_spark(spark):
     w, h, means = MM.decode_ppm(bytes(out.payload))
     assert (w, h, means) == (1, 1, [1.0, 0.0, 0.0])
     assert (out.meta.width, out.meta.height) == (1, 1)
+
+
+def _wav16(rate, samples):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_decode_wav_rms():
+    nch, rate, nfr, rms = MM.decode_wav(_wav16(8000, [16384, -16384, 16384, -16384]))
+    assert (nch, rate, nfr) == (1, 8000, 4)
+    assert rms == pytest.approx(0.5, abs=1e-9)
+
+
+def _y4m(w, h, n_frames):
+    frame_size = w * h * 3 // 2
+    body = b"".join(
+        b"FRAME\n" + bytes([i % 256]) * frame_size for i in range(n_frames)
+    )
+    return b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (w, h) + body
+
+
+def test_split_y4m_frames():
+    w, h, frames = MM.split_y4m_frames(_y4m(4, 2, 5))
+    assert (w, h, len(frames)) == (4, 2, 5)
+    assert all(len(f) == 12 for f in frames)
+    assert frames[3] == bytes([3]) * 12
+
+
+def test_real_frame_sampling_through_spark(spark):
+    """fake=False video path: a real y4m stream splits on FRAME markers
+    inside mapInPandas; every 2nd frame sampled."""
+    rows = [(1, _y4m(4, 2, 5), {"mime": "video/x-yuv4mpeg", "n_bytes": 0})]
+    df = spark.createDataFrame(rows, MM.PAYLOAD_SCHEMA)
+    got = MM.sample_frames(df, every_n=2, fake=False).collect()
+    assert [(r.frame_idx, bytes(r.payload)[0]) for r in sorted(got, key=lambda r: r.frame_idx)] == [
+        (0, 0), (1, 2), (2, 4)
+    ]
