@@ -83,15 +83,14 @@ def build(
     for t in (t_bands, t_shingles):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"{wh}/{t.lower()}", ignore_errors=True)
-    sh = D.shingled(docs, text_col, id_col, ngram)
+    # tokenize+shingle ONCE: the persisted frame feeds both state
+    # writes (bands derive from it too), so the corpus text is read a
+    # single time per build
+    sh = D.shingled(docs, text_col, id_col, ngram).persist()
     sinks.write_bucketed(sh, t_shingles, [id_col], num_buckets)
-    # signatures derive from the just-written shingle TABLE, not a
-    # second tokenize pass over the raw text — the corpus is read
-    # once as text, once as (id, shingles)
-    banded = _banded_from_shingles(
-        docs.sparkSession.table(t_shingles), id_col, num_hashes, bands
-    )
+    banded = _banded_from_shingles(sh, id_col, num_hashes, bands)
     sinks.write_bucketed(banded, t_bands, ["band", "key"], num_buckets)
+    sh.unpersist()
 
 
 def drop(spark: SparkSession, name: str) -> None:
