@@ -62,6 +62,7 @@ HEADLINE = [
     "dedup_incremental_minhash",
     "curation_dedup_report",
     "dedup_minhash_lsh",
+    "dedup_containment",
     "dedup_simhash",
     "text_token_stats",
     "text_quality_score",

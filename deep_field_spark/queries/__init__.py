@@ -113,7 +113,12 @@ _PRIORITY = [
     # (dedup_components rotated below after green r03+r04 rows — the
     # round-5 dedup dashboard exercises the same components machinery
     # end-to-end against the exact-closure oracle and takes the slot)
-    "dedup_minhash_lsh", "curation_dedup_report",
+    # (dedup_minhash_lsh rotated below after green r01/r03/r04/r05
+    # rows — the identical band-join machinery stays in-window three
+    # ways: the incremental twin, the dedup dashboard, and the new
+    # containment pass; its slot funds that asymmetric-containment
+    # detector, the quote/subset case Jaccard under-scores)
+    "dedup_containment", "curation_dedup_report",
     # (simhash_pairs, embedding_cosine_exact and keep_canonical rotated
     # below after green r03 rows — the capped/bucketed scale-path twins
     # and the components clusterer they build on stay)

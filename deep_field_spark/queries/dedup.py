@@ -1031,3 +1031,98 @@ def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 4).alias("cos_sim"),
         )
     )
+
+
+# --- asymmetric containment -------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.6
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_MINHASH_CAND_CTE},
+    bidir AS (
+      SELECT id_a AS doc_id, id_b AS other_id, sa AS s_self, sb AS s_other
+      FROM cand
+      UNION ALL
+      SELECT id_b, id_a, sb, sa FROM cand),
+    c AS (SELECT doc_id, other_id,
+                 CAST(len(list_intersect(s_self, s_other)) AS DOUBLE)
+                   / len(s_self) AS containment
+          FROM bidir),
+    f AS (SELECT * FROM c WHERE containment >= {CONTAINMENT_THRESHOLD}),
+    r AS (SELECT doc_id, other_id, containment,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY containment DESC, other_id) AS rn
+          FROM f)
+    SELECT doc_id, other_id AS contained_in,
+           round(containment, 6) AS containment
+    FROM r WHERE rn = 1
+    """,
+    doc="Asymmetric containment detection: C(A→B) = |A∩B| / |A| over "
+        "shingle sets — the quote/subset case Jaccard under-scores (a "
+        "tweet quoted inside an article has tiny Jaccard but "
+        "containment ~1), which is how excerpt-heavy near-dups slip "
+        "through symmetric dedup. Candidates come from the SAME "
+        "MinHash band join as dedup_minhash_lsh (id pairs only, both "
+        "directions of each pair scored); the exact containment "
+        "verify runs on candidates, and each doc reports its best "
+        "container. Band recall is tuned for Jaccard — high-"
+        "containment/low-Jaccard pairs below band reach are the "
+        "declared trade (a production containment pass banding on "
+        "the shorter doc's signature would close it); the oracle "
+        "replays the identical candidates so the contract is "
+        "hash-checked.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = D.shingled(docs, "text", "doc_id", NGRAM).persist()
+    banded = _banded_of(sh)
+    a = banded.select(F.col("doc_id").alias("id_a"), "band", "key")
+    b = banded.select(F.col("doc_id").alias("id_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    both = cand.select(
+        F.col("id_a").alias("doc_id"), F.col("id_b").alias("other_id")
+    ).unionAll(
+        cand.select(F.col("id_b").alias("doc_id"), F.col("id_a").alias("other_id"))
+    )
+    scored = (
+        both.join(sh, "doc_id")
+        .join(
+            sh.select(
+                F.col("doc_id").alias("other_id"),
+                F.col("shingles").alias("sh_other"),
+            ),
+            "other_id",
+        )
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("shingles", "sh_other")).cast("double")
+            / F.size("shingles"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("containment"), F.asc("other_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("other_id").alias("contained_in"),
+            F.round("containment", 6).alias("containment"),
+        )
+    )
+
+
+def _banded_of(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, key) from an (id, shingles) frame — one
+    tokenize, signatures derived from the persisted shingle arrays."""
+    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    sig = D.minhash_signatures(exploded, "doc_id", NUM_HASHES)
+    return D.band_keyed(sig, "doc_id", BANDS, NUM_HASHES // BANDS)
