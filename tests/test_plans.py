@@ -564,3 +564,34 @@ def test_decontam_embedding_no_cross_product(spark, sf_dir):
     plan = _plan(spark, sf_dir, "decontam_embedding")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_containment_no_cross_product(spark, sf_dir):
+    """dedup_containment: candidates via band-key equi-joins, verify
+    joins on ids; never a doc x doc product."""
+    plan = _plan(spark, sf_dir, "dedup_containment")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_gapfill_window_is_user_keyed(spark, sf_dir):
+    """events_resample_gapfill: the forward-fill window must be keyed
+    by user_id (bounded per-task state), and the grid join an
+    equi-join."""
+    import re
+    plan = _plan(spark, sf_dir, "events_resample_gapfill")
+    assert "CartesianProduct" not in plan, plan
+    wins = [l for l in plan.splitlines() if re.search(r"\bWindow\b", l)]
+    assert wins, plan
+    for w in wins:
+        assert "user_id" in w, w
+
+
+def test_countmin_sketch_is_partial_final_agg(spark, sf_dir):
+    """text_countmin_freq: the sketch build must map-side combine (the
+    whole point of a mergeable sketch) and the top-N candidates come
+    from TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, sf_dir, "text_countmin_freq")
+    assert "HashAggregate" in plan[plan.index("Exchange"):]
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
