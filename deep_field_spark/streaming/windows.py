@@ -235,3 +235,61 @@ def stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(agg, "update")
     return out.select("user_id", "n_events")
+
+
+def stateful_user_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user event counts via transformWithStateInPandas —
+    Spark 4's arbitrary-stateful API (the applyInPandasWithState
+    successor): typed per-key state handles (ValueState here; List/Map
+    state and timers in the same handle API) over the RocksDB state
+    store provider, which transformWithState requires — and which is
+    also the right provider at scale (changelog-checkpointed,
+    spill-to-disk state instead of JVM-heap HDFSBackedStateStore).
+    Same semantics as stateful_user_counts: on one availableNow pass
+    the final state equals the batch groupBy, so the same oracle
+    hash-checks it.
+
+    Environment note: the transformWithState Python worker speaks a
+    protobuf-based state-server protocol — ``google.protobuf`` must be
+    importable on the workers (absent in this container, so the test
+    importorskips; applyInPandasWithState above is the dependency-free
+    gated path and stays the registry query)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _CountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = sum(len(pdf) for pdf in rows)
+            prev = self._n.get()
+            total = (prev[0] if prev is not None else 0) + n
+            self._n.update((total,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+        def close(self) -> None:
+            pass
+
+    ev = events_stream(spark, sf_dir).select("user_id", "ts")
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        agg = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_CountProcessor(),
+            outputStructType="user_id bigint, n_events bigint",
+            outputMode="Update",
+            timeMode="None",
+        )
+        out = _run_to_memory(agg, "update")
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+    return out.select("user_id", "n_events")

@@ -487,3 +487,29 @@ class TestMisraGries:
             assert heavy <= cands, (heavy - cands, len(stream))
 
         prop()
+
+
+def test_stateful_counts_transform_with_state(spark, sf_dir):
+    """Spark 4's transformWithStateInPandas twin of the stateful-counts
+    operator: same per-user totals as the batch groupBy. The tws
+    Python worker needs google.protobuf (its state-server protocol);
+    absent in this container, so this runs where the dependency
+    exists and documents the API parity honestly otherwise."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from deep_field_spark.catalog import table
+    from deep_field_spark.streaming import windows as SW
+
+    got = {
+        (r.user_id, r.n_events)
+        for r in SW.stateful_user_counts_tws(spark, sf_dir).collect()
+    }
+    expect = {
+        (r.user_id, r.n)
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == expect
