@@ -46,6 +46,7 @@ HEADLINE = [
     "string_funcs",
     "date_funcs",
     "json_extract_events",
+    "variant_props_events",
     "array_funcs_embeddings",
     "asof_join_purchases",
     "sessionize_events",

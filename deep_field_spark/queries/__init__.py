@@ -155,7 +155,11 @@ _PRIORITY = [
     # (ann_lsh_bucket rotated below after green r01/r03/r04/r05 rows —
     # ann_lsh_multiprobe, its strictly-harder superset, stays
     # in-window; the slot funds the round-6 unpivot driver evidence)
-    "ann_lsh_multiprobe",
+    # (ann_lsh_multiprobe rotated below after green r03/r04/r05 rows —
+    # ann_recall_report, which joins multiprobe against the brute-force
+    # truth per query, is a strict superset check and stays in-window;
+    # the slot funds the round-6 VARIANT semi-structured extraction)
+    "variant_props_events",
     # (ann_ivf_cells rotated below after green r03/r04/r05 rows — its
     # trained twin ann_ivf_kmeans, a strict superset of the serving
     # shape, stays in-window; the slot funds the round-6 product-

@@ -1084,3 +1084,40 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count("*").alias("n_events"), F.sum("type_n").alias("exposure"))
     )
+
+
+@register(
+    "variant_props_events",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k,
+           CAST(count(json_extract(props, '$.missing')) AS BIGINT)
+             AS n_with_missing,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured props via Spark 4's VARIANT type: parse_json "
+        "ONCE into the binary variant encoding, then typed "
+        "variant_get extractions — the engine-native alternative to "
+        "re-parsing JSON text per extraction (get_json_object) or "
+        "committing to a rigid from_json schema; at 100 TB the parse "
+        "happens at ingest and the variant column is stored, so every "
+        "downstream extraction is a binary field probe, not a parse. "
+        "try_variant_get on an absent path returns NULL (counted here "
+        "to pin that semantics). Oracle: DuckDB json_extract over the "
+        "same props.",
+)
+def variant_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.variant_get(F.col("v"), "$.k", "bigint")
+    missing = F.try_variant_get(F.col("v"), "$.missing", "string")
+    return v.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count(missing).alias("n_with_missing"),
+        F.count("*").alias("n"),
+    )
