@@ -31,6 +31,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q18_large_volume_customer",
     "scan_filter_project",
     "join_inner_dim",
     "join_semi",

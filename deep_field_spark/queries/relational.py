@@ -1121,3 +1121,61 @@ def variant_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(missing).alias("n_with_missing"),
         F.count("*").alias("n"),
     )
+
+
+# --------------------------------------------------------------- Q18
+Q18_QTY = 280
+
+
+@register(
+    "q18_large_volume_customer",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY 1 HAVING sum(l_quantity) > {Q18_QTY})
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           round(sum(l.l_quantity), 2) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY 1, 2, 3, 4, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 (large-volume customers): a HAVING-filtered "
+        "aggregate over the fact table becomes the semi-join key set "
+        "for the customer/orders/lineitem join, then a global top-100 "
+        "by order value. The plan the shape wants at 100 TB: the "
+        "lineitem pre-agg is partial/final on l_orderkey (map-side "
+        "combine does the 6M->1.5M reduction), the qualifying-key set "
+        "is tiny and semi-joins fact-side BEFORE the wide join, and "
+        "the top-100 is TakeOrderedAndProject, never a global sort. "
+        "Fully-specified ordering (totalprice desc, date, orderkey) "
+        "so the limit is deterministic across engines.",
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > Q18_QTY)
+        .select("l_orderkey")
+    )
+    orders = table(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_r2(F.sum("l_quantity")).alias("sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            _r2(F.col("o_totalprice")).alias("o_totalprice"), "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )

@@ -595,3 +595,12 @@ def test_countmin_sketch_is_partial_final_agg(spark, sf_dir):
     assert "HashAggregate" in plan[plan.index("Exchange"):]
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q18_semi_join_and_take_ordered(spark, sf_dir):
+    """q18: the qualifying-key set semi-joins orders, and the global
+    top-100 is TakeOrderedAndProject, never a full sort."""
+    plan = _plan(spark, sf_dir, "q18_large_volume_customer")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "HashAggregate" in plan[plan.index("Exchange"):]
