@@ -276,12 +276,19 @@ def merge_upsert(
     else:
         keys = upserts.select(*key_cols).distinct()
 
-    try:
-        target = spark.read.parquet(path)
-    except Exception:
-        # bootstrap: no parquet footprint at the target yet (the first
-        # micro-batch of a CDC stream) — nothing to merge against, so
-        # the non-deleted upserts ARE the table
+    import glob as _glob
+
+    # bootstrap ONLY when the path truly has no parquet footprint (the
+    # first micro-batch of a CDC stream). Deliberately a filesystem
+    # check, not a try/except around the read: a corrupt or
+    # half-written existing table must FAIL the merge loudly, never be
+    # silently replaced by the upserts alone. (Local-FS scope, as
+    # documented for this module.)
+    has_data = os.path.isdir(path) and any(
+        True for _ in _glob.iglob(os.path.join(path, "**", "*.parquet"),
+                                  recursive=True)
+    )
+    if not has_data:
         out = upserts
         (
             out.write.mode("overwrite")
@@ -294,6 +301,7 @@ def merge_upsert(
             "partitions_deleted": 0,
             "bootstrapped": True,
         }
+    target = spark.read.parquet(path)
     parts = {tuple(r) for r in updates.select(*partition_cols).distinct().collect()}
     if not partition_stable_keys:
         # key-locate pre-pass: matched keys may live in partitions the

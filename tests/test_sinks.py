@@ -428,3 +428,24 @@ def test_merge_upsert_bootstraps_missing_target(spark, tmp_path):
     assert stats.get("bootstrapped") is True
     rows = {(r.k, r.v, r.part) for r in spark.read.parquet(out).collect()}
     assert rows == {(1, "a", "p1")}
+
+
+def test_merge_upsert_corrupt_target_fails_loudly(spark, tmp_path):
+    """A target with a parquet footprint that cannot be read must FAIL
+    the merge, never silently bootstrap over the existing data."""
+    import os
+
+    import pytest
+
+    out = str(tmp_path / "corrupt_tbl")
+    os.makedirs(out)
+    with open(os.path.join(out, "part-00000.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    upd = spark.createDataFrame([(1, "a", "p1")], "k long, v string, part string")
+    with pytest.raises(Exception):
+        sinks.merge_upsert(
+            spark, out, upd, key_cols=["k"], partition_cols=["part"]
+        )
+    # the corrupt file must still be there — nothing was overwritten
+    with open(os.path.join(out, "part-00000.parquet"), "rb") as f:
+        assert f.read() == b"not a parquet file"
