@@ -129,9 +129,15 @@ def ingest(
     known = state_sh.select(id_col)
     new = batch.join(known, id_col, "left_anti")
 
-    # shingle the batch once, derive signatures from the persisted
-    # frame — the batch text is tokenized exactly one time
-    new_sh = D.shingled(new, text_col, id_col, ngram).persist()
+    # shingle the batch once, derive signatures from the materialized
+    # frame — the batch text is tokenized exactly one time. On the
+    # append path the lineage must be SEVERED (localCheckpoint), not
+    # merely cached: the append later WRITES to the same shingle table
+    # this lineage anti-joins, and a cache eviction mid-append would
+    # recompute against the table being mutated. Read-only ingests
+    # (append=False) just cache.
+    new_sh = D.shingled(new, text_col, id_col, ngram)
+    new_sh = new_sh.localCheckpoint(eager=True) if append else new_sh.persist()
     new_banded = _banded_from_shingles(new_sh, id_col, num_hashes, bands)
 
     cand = (
