@@ -45,6 +45,17 @@ def _tables(name: str) -> tuple[str, str]:
     return f"{name}_bands", f"{name}_shingles"
 
 
+def _location(table: str) -> str:
+    """External data location for a state table: an explicit path
+    under the system temp dir, NOT the session's warehouse directory —
+    the warehouse defaults to ./spark-warehouse of whatever CWD built
+    the session, which an externally-driven session may not own. The
+    catalog still carries the bucket metadata; only the bytes move."""
+    import tempfile
+
+    return f"{tempfile.gettempdir()}/dfs_lsh_state/{table.lower()}"
+
+
 def _banded_from_shingles(
     sh: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
@@ -68,34 +79,72 @@ def build(
 ) -> None:
     """Materialize the LSH state for an initial corpus (overwrite).
 
-    Stale managed-table LOCATIONS are cleared first: the warehouse
-    directory outlives an in-memory catalog (a fresh session sees the
-    old run's directory but no table entry, and saveAsTable refuses
-    with LOCATION_ALREADY_EXISTS), so build is self-healing across
+    Stale LOCATIONS are cleared first: the data directory outlives an
+    in-memory catalog (a fresh session sees the old run's directory
+    but no table entry, and saveAsTable refuses with
+    LOCATION_ALREADY_EXISTS), so build is self-healing across
     sessions.
     """
     import shutil
-    from urllib.parse import urlparse
 
     spark = docs.sparkSession
     t_bands, t_shingles = _tables(name)
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     for t in (t_bands, t_shingles):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(f"{wh}/{t.lower()}", ignore_errors=True)
+        shutil.rmtree(_location(t), ignore_errors=True)
     # tokenize+shingle ONCE: the persisted frame feeds both state
     # writes (bands derive from it too), so the corpus text is read a
     # single time per build
     sh = D.shingled(docs, text_col, id_col, ngram).persist()
-    sinks.write_bucketed(sh, t_shingles, [id_col], num_buckets)
+    sinks.write_bucketed(
+        sh, t_shingles, [id_col], num_buckets, path=_location(t_shingles)
+    )
     banded = _banded_from_shingles(sh, id_col, num_hashes, bands)
-    sinks.write_bucketed(banded, t_bands, ["band", "key"], num_buckets)
+    sinks.write_bucketed(
+        banded, t_bands, ["band", "key"], num_buckets, path=_location(t_bands)
+    )
     sh.unpersist()
 
 
 def drop(spark: SparkSession, name: str) -> None:
+    import shutil
+
     for t in _tables(name):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(_location(t), ignore_errors=True)
+
+
+def attach(
+    spark: SparkSession,
+    name: str,
+    *,
+    id_col: str = "doc_id",
+    num_buckets: int = STATE_BUCKETS,
+) -> None:
+    """Re-register on-disk state in a FRESH session's catalog.
+
+    An in-memory catalog dies with its session while the state bytes
+    don't — the real day-2 flow is build today, ingest tomorrow. This
+    recreates the two bucketed-table entries (schema inferred from the
+    parquet footers, bucket spec restated — it must match the layout
+    the build wrote) so ``ingest`` works against yesterday's state.
+    On a cluster with a persistent metastore this is a no-op.
+    """
+    t_bands, t_shingles = _tables(name)
+    specs = {
+        t_bands: ["band", "key"],
+        t_shingles: [id_col],
+    }
+    for t, cols in specs.items():
+        if spark.catalog.tableExists(t):
+            continue
+        schema = spark.read.parquet(_location(t)).schema
+        cols_sql = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
+        spark.sql(
+            f"CREATE TABLE {t} ({cols_sql}) USING parquet "
+            f"CLUSTERED BY ({', '.join(cols)}) INTO {num_buckets} BUCKETS "
+            f"LOCATION '{_location(t)}'"
+        )
 
 
 def ingest(

@@ -73,8 +73,12 @@ def write_bucketed(
     num_buckets: int,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Bucketed (+ sorted) managed table.
+    """Bucketed (+ sorted) table — managed, or external when ``path``
+    is given (data at an explicit location instead of the session's
+    CWD-dependent warehouse directory; the bucket metadata lives in
+    the catalog either way).
 
     Both sides of a recurring large-large join written with the same
     (cols, num_buckets) join with NO exchange: the bucket layout IS
@@ -86,6 +90,8 @@ def write_bucketed(
     w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
     w.saveAsTable(table, format="parquet")
 
 

@@ -180,3 +180,45 @@ def test_streaming_ingest_foreach_batch(spark, sf_dir, state_name, tmp_path):
         ).collect()
     }
     assert flagged2 == _brute_best(docs, 400, 500, 400)
+
+
+def test_attach_reregisters_state_in_fresh_catalog(spark, sf_dir, state_name):
+    """The day-2 flow across sessions: build today, ingest tomorrow.
+    Simulated by dropping the catalog ENTRIES (bytes stay on disk) and
+    re-attaching — ingest must see the same state, bucket layout
+    included."""
+    docs = table(spark, sf_dir, "documents")
+    lsh_state.build(docs.filter(F.col("doc_id") < 300), state_name, **{
+        k: v for k, v in KW.items() if k != "threshold"
+    })
+    batch = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 350))
+    expect = {
+        (r.doc_id, r.dup_of, r.jaccard)
+        for r in lsh_state.ingest(
+            spark, state_name, batch, append=False, **KW
+        ).collect()
+    }
+
+    # "new session": in-memory catalog forgets the tables; disk keeps them
+    for t in (f"{state_name}_bands", f"{state_name}_shingles"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    lsh_state.attach(spark, state_name)
+
+    got = {
+        (r.doc_id, r.dup_of, r.jaccard)
+        for r in lsh_state.ingest(
+            spark, state_name, batch, append=False, **KW
+        ).collect()
+    }
+    assert got == expect
+    # and the re-attached table still scans bucketed (no exchange above it)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            lsh_state.ingest(spark, state_name, batch, append=False, **KW)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
