@@ -32,6 +32,9 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q18_large_volume_customer",
+    "q4_order_priority",
+    "q14_promo_revenue",
+    "q21_waiting_supplier",
     "scan_filter_project",
     "join_inner_dim",
     "join_semi",

@@ -1179,3 +1179,146 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------- Q4
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY 1
+    """,
+    doc="TPC-H Q4 shape (order-priority checking): EXISTS against the "
+        "fact table planned as a LEFT SEMI join — the date filter "
+        "pushes to the orders scan, the semi join never multiplies "
+        "rows (one probe hit suffices), and the tiny grouped count "
+        "runs partial/final. (The reference schema carries no "
+        "commit/receipt dates; shipped-after-ordered stands in as the "
+        "correlated predicate — identical plan shape.)",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sat = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return sat.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# --------------------------------------------------------------- Q14
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE) AS month,
+           round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+             AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q14 shape (promotion effect): conditional aggregation — "
+        "the promo/total revenue ratio needs ONE pass with a CASE "
+        "inside the sum, not two scans; part is a broadcast dim and "
+        "the shipdate filter reaches the parquet scan. Reported "
+        "monthly (the reference p_type domain has no PROMO# prefixes, "
+        "so exact match stands in).",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.trunc("l_shipdate", "month").alias("month"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+# --------------------------------------------------------------- Q21
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+    WITH r AS (SELECT DISTINCT l_orderkey, l_suppkey
+               FROM lineitem WHERE l_returnflag = 'R'),
+    allsupp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM r
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE EXISTS (SELECT 1 FROM allsupp a
+                  WHERE a.l_orderkey = r.l_orderkey
+                    AND a.l_suppkey <> r.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM r r2
+                      WHERE r2.l_orderkey = r.l_orderkey
+                        AND r2.l_suppkey <> r.l_suppkey)
+    GROUP BY 1
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting): the "
+        "hardest self-join pattern in the suite — for each supplier "
+        "with a returned line, an EXISTS (some OTHER supplier in the "
+        "order: LEFT SEMI self-join) and a NOT EXISTS (no OTHER "
+        "supplier also returned: LEFT ANTI self-join), then a grouped "
+        "count and top-20. All three legs are equi-joins on "
+        "l_orderkey with the <> as residual — no cartesian; the "
+        "distinct (order, supplier) projection collapses the fact "
+        "table before any self-join. (Reference schema has no "
+        "receipt/commit dates; l_returnflag='R' is the late-delivery "
+        "marker — identical plan shape.)",
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    allsupp = li.select("l_orderkey", "l_suppkey").distinct()
+    r = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = allsupp.select(
+        F.col("l_orderkey").alias("o_k"), F.col("l_suppkey").alias("o_s")
+    )
+    r_other = r.select(
+        F.col("l_orderkey").alias("r_k"), F.col("l_suppkey").alias("r_s")
+    )
+    cand = r.join(
+        other,
+        (r.l_orderkey == other.o_k) & (r.l_suppkey != other.o_s),
+        "left_semi",
+    ).join(
+        r_other,
+        (F.col("l_orderkey") == r_other.r_k) & (F.col("l_suppkey") != r_other.r_s),
+        "left_anti",
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        cand.join(F.broadcast(supp), cand.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

@@ -604,3 +604,18 @@ def test_q18_semi_join_and_take_ordered(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "TakeOrderedAndProject" in plan
     assert "HashAggregate" in plan[plan.index("Exchange"):]
+
+
+def test_q21_self_joins_are_semi_anti_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q21_waiting_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q4_exists_is_semi_join_with_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "PushedFilters: [" in plan
+    assert "CartesianProduct" not in plan
