@@ -1221,7 +1221,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue",
     oracle="""
-    SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE) AS month,
+    SELECT strftime(date_trunc('month', l.l_shipdate), '%Y-%m') AS month,
            round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
                  THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
                  / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
@@ -1247,7 +1247,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy(F.trunc("l_shipdate", "month").alias("month"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
         .agg(
             F.round(
                 100.0
