@@ -35,6 +35,9 @@ HEADLINE = [
     "q4_order_priority",
     "q14_promo_revenue",
     "q21_waiting_supplier",
+    "table_profile_lineitem",
+    "dq_referential_audit",
+    "incr_agg_refresh",
     "scan_filter_project",
     "join_inner_dim",
     "join_semi",

@@ -1322,3 +1322,163 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+# ------------------------------------------------- data-quality audit
+@register(
+    "table_profile_lineitem",
+    oracle="""
+    SELECT 'l_quantity' AS col,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(l_quantity) AS BIGINT) AS n_nonnull,
+           round(min(l_quantity), 2) AS min_v,
+           round(max(l_quantity), 2) AS max_v,
+           round(avg(l_quantity), 4) AS mean_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*), count(l_extendedprice),
+           round(min(l_extendedprice), 2), round(max(l_extendedprice), 2),
+           round(avg(l_extendedprice), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*), count(l_discount),
+           round(min(l_discount), 2), round(max(l_discount), 2),
+           round(avg(l_discount), 4)
+    FROM lineitem
+    """,
+    doc="Column profiling (the ANALYZE/data-quality pass a pipeline "
+        "runs before trusting a new drop): per-column row/non-null "
+        "counts, min/max, mean — all computed in ONE scan as a single "
+        "multi-aggregate projection (Spark folds the per-column "
+        "aggregates into one partial/final hash agg; the UNION ALL "
+        "reshape happens on the 1-row result, not the data). At "
+        "100 TB this is the pattern: never one scan per column.",
+)
+def table_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count("*").alias(f"{c}__n"),
+            F.count(c).alias(f"{c}__nn"),
+            F.round(F.min(c), 2).alias(f"{c}__min"),
+            F.round(F.max(c), 2).alias(f"{c}__max"),
+            F.round(F.avg(c), 4).alias(f"{c}__mean"),
+        ]
+    one = li.agg(*aggs)  # ONE scan, one partial/final agg
+    stacked = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__min, {c}__max, {c}__mean" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stacked}) AS "
+        "(col, n_rows, n_nonnull, min_v, max_v, mean_v)"
+    )
+
+
+@register(
+    "dq_referential_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, CAST(count(*) AS BIGINT) AS n_orphans
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders->customer', count(*)
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer->nation', count(*)
+    FROM customer c WHERE NOT EXISTS
+      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    UNION ALL
+    SELECT 'lineitem->part', count(*)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    """,
+    doc="Referential-integrity audit across the star (the dbt-style "
+        "relationship test, engine-side): orphan counts for each FK "
+        "edge via LEFT ANTI joins — the dimension key sets are "
+        "broadcast-sized for dim edges and the fact-fact edge "
+        "(lineitem->orders) is a key-only anti join, so no audit leg "
+        "ever moves fact payload columns. All-zero counts are the "
+        "pass condition; non-zero rows name the broken edge.",
+)
+def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    part = table(spark, sf_dir, "part")
+
+    def orphans(fact, fk, dim, pk, label):
+        n = (
+            fact.select(fk)
+            .join(dim.select(pk), fact[fk] == dim[pk], "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+        )
+        return n.select(F.lit(label).alias("fk"), "n_orphans")
+
+    return (
+        orphans(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders")
+        .unionAll(orphans(orders, "o_custkey", cust, "c_custkey", "orders->customer"))
+        .unionAll(orphans(cust, "c_nationkey", nation, "n_nationkey", "customer->nation"))
+        .unionAll(orphans(li, "l_partkey", part, "p_partkey", "lineitem->part"))
+    )
+
+
+# ---------------------------------------- incremental agg maintenance
+INCR_AGG_SPLIT = 45_000  # l_orderkey >= split plays the late-arriving delta
+
+
+@register(
+    "incr_agg_refresh",
+    oracle=f"""
+    WITH base AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS qty_c
+      FROM lineitem WHERE l_orderkey < {INCR_AGG_SPLIT} GROUP BY 1, 2),
+    delta AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS qty_c
+      FROM lineitem WHERE l_orderkey >= {INCR_AGG_SPLIT} GROUP BY 1, 2)
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(n) AS BIGINT) AS n,
+           CAST(sum(qty_c) AS BIGINT) AS qty_cents
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+    GROUP BY 1, 2
+    """,
+    doc="Incremental aggregate maintenance (materialized-view "
+        "refresh): the standing per-(returnflag, status) totals are "
+        "NOT recomputed when a delta batch lands — the delta is "
+        "aggregated alone and MERGED into the base partials "
+        "(count/sum are algebraic, so merge = group-sum of partials; "
+        "cent-integer sums keep the merge exact). At 100 TB this is "
+        "the difference between scanning the new day and rescanning "
+        "the corpus; the oracle replays base+delta+merge, and the "
+        "result equals the full recompute by construction (the "
+        "algebraic-merge property the refresh relies on).",
+)
+def incr_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("qty_c"),
+    )
+
+    def agg(df):
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count("*").alias("n"), F.sum("qty_c").alias("qty_c")
+        )
+
+    base = agg(li.filter(F.col("l_orderkey") < INCR_AGG_SPLIT))
+    delta = agg(li.filter(F.col("l_orderkey") >= INCR_AGG_SPLIT))
+    return (
+        base.unionByName(delta)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("n").alias("n"), F.sum("qty_c").alias("qty_cents"))
+    )

@@ -619,3 +619,17 @@ def test_q4_exists_is_semi_join_with_pushdown(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "PushedFilters: [" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_profile_is_one_scan_one_agg(spark, sf_dir):
+    """table_profile_lineitem: all per-column stats fold into a single
+    partial/final agg over ONE scan — never a scan per column."""
+    plan = _plan(spark, sf_dir, "table_profile_lineitem")
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 2, plan
+    assert "HashAggregate" in plan[plan.index("Exchange"):]
+
+
+def test_dq_audit_legs_are_anti_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dq_referential_audit")
+    assert plan.count("LeftAnti") >= 4, plan
+    assert "CartesianProduct" not in plan
