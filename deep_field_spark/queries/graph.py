@@ -85,8 +85,6 @@ def _pr_ctes() -> str:
         "units). The oracle replays the whole loop unrolled.",
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
-
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     e0 = (
@@ -94,16 +92,24 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
+    # Iterative-loop state discipline: edges/deg/N are materialized
+    # ONCE with severed lineage, and the rank table re-checkpoints per
+    # round — otherwise round N's plan contains rounds 1..N-1 as
+    # subtrees (O(iters²) stages), which a default-conf 200-partition
+    # session turns into minutes of pure scheduling. On a cluster the
+    # localCheckpoints become reliable checkpoints (SCALE.md).
     edges = e0.select(
         F.col("c").alias("src"), (F.lit(SUPP_OFFSET) + F.col("s")).alias("dst")
     ).unionAll(
         e0.select(
             (F.lit(SUPP_OFFSET) + F.col("s")).alias("src"), F.col("c").alias("dst")
         )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
 
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    n_df = deg.agg(F.count("*").alias("n"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(
+        eager=True
+    )
+    n_df = deg.agg(F.count("*").alias("n")).localCheckpoint(eager=True)
     ranks = deg.crossJoin(F.broadcast(n_df)).select(
         F.col("src").alias("node"),
         (F.lit(1.0) / F.col("n")).alias("rank"),
@@ -130,7 +136,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double")
                 .alias("rank"),
             )
-        )
+        ).localCheckpoint(eager=True)
     return ranks.crossJoin(F.broadcast(n_df)).select(
         "node",
         F.when(F.col("node") >= SUPP_OFFSET, "supplier")

@@ -58,16 +58,29 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
     name = f"stream_out_{uuid.uuid4().hex[:10]}"
-    q = (
-        agg.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    # A stateful streaming op creates ONE state store per shuffle
+    # partition, fixed at first start (checkpoint-bound). On a
+    # default-conf session that is 200 stores per stateful operator —
+    # pure overhead at any local scale (a bare-session stream-stream
+    # join measured 22 s, ~4x the same plan at 32). Pin a bounded
+    # count for the query's lifetime; the session value is restored
+    # after. On a real cluster this knob is sized to executor count.
+    sess = agg.sparkSession
+    old = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", "32")
     try:
-        q.processAllAvailable()
+        q = (
+            agg.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        sess.conf.set("spark.sql.shuffle.partitions", old)
     # Return the sink table directly — no driver-side collect round-trip.
     # The memory sink is the local oracle harness only; the production
     # topology is the same plan with writeStream.format("parquet"/"kafka")

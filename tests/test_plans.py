@@ -525,14 +525,45 @@ def test_resolve_plays_never_forces_pergame_broadcast(spark):
 
 
 def test_pagerank_rounds_are_hash_aggs_no_cartesian(spark, sf_dir):
-    """graph_pagerank: each round is message-passing hash aggs over
+    """graph_pagerank: each round is a message-passing hash agg over
     equi-joins; the only nested-loops are the declared 1-row N
-    broadcasts (teleport term); partial/final agg present."""
+    broadcasts (teleport term). The query checkpoints per round (flat
+    lineage), so the final plan shows checkpoint scans — the ROUND
+    shape is pinned by rebuilding one round over the same edge list."""
+    from pyspark.sql import functions as F
+
+    from deep_field_spark.catalog import table as T
+    from deep_field_spark.queries.graph import SUPP_OFFSET
+
     plan = _plan(spark, sf_dir, "graph_pagerank")
     assert "CartesianProduct" not in plan, plan
     bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
     assert all("BuildRight" in l for l in bnlj), plan
-    assert "HashAggregate" in plan[plan.index("Exchange"):]
+
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = e0.select(
+        F.col("c").alias("src"), (F.lit(SUPP_OFFSET) + F.col("s")).alias("dst")
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = deg.select(F.col("src").alias("node"), F.lit(0.001).alias("rank"))
+    msg = (
+        edges.join(ranks, edges.src == F.col("node"))
+        .join(deg, "src")
+        .select("dst", (F.col("rank") / F.col("deg")).alias("contrib"))
+    )
+    round_plan = (
+        msg.groupBy("dst")
+        .agg(F.sum(F.col("contrib").cast("decimal(38,18)")).alias("s"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in round_plan, round_plan
+    assert "HashAggregate" in round_plan[round_plan.index("Exchange"):]
 
 
 def test_quality_train_rounds_broadcast_weights(spark, sf_dir):
