@@ -79,7 +79,8 @@ def _pr_ctes() -> str:
         "DECIMAL(38,18) so iteration inputs stay bit-identical across "
         "engines, and the teleport term keeps the distribution "
         "stochastic (undirected edges mean no dangling mass). The "
-        "edge list is built once and persisted; a round shuffles "
+        "edge list is built once with severed lineage and the rank "
+        "state re-checkpoints per round (flat plans); a round shuffles "
         "(node, partial-sum) pairs only, never the edge payload. "
         "Output is every node's centrality scaled by N (scale-free "
         "units). The oracle replays the whole loop unrolled.",
