@@ -109,6 +109,7 @@ HEADLINE = [
     "decontam_embedding",
     "embedding_pq_codes",
     "corpus_split_leakage",
+    "corpus_novelty_profile",
     "graph_pagerank",
     "dedup_exact_substring_runs",
     "dedup_dup_span_removal",

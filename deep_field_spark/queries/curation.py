@@ -1573,3 +1573,52 @@ def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pad_waste"),
     )
+
+
+# --- corpus novelty profile -------------------------------------------
+
+
+@register(
+    "corpus_novelty_profile",
+    oracle=f"""
+    WITH g AS (SELECT doc_id,
+                      unnest(list_distinct({TOKS_SQL})) AS gram
+               FROM documents),
+    first_seen AS (SELECT gram, min(doc_id) AS first_doc
+                   FROM g GROUP BY 1),
+    j AS (SELECT g.doc_id,
+                 CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END AS novel
+          FROM g JOIN first_seen f USING (gram))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(novel) AS BIGINT) AS n_novel,
+           round(CAST(sum(novel) AS DOUBLE) / count(*), 6) AS novelty
+    FROM j GROUP BY 1
+    """,
+    doc="Per-document novelty profile — the redundancy-growth audit a "
+        "curation run uses to see diminishing returns as a corpus "
+        "grows: for each doc, the fraction of its distinct tokens "
+        "whose FIRST corpus occurrence (by ingestion order = doc_id) "
+        "is this doc. Two hash aggs and one equi-join on the gram key "
+        "— the 'seen before?' question needs no sequential scan and "
+        "no state: min(doc_id) per gram IS the first-seer table, "
+        "computed in one partial/final agg. A corpus whose late docs "
+        "trend toward novelty 0 is rehashing itself — the signal "
+        "dataset builders use to stop crawling a source.",
+)
+def corpus_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(texting.tokens(F.col("text")))).alias("gram"),
+    )
+    first_seen = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    j = g.join(first_seen, "gram").select(
+        "doc_id",
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0).alias("novel"),
+    )
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum("novel").cast("bigint").alias("n_novel"),
+        F.round(F.sum("novel").cast("double") / F.count("*"), 6).alias("novelty"),
+    )
