@@ -88,10 +88,11 @@ _PRIORITY = [
     # resample/gap-fill time-series prep)
     "streaming_session_window", "streaming_stateful_counts",
     "streaming_stream_join", "events_resample_gapfill",
-    # round-5: stream-static dimension enrichment (the standard
-    # streaming lookup pattern; slot funded by events_cohort_retention,
-    # green r01-r04)
-    "streaming_static_enrich",
+    # (streaming_static_enrich rotated below after its green r05 row —
+    # three streaming rows stay in-window (session window, stateful
+    # counts, stream-stream join) and the static-enrich join shape is
+    # the plain broadcast-lookup the batch suite proves everywhere;
+    # its slot funds the round-6 referential-integrity audit)
     # round-5: SCD Type-2 dimension build from the event stream (the
     # warehouse temporal-dimension op; slot funded by the rotated
     # join_range_events_bucketed)
@@ -142,10 +143,12 @@ _PRIORITY = [
     # dedup_incremental_minhash now drives the PERSISTED bucketed
     # LSH-state path (operators/lsh_state) — keep for fresh evidence.
     "dedup_embedding_cosine", "dedup_incremental_minhash",
-    # round-5: corpus-internal exact-substring dedup (anchor diagonals
-    # + gaps-and-islands — the Lee et al. suffix-array step, Spark-shaped)
-    # + its finishing step (per-doc merged dup-span accounting)
-    "dedup_exact_substring_runs", "dedup_dup_span_removal",
+    # round-5: corpus-internal exact-substring dedup. The runs stage
+    # (dedup_exact_substring_runs) rotated below after its green r05
+    # row — dedup_dup_span_removal COMPOSES those runs into per-doc
+    # span accounting, so the anchor-diagonal machinery stays in-window
+    # through its strict superset; the slot funds tpch q4's first row.
+    "dedup_dup_span_removal",
     # (join_full_outer rotated below after its green r04 row)
     # similarity / embeddings (quantize_int8: round-3's only hard red,
     # array column now serialized via to_json — needs a green row)
@@ -188,7 +191,11 @@ _PRIORITY = [
     # after green r03+r04 rows — cogrouped_map_asof keeps the pandas-
     # UDF surface and binary/arrow_meta keep multimodal in-window;
     # their slots fund the BM25 retriever and the DSIR weights)
-    "cogrouped_map_asof", "multimodal_arrow_meta",
+    # (multimodal_arrow_meta rotated below after its green r05 row —
+    # multimodal_decode_real, which exercises the same mapInArrow
+    # surface plus a hash-checked codec-free decode, keeps multimodal
+    # in-window; its slot funds the lineitem column-profiling op)
+    "cogrouped_map_asof",
     # (curation_source_profile and text_unigram_logprob rotated below
     # after green r04 rows — their round-5 slots fund the 4 additions)
     # round-4 reworks needing fresh driver evidence: approx_distinct now
@@ -229,28 +236,25 @@ _PRIORITY = [
     # pandas and multimodal_frame_sample)
     "text_bm25_search", "curation_dsir_weights",
     # round-5: distributed BPE tokenizer training (first merges,
-    # oracle-unrolled loop; slot funded by multimodal_binary_meta)
-    # + the apply pass (per-doc recode + compression accounting; slot
-    # funded by the rotated knn_brute_force)
-    "text_bpe_train", "text_bpe_apply",
+    # oracle-unrolled loop; slot funded by multimodal_binary_meta).
+    # (text_bpe_apply rotated below after its green r05 row — the
+    # train loop, whose oracle replays every merge the apply pass
+    # consumes, is the strictly harder member and stays in-window;
+    # its slot funds tpch q14's first row)
+    "text_bpe_train",
     # round-5: cross-split leakage audit (train grams ⋈ test gram set
     # — the held-out contamination check; slot funded by the rotated
     # streaming_dedup_watermark)
     "corpus_split_leakage",
-    # round-5: temperature-flattened mixture planning (derives the
-    # rates corpus_mixture_sample consumes; slot funded by the rotated
-    # approx_percentiles)
-    "corpus_mixture_plan",
-    # round-5: equal-mass length buckets + padding-waste accounting
-    # (slot funded by the rotated corpus_pack_sequences)
-    "corpus_length_buckets",
+    # (corpus_mixture_plan, corpus_length_buckets, corpus_zipf_profile
+    # and curation_source_divergence rotated below after their green
+    # r05 rows — single-green diagnostics whose machinery (groupBy +
+    # decimal-exact arithmetic + bounded windows) is proven across the
+    # in-window curation set; their four slots fund tpch q18/q21, the
+    # incremental-aggregate refresh and the per-doc novelty profile)
     # round-5: 2-pass Misra-Gries heavy hitters (exact above N/k, no
-    # long-tail groupBy; MG superset guarantee hypothesis-tested) and
-    # the Zipf-slope corpus diagnostic (decimal-exact least squares)
-    "text_heavy_hitters", "corpus_zipf_profile",
-    # round-5: per-source Jensen-Shannon divergence from the corpus
-    # distribution (mixture-design diagnostic, decimal-exact)
-    "curation_source_divergence",
+    # long-tail groupBy; MG superset guarantee hypothesis-tested)
+    "text_heavy_hitters",
     # round-6 additions needing first driver evidence:
     # - unpivot_part_metrics: the only oracle-bearing query that has
     #   never had a driver row (landed late in r5 outside the window)
@@ -260,6 +264,19 @@ _PRIORITY = [
     # - graph_pagerank: fixed-iteration link centrality over the
     #   customer↔supplier graph, fully unrolled in the oracle
     "unpivot_part_metrics", "curation_quality_train", "graph_pagerank",
+    # round-6 additions needing first driver evidence (slots funded by
+    # the eight single-r05-green rotations annotated above):
+    # - tpch q4/q14/q18/q21: the classic plan shapes (exists-semi-join,
+    #   conditional aggregate ratio, having-set semi-join + top-k,
+    #   double-correlated anti/semi existence) adapted to the schema
+    # - table_profile_lineitem / dq_referential_audit /
+    #   incr_agg_refresh: the warehouse-ops trio (per-column profiling,
+    #   FK orphan audit, partition-incremental aggregate maintenance)
+    # - corpus_novelty_profile: per-doc n-gram novelty vs the corpus
+    #   prefix (redundancy-growth audit)
+    "q4_order_priority", "q14_promo_revenue", "q18_large_volume_customer",
+    "q21_waiting_supplier", "table_profile_lineitem",
+    "dq_referential_audit", "incr_agg_refresh", "corpus_novelty_profile",
     # no-oracle scrape fixtures (golden/diff-sim-gated locally; driver
     # rows are permanently "no_oracle" — moved below the oracle-bearing
     # set so they stop eating top-50 budget slots)

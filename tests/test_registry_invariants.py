@@ -55,18 +55,30 @@ def test_driver_window_is_all_oracle_bearing():
     )
 
 
-def test_round5_additions_hold_window_slots():
+def test_round6_additions_hold_window_slots():
+    """Every round-6 query with zero prior driver evidence must sit in
+    the driver's top-50 budget window, plus the reference-core flagship
+    and the re-evidenced round-5 composites the window policy keeps."""
     names = list(REGISTRY)[:DRIVER_WINDOW]
     for q in (
+        # reference-core + round-5 keeps
         "scrape_core_resolved_plays", "ann_ivf_kmeans", "dedup_semantic",
-        "dedup_exact_substring_runs", "dedup_dup_span_removal",
-        "streaming_static_enrich", "ann_recall_report",
-        "multimodal_arrow_meta", "text_heavy_hitters",
-        "curation_quality_classifier", "corpus_zipf_profile",
-        "curation_source_divergence", "embedding_power_iteration",
-        "text_bm25_search", "curation_dsir_weights",
-        "events_scd2_intervals", "corpus_split_leakage",
-        "corpus_mixture_plan", "corpus_length_buckets",
+        "dedup_dup_span_removal", "ann_recall_report",
+        "text_heavy_hitters", "curation_quality_classifier",
+        "embedding_power_iteration", "text_bm25_search",
+        "curation_dsir_weights", "events_scd2_intervals",
+        "corpus_split_leakage", "curation_dedup_report",
+        "dedup_incremental_minhash", "text_bpe_train",
+        # round-6 first-evidence set
+        "events_resample_gapfill", "dedup_containment",
+        "multimodal_decode_real", "dedup_embedding_cosine",
+        "variant_props_events", "embedding_pq_codes",
+        "decontam_embedding", "text_countmin_freq", "join_skew_salted",
+        "unpivot_part_metrics", "curation_quality_train",
+        "graph_pagerank", "q4_order_priority", "q14_promo_revenue",
+        "q18_large_volume_customer", "q21_waiting_supplier",
+        "table_profile_lineitem", "dq_referential_audit",
+        "incr_agg_refresh", "corpus_novelty_profile",
     ):
         assert q in names, q
 
