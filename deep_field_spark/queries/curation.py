@@ -1622,3 +1622,82 @@ def corpus_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("novel").cast("bigint").alias("n_novel"),
         F.round(F.sum("novel").cast("double") / F.count("*"), 6).alias("novelty"),
     )
+
+
+# ------------------------------------------ stratified quota sampling
+STRATA_TOTAL = 100          # exact number of docs the sample must have
+STRATA_SEED = "strata-v1"   # content-keyed permutation seed
+
+
+@register(
+    "corpus_stratified_quota",
+    oracle=f"""
+    WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+               FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_src) AS BIGINT) AS n_all FROM n),
+    q AS (SELECT source, n_src,
+                 ({STRATA_TOTAL} * n_src) // n_all AS base,
+                 ({STRATA_TOTAL} * n_src) % n_all AS rem
+          FROM n CROSS JOIN tot),
+    lo AS (SELECT CAST({STRATA_TOTAL} - sum(base) AS BIGINT) AS leftover
+           FROM q),
+    quota AS (SELECT source,
+                     CAST(base + CASE WHEN row_number() OVER
+                            (ORDER BY rem DESC, source) <= lo.leftover
+                          THEN 1 ELSE 0 END AS BIGINT) AS quota
+              FROM q CROSS JOIN lo),
+    ranked AS (SELECT doc_id, source,
+                      CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY md5('{STRATA_SEED}'
+                                     || CAST(doc_id AS VARCHAR)), doc_id)
+                        AS BIGINT) AS samp_rank
+               FROM documents)
+    SELECT r.source, r.doc_id, r.samp_rank, q.quota
+    FROM ranked r JOIN quota q ON r.source = q.source
+    WHERE r.samp_rank <= q.quota
+    """,
+    doc="Exact-total stratified sampling with largest-remainder quota "
+        "allocation: each source gets floor(T*n_s/N) docs, and the "
+        "T - sum(floor) leftover seats go to the largest fractional "
+        "remainders — so the sample size is EXACTLY T and per-source "
+        "proportions are off by at most one doc (plain rate sampling "
+        "drifts binomially and never hits T). All quota arithmetic is "
+        "integer (T*n_s div/mod N), so the oracle replays it exactly. "
+        "Selection inside each stratum is the md5 content-keyed "
+        "permutation (reproducible, partition-independent). Shape at "
+        "100 TB: the quota table is |sources| rows (the one ordered "
+        "window runs on that bounded aggregate, then broadcasts); the "
+        "per-source selection window sorts only rank<=quota "
+        "candidates' stratum — swap for a hash-threshold prefilter at "
+        "extreme stratum sizes.",
+)
+def corpus_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    n = docs.groupBy("source").agg(F.count("*").alias("n_src"))
+    tot = n.agg(F.sum("n_src").alias("n_all"))
+    q = n.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr(f"({STRATA_TOTAL} * n_src) div n_all").alias("base"),
+        (F.lit(STRATA_TOTAL) * F.col("n_src") % F.col("n_all")).alias("rem"),
+    )
+    lo = q.agg((F.lit(STRATA_TOTAL) - F.sum("base")).alias("leftover"))
+    # ordered window over the per-source aggregate: bounded input
+    # (|sources| rows), declared in the registry lint exceptions
+    wq = Window.orderBy(F.col("rem").desc(), F.col("source"))
+    quota = q.crossJoin(F.broadcast(lo)).select(
+        "source",
+        (
+            F.col("base")
+            + F.when(F.row_number().over(wq) <= F.col("leftover"), 1).otherwise(0)
+        ).alias("quota"),
+    )
+    ws = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit(STRATA_SEED), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(ws).alias("samp_rank")
+    )
+    return ranked.join(F.broadcast(quota), "source").filter(
+        F.col("samp_rank") <= F.col("quota")
+    ).select("source", "doc_id", "samp_rank", "quota")

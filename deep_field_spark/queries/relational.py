@@ -1482,3 +1482,113 @@ def incr_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(F.sum("n").alias("n"), F.sum("qty_c").alias("qty_cents"))
     )
+
+
+# ------------------------------------------------- Bloom-pruned join
+# Runtime Bloom-filter semi-join pruning — Spark's own runtime-filter
+# rewrite (InjectRuntimeFilter), built explicitly from DataFrame ops so
+# the pattern is visible, tunable and plan-pinned. The filter side is a
+# fixed-size bitset (BLOOM_M candidate positions), NOT the dim rows, so
+# the broadcast cost is bounded regardless of fact size; false
+# positives are repaired by the exact equi-join that follows, which is
+# why the oracle is the plain join — the Bloom stage can only drop
+# rows the join would drop anyway.
+BLOOM_M = 1 << 16
+BLOOM_SEEDS = (11, 23, 47)
+
+
+def _bloom_pos(col, seed):
+    return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(BLOOM_M))
+
+
+@register(
+    "join_bloom_pruned",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1
+    """,
+    doc="Bloom-filter runtime pruning of a fact scan: the filtered dim "
+        "keys are hashed (k seeds) into a bounded bit-position set, "
+        "broadcast as ONE row, and the fact stream is pruned with "
+        "array_contains before the exact join repairs any false "
+        "positives. At 100 TB the win is shuffle-side: ~80% of fact "
+        "rows die at the scan instead of crossing the exchange. The "
+        "position-set size is min(|dim|*k, BLOOM_M) — independent of "
+        "fact cardinality; size BLOOM_M to the dim's NDV in "
+        "production. Oracle = the plain equi-join (Bloom is "
+        "result-invariant by construction).",
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    bits = dim.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("c_custkey"), s) for s in BLOOM_SEEDS])
+        ).alias("p")
+    ).agg(F.sort_array(F.collect_set("p")).alias("bits"))
+    fact = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    pruned = fact.join(F.broadcast(bits))
+    for s in BLOOM_SEEDS:
+        pruned = pruned.filter(
+            F.array_contains(F.col("bits"), _bloom_pos(F.col("o_custkey"), s))
+        )
+    return (
+        pruned.drop("bits")
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------- Q13
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY 1)
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY 1
+    """,
+    doc="TPC-H Q13 shape (customer order-count distribution): LEFT "
+        "OUTER join with the filter INSIDE the join condition (so "
+        "zero-order customers survive with c_count=0 — a WHERE would "
+        "silently drop them), then a double aggregation: per-customer "
+        "counts, then the histogram of those counts. The first agg "
+        "shuffles on c_custkey (same key as the join — AQE reuses the "
+        "partitioning); the second input is |distinct counts| rows. "
+        "(The schema has no o_comment; the priority predicate stands "
+        "in as the non-equi join-side filter — identical plan shape.)",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "4-NOT SPECIFIED"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))

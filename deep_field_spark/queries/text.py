@@ -1134,3 +1134,91 @@ def text_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inflation"
         ),
     )
+
+
+# ------------------------------------------- CCNet perplexity buckets
+PPL_BUCKETS = 3
+_PPL_NAMES = "CASE b WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END"
+
+
+def _bigram_oracle() -> str:
+    from . import REGISTRY
+
+    return REGISTRY["text_bigram_logprob"].oracle
+
+
+@register(
+    "corpus_perplexity_buckets",
+    oracle=None,  # set below — needs the bigram oracle registered first
+    doc="CCNet-style perplexity bucketing: each source's documents are "
+        "split into head/middle/tail thirds by the bigram-LM score "
+        "(text_bigram_logprob), the standard quality partition before "
+        "mixing (head = most fluent). The split is RANK arithmetic, "
+        "not percentile cutpoints: bucket = floor((rn-1)*3/n) over a "
+        "per-source (avg_nll, doc_id) order — integer-exact, so the "
+        "oracle replays it bit-for-bit (interpolated quantile "
+        "boundaries would be engine-dependent at ties). The window is "
+        "per-source; at 100 TB swap the rank for approx_percentile "
+        "cutpoints per source (partial-aggregable, no sort) and accept "
+        "boundary fuzz. Output: per (source, bucket) doc counts and "
+        "decimal-exact mean NLL.",
+)
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lp = text_bigram_logprob(spark, sf_dir)
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    d = lp.join(src, "doc_id")
+    w = Window.partitionBy("source").orderBy("avg_nll", "doc_id")
+    ranked = d.select(
+        "source",
+        "avg_nll",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n_src"),
+    )
+    bucketed = ranked.select(
+        "source",
+        "avg_nll",
+        F.floor((F.col("rn") - 1) * PPL_BUCKETS / F.col("n_src"))
+        .cast("int")
+        .alias("b"),
+    )
+    return (
+        bucketed.groupBy("source", "b")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum(F.col("avg_nll").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("mean_nll"),
+        )
+        .select(
+            "source",
+            F.expr(_PPL_NAMES).alias("bucket"),
+            "n_docs",
+            "mean_nll",
+        )
+    )
+
+
+from . import REGISTRY as _REG  # noqa: E402
+
+_REG["corpus_perplexity_buckets"].oracle = f"""
+    WITH lp AS ({_bigram_oracle()}),
+    d AS (SELECT lp.doc_id, lp.avg_nll, doc.source
+          FROM lp JOIN documents doc ON lp.doc_id = doc.doc_id),
+    ranked AS (
+      SELECT source, avg_nll,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY avg_nll, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n_src
+      FROM d),
+    bucketed AS (
+      SELECT source, avg_nll,
+             CAST((rn - 1) * {PPL_BUCKETS} // n_src AS INT) AS b
+      FROM ranked)
+    SELECT source, {_PPL_NAMES} AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(CAST(avg_nll AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 4) AS mean_nll
+    FROM bucketed GROUP BY source, b
+"""

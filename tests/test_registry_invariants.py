@@ -36,6 +36,10 @@ _GLOBAL_WINDOW_OK: set[str] = {
     # same shape: the Zipf regression ranks the ≤ ZIPF_TOP_K rows a
     # TakeOrderedAndProject already reduced to
     "corpus_zipf_profile",
+    # largest-remainder seat assignment ranks the PER-SOURCE aggregate
+    # (|sources| rows by construction, curation.py quota CTE), never
+    # the document table
+    "corpus_stratified_quota",
 }
 
 # the declared quadratic correctness baseline is the only legal
