@@ -35,6 +35,8 @@ HEADLINE = [
     "q4_order_priority",
     "q14_promo_revenue",
     "q21_waiting_supplier",
+    "q13_customer_distribution",
+    "join_bloom_pruned",
     "table_profile_lineitem",
     "dq_referential_audit",
     "incr_agg_refresh",
@@ -97,11 +99,13 @@ HEADLINE = [
     "corpus_mixture_plan",
     "corpus_length_buckets",
     "corpus_group_sample",
+    "corpus_stratified_quota",
     "corpus_shuffle_assign",
     "decontam_exact_substring",
     "curation_boilerplate_ngrams",
     "text_token_entropy",
     "text_bigram_logprob",
+    "corpus_perplexity_buckets",
     "curation_pipeline_e2e",
     "curation_quality_classifier",
     "curation_dsir_weights",

@@ -664,3 +664,56 @@ def test_dq_audit_legs_are_anti_joins(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dq_referential_audit")
     assert plan.count("LeftAnti") >= 4, plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_prune_filters_fact_before_equi_join(spark, sf_dir):
+    """join_bloom_pruned: the bit-position set rides a broadcast (one
+    aggregated row — BroadcastNestedLoopJoin is the correct physical
+    op for a join with no keys), the array_contains prune sits between
+    the fact scan and the exact equi-join, and the repair join itself
+    broadcasts the dim (never the fact)."""
+    plan = _plan(spark, sf_dir, "join_bloom_pruned")
+    assert "array_contains" in plan
+    assert "BroadcastHashJoin" in plan  # the exact repair join
+    assert "CartesianProduct" not in plan
+    # the prune (array_contains filter) must appear BELOW the repair
+    # join in the tree — i.e. after its first mention in printed order
+    assert "array_contains" in plan[plan.index("BroadcastHashJoin"):]
+
+
+def test_q13_outer_join_keeps_zero_count_customers(spark, sf_dir):
+    """Q13: filter must live in the join condition, not a post-filter —
+    the plan shows a left-outer (or shuffled equivalent) join and two
+    separate aggregates (per-customer count, then histogram)."""
+    plan = _plan(spark, sf_dir, "q13_customer_distribution")
+    assert "LeftOuter" in plan
+    assert plan.count("HashAggregate") >= 4  # 2 aggs x partial/final
+    assert "CartesianProduct" not in plan
+
+
+def test_perplexity_buckets_windows_are_source_keyed(spark, sf_dir):
+    """corpus_perplexity_buckets: every ordered window is partitioned
+    by source — no global sort of the document stream."""
+    plan = _plan(spark, sf_dir, "corpus_perplexity_buckets")
+    for line in plan.splitlines():
+        if "Window [" in line and ("ASC" in line or "DESC" in line):
+            assert "source" in line, line
+
+
+def test_stratified_quota_selection_window_is_source_keyed(spark, sf_dir):
+    """corpus_stratified_quota: the per-document selection window is
+    partitioned by source; the only unpartitioned ordered window ranks
+    the |sources|-row quota aggregate (declared lint exception); the
+    quota table is broadcast back onto the stream."""
+    plan = _plan(spark, sf_dir, "corpus_stratified_quota")
+    unpartitioned = [
+        line
+        for line in plan.splitlines()
+        if "Window [" in line
+        and ("ASC" in line or "DESC" in line)
+        and "source" not in line
+    ]
+    # the seat-assignment window ranks rem/source — both appear in the
+    # spec, so lines without 'source' must be none
+    assert not unpartitioned, unpartitioned
+    assert "BroadcastHashJoin" in plan
