@@ -73,12 +73,14 @@ HEADLINE = [
     "curation_dedup_report",
     "dedup_minhash_lsh",
     "dedup_containment",
+    "dedup_tfidf_allpairs",
     "dedup_simhash",
     "text_token_stats",
     "text_quality_score",
     "text_fingerprint",
     "text_tfidf_topk",
     "text_bm25_search",
+    "retrieval_rrf_fusion",
     "text_bpe_train",
     "text_bpe_apply",
     "text_gopher_filters",

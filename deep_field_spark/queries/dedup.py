@@ -1126,3 +1126,119 @@ def _banded_of(sh: DataFrame) -> DataFrame:
     exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     sig = D.minhash_signatures(exploded, "doc_id", NUM_HASHES)
     return D.band_keyed(sig, "doc_id", BANDS, NUM_HASHES // BANDS)
+
+
+# ----------------------------- all-pairs TF-IDF cosine, prefix-filtered
+APS_THETA = 0.9   # cosine threshold; near-dup territory for tf-idf
+APS_EPS = 1e-9    # float slack on the prune bound, never on the result
+
+
+@register(
+    "dedup_tfidf_allpairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    tx AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM tx GROUP BY 1, 2),
+    dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+    w AS (SELECT doc_id, tfc.term,
+                 tfc.tf * ln(CAST(nn.n AS DOUBLE) / dfx.df) AS wr
+          FROM tfc JOIN dfx USING (term) CROSS JOIN nn),
+    nrm AS (SELECT doc_id,
+                   sqrt(CAST(sum(CAST(wr * wr AS DECIMAL(38,18)))
+                             AS DOUBLE)) AS nm
+            FROM w GROUP BY 1),
+    wn AS (SELECT w.doc_id, term, wr / nm AS wn
+           FROM w JOIN nrm USING (doc_id) WHERE nm > 0),
+    dot AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   sum(CAST(a.wn * b.wn AS DECIMAL(38,18))) AS sim_dec
+            FROM wn a JOIN wn b
+              ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(CAST(sim_dec AS DOUBLE), 6) AS cos_sim
+    FROM dot WHERE CAST(sim_dec AS DOUBLE) >= {APS_THETA}
+    """,
+    doc="All-pairs TF-IDF cosine similarity with PREFIX FILTERING "
+        "(Bayardo, Ma & Srikant, WWW'07): each doc's terms are ordered "
+        "rarest-first (df asc) and only the PREFIX whose remaining "
+        "suffix could still reach the threshold — rem(i) = "
+        "sum_{{j>=i}} w_j * maxweight(term_j) >= theta — is indexed; "
+        "candidate pairs must share an indexed term, so hot terms "
+        "(which sit in suffixes) never generate candidates, and the "
+        "exact decimal-summed dot product verifies candidates only. "
+        "Completeness is the paper's bound argument (a suffix-only "
+        "overlap cannot reach theta), so the brute-force oracle "
+        "hash-matches the pruned plan exactly — the test IS the "
+        "completeness proof at this scale. Windows are doc-keyed; the "
+        "prune bound is float-slacked by eps (prune decisions may be "
+        "conservative, never lossy). At 100 TB add a df-cap on "
+        "indexed postings (the paper's dynamic variant) and length "
+        "binning.",
+)
+def dedup_tfidf_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", texting.tokens(F.col("text")).alias("toks"))
+    tfc = (
+        t.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfx = tfc.groupBy("term").agg(F.count("*").alias("df"))
+    nn = t.agg(F.count("*").alias("n"))
+    w = tfc.join(dfx, "term").crossJoin(F.broadcast(nn)).select(
+        "doc_id",
+        "term",
+        "df",
+        (F.col("tf") * F.log(F.col("n").cast("double") / F.col("df"))).alias("wr"),
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum((F.col("wr") * F.col("wr")).cast("decimal(38,18)")).cast("double")
+        ).alias("nm")
+    )
+    wn = (
+        w.join(nrm, "doc_id")
+        .filter(F.col("nm") > 0)
+        .select("doc_id", "term", "df", (F.col("wr") / F.col("nm")).alias("wn"))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds mw, prefix AND verify
+    )
+    mw = wn.groupBy("term").agg(F.max("wn").alias("mw"))
+    ordered = wn.join(mw, "term").select(
+        "doc_id", "term", "wn", (F.col("wn") * F.col("mw")).alias("contrib"), "df"
+    )
+    # suffix bound: sum of contrib from this term (rarest-first order)
+    # to the end of the doc's term list
+    wrem = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("df").asc(), F.col("term"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prefix = (
+        ordered.withColumn("rem", F.sum("contrib").over(wrem))
+        .filter(F.col("rem") >= APS_THETA - APS_EPS)
+        .select("doc_id", "term")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "term")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    wa = wn.select(F.col("doc_id").alias("doc_a"), "term", F.col("wn").alias("w_a"))
+    wb = wn.select(F.col("doc_id").alias("doc_b"), "term", F.col("wn").alias("w_b"))
+    dot = (
+        cand.join(wa, "doc_a")
+        .join(wb, ["doc_b", "term"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum((F.col("w_a") * F.col("w_b")).cast("decimal(38,18)")).alias("sim_dec"))
+    )
+    return dot.filter(F.col("sim_dec").cast("double") >= APS_THETA).select(
+        "doc_a", "doc_b", F.round(F.col("sim_dec").cast("double"), 6).alias("cos_sim")
+    )

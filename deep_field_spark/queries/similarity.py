@@ -1006,3 +1006,174 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(PQ_M)
         ]
     )
+
+
+# -------------------------------------------- hybrid retrieval (RRF)
+RRF_K = 60      # standard reciprocal-rank-fusion damping constant
+RRF_POOL = 20   # per-leg candidate pool fed into the fusion
+RRF_TOPK = 10
+
+
+def _rrf_oracle() -> str:
+    from .dedup import _SHINGLES_CTE
+
+    return f"""
+    WITH {_SHINGLES_CTE},
+    shx AS (SELECT doc_id, unnest(shingles) AS s FROM shf),
+    nsh AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS nsh FROM shf),
+    sem0 AS (
+      SELECT a.vec_id AS qid, b.vec_id AS did, {_COS_SQL} AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id % {QUERY_MOD} = 0),
+    sem AS (SELECT qid, did,
+                   CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY cos DESC, did) AS BIGINT) AS r
+            FROM sem0),
+    semk AS (SELECT * FROM sem WHERE r <= {RRF_POOL}),
+    qset AS (SELECT vec_id AS qid FROM embeddings
+             WHERE vec_id % {QUERY_MOD} = 0),
+    inter AS (
+      SELECT q.doc_id AS qid, c.doc_id AS did,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM shx q
+      JOIN qset ON q.doc_id = qset.qid
+      JOIN shx c ON q.s = c.s AND c.doc_id <> q.doc_id
+      GROUP BY 1, 2),
+    jac AS (
+      SELECT i.qid, i.did,
+             CAST(i.inter AS DOUBLE) / (nq.nsh + nc.nsh - i.inter) AS jac
+      FROM inter i
+      JOIN nsh nq ON nq.doc_id = i.qid
+      JOIN nsh nc ON nc.doc_id = i.did),
+    lex AS (SELECT qid, did,
+                   CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY jac DESC, did) AS BIGINT) AS r
+            FROM jac),
+    lexk AS (SELECT * FROM lex WHERE r <= {RRF_POOL}),
+    fused AS (
+      SELECT coalesce(s.qid, l.qid) AS qid,
+             coalesce(s.did, l.did) AS did,
+             coalesce(CAST(1.0 AS DOUBLE) / ({RRF_K} + s.r), 0.0)
+               + coalesce(CAST(1.0 AS DOUBLE) / ({RRF_K} + l.r), 0.0)
+               AS score
+      FROM semk s FULL JOIN lexk l ON s.qid = l.qid AND s.did = l.did),
+    rk AS (SELECT qid, did, score,
+                  CAST(row_number() OVER (PARTITION BY qid
+                       ORDER BY score DESC, did) AS BIGINT) AS rrf_rank
+           FROM fused)
+    SELECT qid, rrf_rank, did, round(score, 6) AS rrf_score
+    FROM rk WHERE rrf_rank <= {RRF_TOPK}
+    """
+
+
+@register(
+    "retrieval_rrf_fusion",
+    oracle=None,  # assigned below (needs dedup's shingle CTE at import)
+    doc="Hybrid retrieval via reciprocal-rank fusion (Cormack et al.): "
+        "a semantic leg (cosine ranks over the embedding column) and a "
+        "lexical leg (3-gram shingle Jaccard ranks over the text "
+        "column) each nominate a top-RRF_POOL candidate pool per "
+        "query, and the fused score sums 1/(60+rank) over the legs "
+        "that nominated the doc — rank-based, so the two legs' "
+        "incomparable score scales never need calibration. Test-scale "
+        "legs: the exact cosine ranker (query-bounded broadcast scan, "
+        "linear in corpus for a fixed query set) and the shingle "
+        "posting join; at 100 TB swap the semantic leg for the "
+        "IVF/multiprobe candidates (ann_ivf_kmeans path) — the fusion "
+        "is rank-based, so the swap touches only the leg. The fusion "
+        "itself joins two (query, doc, rank) tables of |queries|*pool "
+        "rows — negligible. Windows are query-keyed; ranks are "
+        "integers so the oracle replays the fusion exactly.",
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.select(F.col("vec_id").alias("did"), F.col("embedding").alias("c_emb"))
+    sem_scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("qid") != F.col("did"))
+        .select("qid", "did", vectors.cosine(F.col("q_emb"), F.col("c_emb")).alias("cos"))
+    )
+    wq = Window.partitionBy("qid")
+    sem = (
+        sem_scored.withColumn(
+            "r",
+            F.row_number()
+            .over(wq.orderBy(F.col("cos").desc(), F.col("did")))
+            .cast("long"),
+        )
+        .filter(F.col("r") <= RRF_POOL)
+        .select("qid", "did", "r")
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    shf = D.shingled(docs, "text", "doc_id", 3).filter(F.size("shingles") > 0)
+    shx = shf.select("doc_id", F.explode("shingles").alias("s"))
+    nsh = shf.select("doc_id", F.size("shingles").cast("long").alias("nsh"))
+    qset = queries.select("qid")
+    q_sh = shx.join(F.broadcast(qset), shx.doc_id == F.col("qid")).select(
+        "qid", "s"
+    )
+    inter = (
+        q_sh.join(shx, "s")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", F.col("doc_id").alias("did"))
+        .agg(F.count("*").alias("inter"))
+    )
+    nq = nsh.select(F.col("doc_id").alias("qid"), F.col("nsh").alias("n_q"))
+    nc = nsh.select(F.col("doc_id").alias("did"), F.col("nsh").alias("n_c"))
+    jac = (
+        inter.join(F.broadcast(nq), "qid")
+        .join(nc, "did")
+        .select(
+            "qid",
+            "did",
+            (
+                F.col("inter").cast("double")
+                / (F.col("n_q") + F.col("n_c") - F.col("inter"))
+            ).alias("jac"),
+        )
+    )
+    lex = (
+        jac.withColumn(
+            "r",
+            F.row_number()
+            .over(wq.orderBy(F.col("jac").desc(), F.col("did")))
+            .cast("long"),
+        )
+        .filter(F.col("r") <= RRF_POOL)
+        .select("qid", "did", "r")
+    )
+
+    term = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(RRF_K) + r), F.lit(0.0)
+    )
+    fused = (
+        sem.alias("s")
+        .join(lex.alias("l"), ["qid", "did"], "full_outer")
+        .select(
+            "qid",
+            "did",
+            (term(F.col("s.r")) + term(F.col("l.r"))).alias("score"),
+        )
+    )
+    return (
+        fused.withColumn(
+            "rrf_rank",
+            F.row_number()
+            .over(wq.orderBy(F.col("score").desc(), F.col("did")))
+            .cast("long"),
+        )
+        .filter(F.col("rrf_rank") <= RRF_TOPK)
+        .select("qid", "rrf_rank", "did", F.round("score", 6).alias("rrf_score"))
+    )
+
+
+from . import REGISTRY as _REG  # noqa: E402
+
+_REG["retrieval_rrf_fusion"].oracle = _rrf_oracle()

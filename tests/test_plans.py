@@ -717,3 +717,31 @@ def test_stratified_quota_selection_window_is_source_keyed(spark, sf_dir):
     # spec, so lines without 'source' must be none
     assert not unpartitioned, unpartitioned
     assert "BroadcastHashJoin" in plan
+
+
+def test_rrf_fusion_windows_are_query_keyed(spark, sf_dir):
+    """retrieval_rrf_fusion: every ordered window partitions by qid;
+    the only nested-loop join is the query-bounded broadcast of the
+    semantic leg's query set (declared: |Q| rows)."""
+    plan = _plan(spark, sf_dir, "retrieval_rrf_fusion")
+    for line in plan.splitlines():
+        if "Window [" in line and ("ASC" in line or "DESC" in line):
+            assert "qid" in line, line
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_allpairs_prunes_before_verify(spark, sf_dir):
+    """dedup_tfidf_allpairs: hash joins only (no cartesian / nested
+    loop on the pair path), and the suffix-bound window is doc-keyed."""
+    plan = _plan(spark, sf_dir, "dedup_tfidf_allpairs")
+    assert "CartesianProduct" not in plan
+    # nested-loop joins may appear only as the 1-row corpus-count
+    # scalar riding a broadcast Cross into the idf expression (the
+    # cached wn subtree is printed once per reference, so the line
+    # repeats) — never as a conditional join on the pair path
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert ", Cross" in line, line
+    for line in plan.splitlines():
+        if "Window [" in line and ("ASC" in line or "DESC" in line):
+            assert "doc_id" in line, line
