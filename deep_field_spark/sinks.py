@@ -8,6 +8,9 @@ parity row, S7-S9); this module is the cluster-scale output surface a
       file sizes and within-partition clustering. Dynamic partition
       overwrite makes re-running one day/source idempotent without
       truncating the rest of the table.
+  write_zorder — Z-order (Morton) clustered layout: multi-dim
+      min/max locality so box predicates prune files on every
+      clustered column, not just the leading sort key.
   write_bucketed — bucketed + sorted table for shuffle-free joins:
       two tables bucketed on the same key join with zero exchange
       (the scale answer to "this join shuffles 100 TB every run").
@@ -64,6 +67,81 @@ def write_partitioned(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    bits: int = 8,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order clustered parquet write: multi-dimensional locality so
+    min/max row-group stats prune on EVERY clustered column, not just
+    the leading sort key.
+
+    A lexicographic sort on (a, b) gives perfect pruning on `a` and
+    none on `b`; interleaving the bit representations of the columns'
+    normalized ranks (Morton code) gives each of k columns ~bits/k
+    effective prefix bits, so a box predicate on any subset of the
+    clustered columns touches O(fraction^(1/k)) of the files instead
+    of all of them. This is the same layout contract as
+    OPTIMIZE ... ZORDER BY in lakehouse engines, built from plain
+    DataFrame ops:
+
+      1. each column is min-max scaled to a ``bits``-bit integer rank
+         (linear scaling — cheap, deterministic, one extra aggregate;
+         for heavily skewed columns substitute approx_percentile
+         bucket boundaries, same interleave afterwards),
+      2. ranks are bit-interleaved into the Morton value z — pure
+         column expressions, whole-stage-codegen friendly,
+      3. repartitionByRange(z) + sortWithinPartitions(z) writes files
+         that own compact z-ranges, i.e. compact hyper-rectangles.
+
+    The write costs one range shuffle — identical to any global sort
+    — and buys file- and row-group-level skipping for the lifetime of
+    the data. tests/test_sinks.py measures the contract: a 2-D box
+    predicate overlaps strictly fewer file footprints under Z-order
+    than under single-column clustering.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in zorder_cols:
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+    # bounds is one row — broadcast it as literals-by-join (keeps the
+    # builder free of a driver collect; the cross join is 1-row)
+    bounds = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(bounds))
+    scale = (1 << bits) - 1
+    ranks = []
+    for c in zorder_cols:
+        mn, mx = F.col(f"_mn_{c}"), F.col(f"_mx_{c}")
+        num = F.col(c).cast("double") - mn.cast("double")
+        den = F.when(
+            mx.cast("double") > mn.cast("double"),
+            mx.cast("double") - mn.cast("double"),
+        ).otherwise(F.lit(1.0))
+        ranks.append(
+            F.least(F.lit(scale), F.floor(num / den * scale).cast("int"))
+        )
+    # Morton interleave: bit j of column i lands at position
+    # j * k + i (LSB-first), k = number of clustered columns
+    k = len(zorder_cols)
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, r in enumerate(ranks):
+            bit = F.shiftright(r, j).bitwiseAND(F.lit(1)).cast("long")
+            z = z.bitwiseOR(F.shiftleft(bit, j * k + i))
+    out = (
+        out.withColumn("_z", z)
+        .drop(*[f"_mn_{c}" for c in zorder_cols], *[f"_mx_{c}" for c in zorder_cols])
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    out.write.mode(mode).parquet(path)
 
 
 def write_bucketed(

@@ -1,0 +1,116 @@
+"""write_zorder: the layout contract, measured on real file footers.
+
+A single-column sort prunes only its leading key; Z-order must let a
+box predicate skip files on EVERY clustered dimension. We write the
+same rows both ways, then read the parquet footers and count how many
+files' (min, max) ranges overlap a probe box — the exact computation
+a scan's file-skipping does.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from deep_field_spark.sinks import write_zorder
+
+COLS = ("l_partkey", "l_suppkey")
+
+
+def _files_overlapping(path: str, box: dict[str, tuple[int, int]]) -> int:
+    """Count part-files whose footer min/max intersects the box on
+    every constrained column (file-skipping's admission test)."""
+    n = 0
+    for f in glob.glob(os.path.join(path, "part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        schema_names = md.schema.to_arrow_schema().names
+        lo: dict[str, int] = {}
+        hi: dict[str, int] = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = schema_names[ci] if ci < len(schema_names) else col.path_in_schema
+                st = col.statistics
+                if st is None or name not in box:
+                    continue
+                lo[name] = min(lo.get(name, st.min), st.min)
+                hi[name] = max(hi.get(name, st.max), st.max)
+        if all(lo[c] <= b_hi and hi[c] >= b_lo for c, (b_lo, b_hi) in box.items()):
+            n += 1
+    return n
+
+
+@pytest.fixture(scope="module")
+def layouts(spark, sf_dir, tmp_path_factory):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(*COLS)
+    root = tmp_path_factory.mktemp("zorder")
+    zpath, spath = str(root / "z"), str(root / "s")
+    write_zorder(li, zpath, list(COLS), bits=8, n_files=8)
+    # the comparison layout: same file count, classic leading-column sort
+    (
+        li.repartitionByRange(8, COLS[0])
+        .sortWithinPartitions(COLS[0])
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+    bounds = li.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in COLS],
+        *[F.max(c).alias(f"mx_{c}") for c in COLS],
+    ).first()
+    return spark, li, zpath, spath, bounds
+
+
+def _slab(bounds, col, frac_lo=0.2, frac_hi=0.3):
+    # a slab that does NOT straddle the range midpoint: a 45-55% probe
+    # crosses every layout's MSB split and nothing could prune it
+    mn, mx = bounds[f"mn_{col}"], bounds[f"mx_{col}"]
+    return (
+        int(mn + (mx - mn) * frac_lo),
+        int(mn + (mx - mn) * frac_hi),
+    )
+
+
+def test_zorder_round_trips_all_rows(layouts):
+    spark, li, zpath, _, _ = layouts
+    back = spark.read.parquet(zpath)
+    assert back.count() == li.count()
+    a = li.agg(*[F.sum(c).alias(c) for c in COLS]).first()
+    b = back.agg(*[F.sum(c).alias(c) for c in COLS]).first()
+    assert tuple(a) == tuple(b)
+
+
+def test_zorder_prunes_on_non_leading_dimension(layouts):
+    """A slab on the SECOND clustered column: the leading-column sort
+    cannot skip anything (every file spans the full suppkey range);
+    Z-order must skip some files."""
+    _, _, zpath, spath, bounds = layouts
+    box = {COLS[1]: _slab(bounds, COLS[1])}
+    z, s = _files_overlapping(zpath, box), _files_overlapping(spath, box)
+    assert s == 8  # the single-column layout is blind on this dim
+    assert z < s, (z, s)
+
+
+def test_zorder_worst_case_across_dims_beats_single_sort(layouts):
+    """The Z-order guarantee is the WORST case over clustered dims: a
+    leading-column sort is perfect on its key and blind (8/8) on the
+    other; Z-order pays a little on each dim but its worst dim must
+    beat the single sort's worst dim."""
+    _, _, zpath, spath, bounds = layouts
+    z_worst = max(
+        _files_overlapping(zpath, {c: _slab(bounds, c)}) for c in COLS
+    )
+    s_worst = max(
+        _files_overlapping(spath, {c: _slab(bounds, c)}) for c in COLS
+    )
+    assert s_worst == 8
+    assert z_worst < s_worst, (z_worst, s_worst)
+
+
+def test_zorder_2d_box_prunes(layouts):
+    _, _, zpath, _, bounds = layouts
+    box = {c: _slab(bounds, c) for c in COLS}
+    assert _files_overlapping(zpath, box) < 8
