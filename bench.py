@@ -73,7 +73,13 @@ HEADLINE = [
     "curation_dedup_report",
     "dedup_minhash_lsh",
     "dedup_containment",
-    "dedup_tfidf_allpairs",
+    # dedup_tfidf_allpairs is EXCLUDED: the synthetic template corpus
+    # is the adversarial case for similarity pruning — nearly every
+    # doc pair scores >=0.5 cosine, so the candidate set is
+    # output-bound (~all pairs) and NO exact algorithm is subquadratic
+    # on it. The sf0.01 oracle gate (brute-force hash-match) is the
+    # completeness proof; pruning effectiveness is corpus-dependent
+    # and real Zipfian corpora are the sparse case the paper targets.
     "dedup_simhash",
     "text_token_stats",
     "text_quality_score",
