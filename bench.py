@@ -87,6 +87,7 @@ HEADLINE = [
     "text_tfidf_topk",
     "text_bm25_search",
     "retrieval_rrf_fusion",
+    "retrieval_eval_ndcg",
     "text_bpe_train",
     "text_bpe_apply",
     "text_gopher_filters",

@@ -1177,3 +1177,173 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import REGISTRY as _REG  # noqa: E402
 
 _REG["retrieval_rrf_fusion"].oracle = _rrf_oracle()
+
+
+# ------------------------------------------- retrieval evaluation
+EVAL_K = 10  # nDCG@K / MRR cutoff == RRF_TOPK
+
+
+def _eval_oracle() -> str:
+    rrf = _rrf_oracle().strip()
+    return f"""
+    WITH rrf_out AS ({rrf}),
+    sem AS (
+      SELECT qid, did, rnk FROM (
+        SELECT a.vec_id AS qid, b.vec_id AS did,
+               CAST(row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY {_COS_SQL} DESC, b.vec_id) AS BIGINT) AS rnk
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id % {QUERY_MOD} = 0)
+      WHERE rnk <= {EVAL_K}),
+    systems AS (
+      SELECT 'semantic' AS system, qid, did, rnk FROM sem
+      UNION ALL
+      SELECT 'rrf', qid, did, rrf_rank FROM rrf_out),
+    rel AS (
+      SELECT s.system, s.qid, s.rnk,
+             CASE WHEN r.label = q.label THEN 1 ELSE 0 END AS rel
+      FROM systems s
+      JOIN embeddings q ON q.vec_id = s.qid
+      LEFT JOIN embeddings r ON r.vec_id = s.did),
+    per_q AS (
+      SELECT system, qid,
+             sum(CAST(rel / ln(rnk + 1) AS DECIMAL(28,18))) AS dcg_dec,
+             min(CASE WHEN rel = 1 THEN rnk END) AS first_rel
+      FROM rel GROUP BY 1, 2),
+    cls AS (SELECT label, CAST(count(*) AS BIGINT) AS n_label
+            FROM embeddings GROUP BY 1),
+    ideal AS (
+      SELECT q.vec_id AS qid,
+             list_aggregate(list_transform(
+               range(1, least(c.n_label - 1, {EVAL_K}) + 1),
+               i -> CAST(1.0 AS DOUBLE) / ln(CAST(i AS DOUBLE) + 1.0)),
+               'sum') AS idcg
+      FROM embeddings q JOIN cls c USING (label)
+      WHERE q.vec_id % {QUERY_MOD} = 0),
+    scored AS (
+      SELECT p.system,
+             CAST(p.dcg_dec AS DOUBLE) / i.idcg AS ndcg,
+             CASE WHEN p.first_rel IS NOT NULL
+                  THEN CAST(1.0 AS DOUBLE) / p.first_rel ELSE 0.0 END AS rr
+      FROM per_q p JOIN ideal i USING (qid))
+    SELECT system, CAST(count(*) AS BIGINT) AS n_queries,
+           round(CAST(sum(CAST(ndcg AS DECIMAL(28,18))) AS DOUBLE)
+                 / count(*), 6) AS ndcg_at_10,
+           round(CAST(sum(CAST(rr AS DECIMAL(28,18))) AS DOUBLE)
+                 / count(*), 6) AS mrr
+    FROM scored GROUP BY 1
+    """
+
+
+@register(
+    "retrieval_eval_ndcg",
+    oracle=None,  # assigned below
+    doc="Retrieval evaluation harness: nDCG@10 and MRR for the "
+        "semantic-only ranking vs the RRF hybrid, using the embedding "
+        "table's class label as binary relevance ground truth (a "
+        "query's relevant set = other members of its label). Per-query "
+        "gains 1/ln(rank+1) are decimal-cast before summing (nDCG is "
+        "log-base invariant — the base cancels in DCG/IDCG); the "
+        "ideal DCG sums the same series in index order via a "
+        "sequence-fold, so both engines produce bit-identical "
+        "macro-averages. Shape at 100 TB: rankings are "
+        "|queries|*K rows — evaluation is free at any corpus scale; "
+        "the label join is a broadcast of the query set and an "
+        "equi-join on the result ids.",
+)
+def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("did"), F.col("embedding").alias("c_emb")
+    )
+    wq = Window.partitionBy("system", "qid")
+    sem = (
+        F.broadcast(queries.select("qid", "q_emb"))
+        .crossJoin(corpus)
+        .filter(F.col("qid") != F.col("did"))
+        .select(
+            "qid", "did",
+            vectors.cosine(F.col("q_emb"), F.col("c_emb")).alias("cos"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.partitionBy("qid").orderBy(F.col("cos").desc(), "did"))
+            .cast("long"),
+        )
+        .filter(F.col("rnk") <= EVAL_K)
+        .select(F.lit("semantic").alias("system"), "qid", "did", "rnk")
+    )
+    rrf = retrieval_rrf_fusion(spark, sf_dir).select(
+        F.lit("rrf").alias("system"),
+        "qid",
+        "did",
+        F.col("rrf_rank").alias("rnk"),
+    )
+    ranked = sem.unionByName(rrf)
+    # binary relevance: result shares the query's label (results from
+    # the lexical leg may have no embedding row -> rel 0)
+    rel = (
+        ranked.join(F.broadcast(queries.select("qid", "q_label")), "qid")
+        .join(
+            labels.select(F.col("vec_id").alias("did"), F.col("label")),
+            "did",
+            "left_outer",
+        )
+        .select(
+            "system", "qid", "rnk",
+            F.when(F.col("label") == F.col("q_label"), 1).otherwise(0).alias("rel"),
+        )
+    )
+    per_q = rel.groupBy("system", "qid").agg(
+        F.sum(
+            (F.col("rel") / F.log(F.col("rnk") + 1)).cast("decimal(28,18)")
+        ).alias("dcg_dec"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_rel"),
+    )
+    # ideal DCG: all relevant docs ranked first; R = |label class| - 1
+    cls = labels.groupBy("label").agg(F.count("*").alias("n_label"))
+    ideal = (
+        queries.select("qid", "q_label")
+        .join(F.broadcast(cls), F.col("q_label") == F.col("label"))
+        .select(
+            "qid",
+            F.least(F.col("n_label") - 1, F.lit(EVAL_K)).alias("m"),
+        )
+        .select(
+            "qid",
+            F.aggregate(
+                F.sequence(F.lit(1), F.col("m")),
+                F.lit(0.0),
+                lambda acc, i: acc + F.lit(1.0) / F.log(i.cast("double") + 1.0),
+            ).alias("idcg"),
+        )
+    )
+    scored = per_q.join(F.broadcast(ideal), "qid").select(
+        "system",
+        (F.col("dcg_dec").cast("double") / F.col("idcg")).alias("ndcg"),
+        F.when(F.col("first_rel").isNotNull(), F.lit(1.0) / F.col("first_rel"))
+        .otherwise(F.lit(0.0))
+        .alias("rr"),
+    )
+    return scored.groupBy("system").agg(
+        F.count("*").alias("n_queries"),
+        F.round(
+            F.sum(F.col("ndcg").cast("decimal(28,18)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("ndcg_at_10"),
+        F.round(
+            F.sum(F.col("rr").cast("decimal(28,18)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mrr"),
+    )
+
+
+_REG["retrieval_eval_ndcg"].oracle = _eval_oracle()
