@@ -120,6 +120,7 @@ HEADLINE = [
     "curation_dsir_weights",
     "curation_quality_train",
     "decontam_embedding",
+    "decontam_union_report",
     "embedding_pq_codes",
     "corpus_split_leakage",
     "corpus_novelty_profile",

@@ -1701,3 +1701,4 @@ def corpus_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(F.broadcast(quota), "source").filter(
         F.col("samp_rank") <= F.col("quota")
     ).select("source", "doc_id", "samp_rank", "quota")
+

@@ -1242,3 +1242,83 @@ def dedup_tfidf_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dot.filter(F.col("sim_dec").cast("double") >= APS_THETA).select(
         "doc_a", "doc_b", F.round(F.col("sim_dec").cast("double"), 6).alias("cos_sim")
     )
+
+
+# ---------------------------------------- decontamination, layered
+@register(
+    "decontam_union_report",
+    oracle=None,  # assigned below from the three layer oracles
+    doc="Defense-in-depth decontamination report: one row per corpus "
+        "document flagged by ANY of the three layers — distinct-5-gram "
+        "overlap (recall net), verbatim-substring containment (the "
+        "strict hit), and embedding-space cosine (the paraphrase case "
+        "neither lexical layer can see) — with per-layer evidence and "
+        "a layer count. Composes the three registered queries "
+        "verbatim (same fns, same oracles as CTEs), so this row-level "
+        "union can never drift from the layers it summarizes. Shape "
+        "at 100 TB: three already-scaled paths plus a 3-way full "
+        "outer join on doc_id over the flagged subsets — each side is "
+        "|contaminated| rows, not corpus-sized.",
+)
+def decontam_union_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import REGISTRY as _R
+
+    ng = _R["decontam_ngram_overlap"].fn(spark, sf_dir).select(
+        "doc_id", "n_shared_grams"
+    )
+    ex = _R["decontam_exact_substring"].fn(spark, sf_dir).select(
+        "doc_id", F.col("n_hits").alias("n_substring_hits")
+    )
+    em = _R["decontam_embedding"].fn(spark, sf_dir).select(
+        "doc_id",
+        F.col("contaminated_by").alias("emb_contaminated_by"),
+        F.col("cos_sim").alias("emb_cos"),
+    )
+    u = ng.join(ex, "doc_id", "full_outer").join(em, "doc_id", "full_outer")
+    flag = lambda c: F.when(F.col(c).isNotNull(), 1).otherwise(0)  # noqa: E731
+    return u.select(
+        "doc_id",
+        F.coalesce("n_shared_grams", F.lit(0)).cast("int").alias("n_shared_grams"),
+        F.coalesce("n_substring_hits", F.lit(0)).cast("long").alias("n_substring_hits"),
+        "emb_contaminated_by",
+        "emb_cos",
+        (flag("n_shared_grams") + flag("n_substring_hits") + flag("emb_cos"))
+        .cast("int")
+        .alias("n_layers"),
+    )
+
+
+def _decontam_union_oracle() -> str:
+    from . import REGISTRY as _R
+
+    ng = _R["decontam_ngram_overlap"].oracle.strip()
+    ex = _R["decontam_exact_substring"].oracle.strip()
+    em = _R["decontam_embedding"].oracle.strip()
+    return f"""
+    WITH ng AS ({ng}),
+    ex AS ({ex}),
+    em AS ({em}),
+    u AS (
+      SELECT coalesce(ng.doc_id, ex.doc_id, em.doc_id) AS doc_id,
+             ng.n_shared_grams, ex.n_hits AS n_substring_hits,
+             em.contaminated_by AS emb_contaminated_by,
+             em.cos_sim AS emb_cos
+      FROM ng
+      FULL JOIN ex ON ng.doc_id = ex.doc_id
+      FULL JOIN em ON coalesce(ng.doc_id, ex.doc_id) = em.doc_id)
+    SELECT doc_id,
+           CAST(coalesce(n_shared_grams, 0) AS INT) AS n_shared_grams,
+           CAST(coalesce(n_substring_hits, 0) AS BIGINT) AS n_substring_hits,
+           emb_contaminated_by,
+           emb_cos,
+           CAST((CASE WHEN n_shared_grams IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN n_substring_hits IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN emb_cos IS NOT NULL THEN 1 ELSE 0 END)
+              AS INT) AS n_layers
+    FROM u
+    """
+
+
+from . import REGISTRY as _DD_REG  # noqa: E402
+
+_DD_REG["decontam_union_report"].oracle = _decontam_union_oracle()
