@@ -40,6 +40,7 @@ HEADLINE = [
     "table_profile_lineitem",
     "dq_referential_audit",
     "incr_agg_refresh",
+    "table_snapshot_diff",
     "scan_filter_project",
     "join_inner_dim",
     "join_semi",
@@ -72,6 +73,7 @@ HEADLINE = [
     "dedup_incremental_minhash",
     "curation_dedup_report",
     "dedup_minhash_lsh",
+    "dedup_minhash_recall_report",
     "dedup_containment",
     # dedup_tfidf_allpairs is EXCLUDED: the synthetic template corpus
     # is the adversarial case for similarity pruning — nearly every
@@ -94,6 +96,7 @@ HEADLINE = [
     "text_repetition_ratio",
     "text_chunk_overlap",
     "text_vocab_topk",
+    "text_vocab_coverage",
     "text_heavy_hitters",
     "text_countmin_freq",
     "join_skew_salted",

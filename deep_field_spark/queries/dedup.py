@@ -1322,3 +1322,102 @@ def _decontam_union_oracle() -> str:
 from . import REGISTRY as _DD_REG  # noqa: E402
 
 _DD_REG["decontam_union_report"].oracle = _decontam_union_oracle()
+
+
+# ------------------------------------------ MinHash recall calibration
+@register(
+    "dedup_minhash_recall_report",
+    oracle=f"""
+    WITH {_MINHASH_CAND_CTE},
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shf),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(count(*) AS BIGINT) AS n_int
+              FROM inv a JOIN inv b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM shf),
+    truth AS (SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE CAST(n_int AS DOUBLE) / (sa.n + sb.n - n_int)
+                    >= {JACCARD_THRESHOLD}),
+    cd AS (SELECT id_a, id_b FROM cand),
+    hit AS (SELECT t.id_a FROM truth t
+            JOIN cd c ON t.id_a = c.id_a AND t.id_b = c.id_b),
+    tp AS (SELECT c.id_a FROM cd c
+           JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b)
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true_pairs,
+           CAST((SELECT count(*) FROM cd) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+           round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                 / nullif((SELECT count(*) FROM truth), 0), 6) AS recall,
+           round(CAST((SELECT count(*) FROM tp) AS DOUBLE)
+                 / nullif((SELECT count(*) FROM cd), 0), 6) AS precision
+    """,
+    doc=f"MinHash band-candidate calibration: measured recall and "
+        f"precision of the LSH candidate set against the EXACT "
+        f"Jaccard>={JACCARD_THRESHOLD} truth (inverted-index exact "
+        "pairs — only computable at test scale, which is exactly when "
+        "you calibrate). The (bands, rows-per-band) knob trades "
+        "recall against candidate volume; this report is the evidence "
+        "that the production setting clears the recall bar before the "
+        "sketch is trusted at 100 TB, the text-side sibling of "
+        "ann_recall_report. Truth and candidates share one shingle "
+        "pass; the summary is three tiny aggregates.",
+)
+def dedup_minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    docs = table(spark, sf_dir, "documents")
+    shf = D.shingled(docs, "text", "doc_id", NGRAM).filter(
+        F.size("shingles") > 0
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # truth: exact Jaccard via inverted-index join
+    inv = shf.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = inv.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = inv.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_int"))
+    )
+    sizes = shf.select("doc_id", F.size("shingles").alias("n"))
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .filter(
+            F.col("n_int").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_int"))
+            >= JACCARD_THRESHOLD
+        )
+        .select("id_a", "id_b")
+    )
+    # candidates: the banded LSH pair set, pre-verify (signatures from
+    # the same exploded shingle rows the truth side used)
+    sig = D.minhash_signatures(inv, "doc_id", num_hashes=NUM_HASHES)
+    banded = D.band_keyed(sig, "doc_id", bands=BANDS, rows=NUM_HASHES // BANDS)
+    cd = D.bucket_pairs(banded, "doc_id").select("id_a", "id_b")
+    hit = truth.join(cd, ["id_a", "id_b"], "left_semi")
+    tp = cd.join(truth, ["id_a", "id_b"], "left_semi")
+    summary = (
+        truth.agg(F.count("*").alias("n_true_pairs"))
+        .crossJoin(cd.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+        .crossJoin(tp.agg(F.count("*").alias("n_tp")))
+    )
+    return summary.select(
+        "n_true_pairs",
+        "n_candidates",
+        "n_hit",
+        F.round(
+            F.col("n_hit").cast("double")
+            / F.nullif(F.col("n_true_pairs").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.col("n_tp").cast("double")
+            / F.nullif(F.col("n_candidates").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("precision"),
+    )

@@ -1592,3 +1592,87 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ------------------------------------------------- snapshot diff (CDC)
+SNAP_UPD, SNAP_DEL, SNAP_INS = 37, 41, 53  # deterministic change sim
+SNAP_INS_OFFSET = 10_000_000
+
+
+@register(
+    "table_snapshot_diff",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    surv AS (SELECT * FROM base WHERE k % {SNAP_DEL} <> 0),
+    newt AS (
+      SELECT k, st,
+             CASE WHEN k % {SNAP_UPD} = 0
+                  THEN (cents * 110) // 100 ELSE cents END AS cents
+      FROM surv
+      UNION ALL
+      SELECT k + {SNAP_INS_OFFSET}, st, cents
+      FROM base WHERE k % {SNAP_INS} = 0),
+    d AS (
+      SELECT coalesce(b.k, n.k) AS o_orderkey,
+             CASE WHEN b.k IS NULL THEN 'insert'
+                  WHEN n.k IS NULL THEN 'delete'
+                  WHEN b.cents <> n.cents OR b.st <> n.st THEN 'update'
+                  ELSE 'unchanged' END AS change,
+             b.cents AS old_cents, n.cents AS new_cents
+      FROM base b FULL JOIN newt n ON b.k = n.k)
+    SELECT o_orderkey, change, old_cents, new_cents
+    FROM d WHERE change <> 'unchanged'
+    """,
+    doc="Snapshot diff — derive the CDC changeset between two table "
+        "versions: one full outer join on the key classifies every "
+        "row as insert / delete / update (field compare) and emits "
+        "old/new values; 'unchanged' rows are dropped so the output "
+        "is |changes|, not |table|. This is the producing side of the "
+        "merge_upsert sink (sinks.py): diff(old, new) feeds MERGE and "
+        "round-trips to the new snapshot. The simulated second "
+        "snapshot is integer-deterministic (keyed mod rules, cent "
+        "arithmetic) so the oracle replays it. Shape at 100 TB: both "
+        "snapshots shuffle once on the key — or zero times if both "
+        "are bucketed on it (write_bucketed); cents comparison avoids "
+        "float equality.",
+)
+def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    surv = base.filter(F.col("k") % SNAP_DEL != 0)
+    updated = surv.select(
+        "k",
+        "st",
+        F.when(
+            F.col("k") % SNAP_UPD == 0,
+            F.expr("(cents * 110) div 100"),
+        )
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    inserted = base.filter(F.col("k") % SNAP_INS == 0).select(
+        (F.col("k") + SNAP_INS_OFFSET).alias("k"), "st", "cents"
+    )
+    newt = updated.unionByName(inserted)
+    b, n = base.alias("b"), newt.alias("n")
+    d = b.join(n, F.col("b.k") == F.col("n.k"), "full_outer").select(
+        F.coalesce(F.col("b.k"), F.col("n.k")).alias("o_orderkey"),
+        F.when(F.col("b.k").isNull(), "insert")
+        .when(F.col("n.k").isNull(), "delete")
+        .when(
+            (F.col("b.cents") != F.col("n.cents"))
+            | (F.col("b.st") != F.col("n.st")),
+            "update",
+        )
+        .otherwise("unchanged")
+        .alias("change"),
+        F.col("b.cents").alias("old_cents"),
+        F.col("n.cents").alias("new_cents"),
+    )
+    return d.filter(F.col("change") != "unchanged")

@@ -1222,3 +1222,67 @@ _REG["corpus_perplexity_buckets"].oracle = f"""
                  / count(*), 4) AS mean_nll
     FROM bucketed GROUP BY source, b
 """
+
+
+# ------------------------------------------ vocabulary coverage audit
+COV_VOCAB_K = 50  # the "model vocabulary": top-K terms by occurrence
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH tx AS (SELECT d.doc_id, d.source, t.term
+                FROM documents d, unnest({TOKS_SQL}) AS t(term)),
+    vc AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tx GROUP BY 1),
+    vocab AS (SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY n DESC, term) AS rk
+        FROM vc) WHERE rk <= {COV_VOCAB_K}),
+    per AS (SELECT s.source,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN v.term IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+            FROM tx s LEFT JOIN vocab v ON s.term = v.term
+            GROUP BY 1)
+    SELECT source, n_tokens, n_covered,
+           round(CAST(n_covered AS DOUBLE) / n_tokens, 6) AS coverage,
+           round(1.0 - CAST(n_covered AS DOUBLE) / n_tokens, 6) AS oov_rate
+    FROM per
+    """,
+    doc=f"Tokenizer-vocabulary coverage audit: per-source fraction of "
+        f"token OCCURRENCES covered by the global top-{COV_VOCAB_K} "
+        "vocabulary, and the complementary OOV rate — the go/no-go "
+        "check before committing a vocab size (and the per-source "
+        "break-down that catches a domain the vocab underserves). "
+        "Shape at 100 TB: occurrence counts partial-aggregate; the "
+        "vocabulary is a TakeOrderedAndProject-bounded K-row table "
+        "that broadcasts into a left join against the token stream; "
+        "per-source totals partial-aggregate again. No full-vocab "
+        "shuffle anywhere.",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"))
+    tx = docs.select(
+        "source", F.explode(texting.tokens(F.col("text"))).alias("term")
+    )
+    vc = tx.groupBy("term").agg(F.count("*").alias("n"))
+    vocab = (
+        vc.orderBy(F.col("n").desc(), "term")
+        .limit(COV_VOCAB_K)
+        .select("term", F.lit(1).alias("_inv"))
+    )
+    per = (
+        tx.join(F.broadcast(vocab), "term", "left_outer")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("_inv"), F.lit(0))).alias("n_covered"),
+        )
+    )
+    cov = F.col("n_covered").cast("double") / F.col("n_tokens")
+    return per.select(
+        "source",
+        "n_tokens",
+        "n_covered",
+        F.round(cov, 6).alias("coverage"),
+        F.round(F.lit(1.0) - cov, 6).alias("oov_rate"),
+    )
