@@ -36,6 +36,10 @@ HEADLINE = [
     "q14_promo_revenue",
     "q21_waiting_supplier",
     "q13_customer_distribution",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q17_small_quantity",
+    "q19_disjunctive_predicates",
     "join_bloom_pruned",
     "table_profile_lineitem",
     "dq_referential_audit",

@@ -1676,3 +1676,227 @@ def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n.cents").alias("new_cents"),
     )
     return d.filter(F.col("change") != "unchanged")
+
+
+# --------------------------------------------------------------- Q7
+Q7_N1, Q7_N2 = "NATION_3", "NATION_7"
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(28,9))), 2) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = '{Q7_N1}' AND n2.n_name = '{Q7_N2}')
+        OR (n1.n_name = '{Q7_N2}' AND n2.n_name = '{Q7_N1}'))
+      AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape (volume shipping): the symmetric nation-pair "
+        "disjunction — both directions of trade between two nations — "
+        "over a 6-table join. The two nation dims broadcast; the "
+        "disjunctive pair predicate CANNOT push below the joins (it "
+        "spans both sides) but the per-side IN-list implication "
+        "(n_name IN (N1, N2)) does, shrinking both dim probes before "
+        "the fact join; shipdate range reaches the scan.",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = nation.filter(F.col("n_name").isin(Q7_N1, Q7_N2))
+    n1 = pair.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = pair.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == Q7_N1) & (F.col("cust_nation") == Q7_N2))
+            | ((F.col("supp_nation") == Q7_N2) & (F.col("cust_nation") == Q7_N1))
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+    ).agg(
+        F.round(F.sum(rev.cast("decimal(28,9)")), 2).cast("double").alias("revenue")
+    )
+
+
+# --------------------------------------------------------------- Q10
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT * FROM (
+      SELECT c.c_custkey, c.c_name, n.n_name,
+             CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                            AS DECIMAL(28,9))), 2) AS DOUBLE) AS revenue
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        AND l.l_returnflag = 'R'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20)
+    ORDER BY revenue DESC, c_custkey
+    """,
+    doc="TPC-H Q10 shape (returned-item reporting): lost revenue per "
+        "customer from returned lines in one quarter, top 20. The "
+        "returnflag filter reaches the lineitem scan, the quarter "
+        "filter the orders scan; customer and nation broadcast; the "
+        "top-20 is TakeOrderedAndProject over the grouped result — "
+        "never a full sort.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    g = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(rev.cast("decimal(28,9)")), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return g.orderBy(F.col("revenue").desc(), "c_custkey").limit(20)
+
+
+# --------------------------------------------------------------- Q17
+Q17_BRAND = "Brand#3"
+
+
+@register(
+    "q17_small_quantity",
+    oracle=f"""
+    WITH pavg AS (
+      SELECT l_partkey, avg(l_quantity) AS aq
+      FROM lineitem GROUP BY 1)
+    SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(28,9)))
+                 / 7.0, 2) AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pavg a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = '{Q17_BRAND}'
+      AND l.l_quantity < 0.2 * a.aq
+    """,
+    doc="TPC-H Q17 shape (small-quantity-order revenue): the "
+        "correlated per-part average decorrelates into one aggregate "
+        "over the fact table joined back on the part key — the "
+        "aggregate-then-self-join plan every optimizer should produce "
+        "instead of a per-row subquery. The brand filter broadcasts "
+        "part; the avg table is per-part (bounded by |part|) and "
+        "joins on the same key as the brand probe. avg(l_quantity) "
+        "divides a partial-agg (sum, count) pair — both engines "
+        "compute sum/count in DOUBLE from integer-valued quantities, "
+        "so the 0.2*avg comparison is deterministic.",
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == Q17_BRAND)
+        .select("p_partkey")
+    )
+    pavg = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("aq"))
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(pavg.select(F.col("l_partkey").alias("_pk"), "aq"),
+              F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
+    )
+    return j.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(28,9)")) / 7.0, 2
+        )
+        .cast("double")
+        .alias("avg_yearly")
+    )
+
+
+# --------------------------------------------------------------- Q19
+@register(
+    "q19_disjunctive_predicates",
+    oracle="""
+    SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(28,9))), 2) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape (disjunctive join predicates): three OR'd "
+        "(brand, size, quantity) clauses spanning both join sides. "
+        "The implied per-side disjunctions — p_brand IN (...), p_size "
+        "<= 35, l_quantity <= 30 — are extracted and pushed to the "
+        "scans (constraint propagation over OR), the filtered part "
+        "side broadcasts, and the cross-side residual evaluates "
+        "post-join. The classic test that an engine doesn't give up "
+        "on pushdown the moment it sees OR.",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(clause).agg(
+        F.round(F.sum(rev.cast("decimal(28,9)")), 2).cast("double").alias("revenue")
+    )

@@ -745,3 +745,36 @@ def test_tfidf_allpairs_prunes_before_verify(spark, sf_dir):
     for line in plan.splitlines():
         if "Window [" in line and ("ASC" in line or "DESC" in line):
             assert "doc_id" in line, line
+
+
+def test_q7_broadcast_dims_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q7_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_top20_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    # selective scans: returnflag reaches the lineitem scan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q17_decorrelates_to_agg_join(spark, sf_dir):
+    """The per-part average is ONE aggregate joined back on the part
+    key — not a per-row subquery (no nested-loop anywhere)."""
+    plan = _plan(spark, sf_dir, "q17_small_quantity")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # per-part avg + final sum
+
+
+def test_q19_or_clauses_push_implied_filters(spark, sf_dir):
+    """Constraint propagation over OR: the per-side implications
+    (p_brand IN ..., quantity bound) must reach the scans as
+    PushedFilters, not evaluate only post-join."""
+    plan = _plan(spark, sf_dir, "q19_disjunctive_predicates")
+    scan = plan[plan.index("PushedFilters"):]
+    assert "Brand#12" in scan  # the brand disjunction reached a scan
+    li_scans = [s for s in plan.split("PushedFilters: ")[1:] if "l_quantity" in s.split("]")[0]]
+    assert li_scans, "quantity bound did not reach the lineitem scan"
