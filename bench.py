@@ -40,6 +40,8 @@ HEADLINE = [
     "q10_returned_items",
     "q17_small_quantity",
     "q19_disjunctive_predicates",
+    "q15_top_supplier",
+    "q22_dormant_customers",
     "join_bloom_pruned",
     "table_profile_lineitem",
     "dq_referential_audit",

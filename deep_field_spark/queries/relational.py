@@ -1900,3 +1900,114 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(clause).agg(
         F.round(F.sum(rev.cast("decimal(28,9)")), 2).cast("double").alias("revenue")
     )
+
+
+# --------------------------------------------------------------- Q15
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             round(sum(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(28,9))), 2) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1),
+    mx AS (SELECT max(total_rev) AS m FROM rev)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_rev AS DOUBLE) AS total_rev
+    FROM rev r JOIN mx ON r.total_rev = mx.m
+    JOIN supplier s ON s.s_suppkey = r.suppkey
+    """,
+    doc="TPC-H Q15 shape (top supplier): the revenue 'view' is one "
+        "grouped aggregate, its max is a 1-row scalar that broadcasts "
+        "back, and the equality join returns ALL argmax suppliers "
+        "(ties included — the LIMIT 1 shortcut is wrong under ties). "
+        "Revenue is an exact DECIMAL so the max-equality join cannot "
+        "be split by float noise; supplier is a broadcast dim.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(28,9)"
+                    )
+                ),
+                2,
+            ).alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("m"))
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == F.col("m"))
+        .join(F.broadcast(supp), F.col("suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev")
+        )
+    )
+
+
+# --------------------------------------------------------------- Q22
+@register(
+    "q22_dormant_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT c_custkey, c_nationkey, c_acctbal
+      FROM customer WHERE c_acctbal > 0.0),
+    thr AS (SELECT avg(c_acctbal) AS a FROM pos),
+    rich AS (
+      SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+      FROM customer c, thr
+      WHERE c.c_acctbal > thr.a
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS totacctbal
+    FROM rich GROUP BY 1
+    """,
+    doc="TPC-H Q22 shape (global sales opportunity): customers with "
+        "above-average positive balance and no RECENT orders (the "
+        "every-customer-has-some-order testdata would make the bare "
+        "NOT EXISTS vacuously empty). Three pieces "
+        "the optimizer must get right: the avg is a 1-row scalar "
+        "subquery (broadcast, not recomputed per row), the NOT EXISTS "
+        "is a LEFT ANTI join against orders (never a per-row probe), "
+        "and the final rollup groups the anti-join survivors. "
+        "(Schema carries no phone — nationkey stands in for the "
+        "country-code grouping; identical plan shape.)",
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    thr = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    )
+    return rich.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double"), 2
+        ).alias("totacctbal"),
+    )

@@ -778,3 +778,21 @@ def test_q19_or_clauses_push_implied_filters(spark, sf_dir):
     assert "Brand#12" in scan  # the brand disjunction reached a scan
     li_scans = [s for s in plan.split("PushedFilters: ")[1:] if "l_quantity" in s.split("]")[0]]
     assert li_scans, "quantity bound did not reach the lineitem scan"
+
+
+def test_q15_argmax_join_is_exact_decimal(spark, sf_dir):
+    """Q15: the max-revenue equality join must be on the DECIMAL
+    aggregate (float noise would split argmax ties); supplier side
+    broadcasts; no nested loop beyond the 1-row max broadcast."""
+    plan = _plan(spark, sf_dir, "q15_top_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q22_anti_join_and_scalar_threshold(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q22_dormant_customers")
+    assert "LeftAnti" in plan
+    # the avg threshold is a 1-row broadcast Cross, never per-row
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert ", Cross" in line, line
