@@ -80,6 +80,7 @@ HEADLINE = [
     "curation_dedup_report",
     "dedup_minhash_lsh",
     "dedup_minhash_recall_report",
+    "dedup_threshold_sweep",
     "dedup_containment",
     # dedup_tfidf_allpairs is EXCLUDED: the synthetic template corpus
     # is the adversarial case for similarity pruning — nearly every

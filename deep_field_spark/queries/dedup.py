@@ -1421,3 +1421,81 @@ def dedup_minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("precision"),
     )
+
+
+# --------------------------------------------- dedup threshold sweep
+SWEEP_THRESHOLDS = (0.3, 0.5, 0.7, 0.9)
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH {_MINHASH_CAND_CTE},
+    verified AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa, sb))) AS j
+      FROM cand),
+    th AS (SELECT CAST(unnest([{", ".join(str(t) for t in SWEEP_THRESHOLDS)}])
+             AS DOUBLE) AS threshold),
+    hit AS (SELECT t.threshold, v.id_a, v.id_b
+            FROM verified v JOIN th t ON v.j >= t.threshold),
+    pairs AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+              FROM hit GROUP BY 1),
+    docs AS (SELECT threshold,
+                    CAST(count(DISTINCT did) AS BIGINT) AS n_docs_flagged
+             FROM (SELECT threshold, id_a AS did FROM hit
+                   UNION ALL SELECT threshold, id_b FROM hit)
+             GROUP BY 1)
+    SELECT t.threshold,
+           coalesce(p.n_pairs, 0) AS n_pairs,
+           coalesce(d.n_docs_flagged, 0) AS n_docs_flagged
+    FROM th t
+    LEFT JOIN pairs p USING (threshold)
+    LEFT JOIN docs d USING (threshold)
+    """,
+    doc="Dedup threshold-sensitivity sweep: from ONE MinHash candidate "
+        "pass, the exact-Jaccard-verified pair count and flagged-doc "
+        "count at each candidate threshold — the knob chart that "
+        "decides how aggressive dedup should be before committing a "
+        "setting at 100 TB (run the sweep on a sample, pick theta, "
+        "then run the single-threshold pass on the corpus). One "
+        "verify computation fans out to all thresholds via a "
+        "broadcast threshold table; no per-threshold recompute.",
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    pairs = D.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        ngram=NGRAM,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        threshold=0.0,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    th = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in SWEEP_THRESHOLDS])).alias(
+            "threshold"
+        )
+    )
+    hit = pairs.join(
+        F.broadcast(th), F.col("jaccard") >= F.col("threshold")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    np = hit.groupBy("threshold").agg(F.count("*").alias("n_pairs"))
+    nd = (
+        hit.select("threshold", F.col("id_a").alias("did"))
+        .unionByName(hit.select("threshold", F.col("id_b").alias("did")))
+        .groupBy("threshold")
+        .agg(F.countDistinct("did").alias("n_docs_flagged"))
+    )
+    return (
+        th.join(np, "threshold", "left_outer")
+        .join(nd, "threshold", "left_outer")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_docs_flagged", F.lit(0)).alias("n_docs_flagged"),
+        )
+    )
