@@ -47,6 +47,7 @@ HEADLINE = [
     "dq_referential_audit",
     "incr_agg_refresh",
     "table_snapshot_diff",
+    "dq_key_skew_profile",
     "scan_filter_project",
     "join_inner_dim",
     "join_semi",

@@ -2011,3 +2011,77 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double"), 2
         ).alias("totacctbal"),
     )
+
+
+# ------------------------------------------------- join-key skew audit
+SKEW_TOP = 5
+
+
+@register(
+    "dq_key_skew_profile",
+    oracle=f"""
+    WITH f AS (SELECT event_type AS key_value,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(max(n) AS BIGINT) AS max_n,
+             round(CAST(sum(n) AS DOUBLE) / count(*), 4) AS mean_n
+      FROM f),
+    top AS (SELECT key_value, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, key_value)
+                        AS INT) AS rk
+            FROM f)
+    SELECT t.rk, t.key_value, t.n,
+           round(CAST(t.n AS DOUBLE) / s.n_rows, 6) AS frac_of_rows,
+           round(CAST(t.n AS DOUBLE) / s.mean_n, 4) AS skew_factor,
+           s.n_keys, s.n_rows
+    FROM top t CROSS JOIN stats s
+    WHERE t.rk <= {SKEW_TOP}
+    """,
+    doc=f"Join-key skew audit — the pre-flight check before shuffling "
+        "on a key: per-key counts (one partial/final agg), the "
+        f"top-{SKEW_TOP} heaviest keys with their row fraction and "
+        "skew factor (count / mean-count). A skew_factor >> number "
+        "of partitions means the biggest reducer is the job: salt "
+        "that key (join_skew_salted) or let AQE split it. The "
+        "top-k rides TakeOrderedAndProject over the per-key "
+        "aggregate; the stats row broadcasts. events.event_type is "
+        "the resident degenerate key (5 values).",
+)
+def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("key_value"))
+        .agg(F.count("*").alias("n"))
+    )
+    stats = f.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        F.round(F.sum("n").cast("double") / F.count("*"), 4).alias("mean_n"),
+    )
+    top = (
+        f.orderBy(F.col("n").desc(), "key_value")
+        .limit(SKEW_TOP)
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), "key_value"))
+            .cast("int"),
+        )
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "rk",
+        "key_value",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_rows"), 6).alias(
+            "frac_of_rows"
+        ),
+        F.round(F.col("n").cast("double") / F.col("mean_n"), 4).alias(
+            "skew_factor"
+        ),
+        "n_keys",
+        "n_rows",
+    )

@@ -40,6 +40,9 @@ _GLOBAL_WINDOW_OK: set[str] = {
     # (|sources| rows by construction, curation.py quota CTE), never
     # the document table
     "corpus_stratified_quota",
+    # the rank runs over the ≤ SKEW_TOP rows a TakeOrderedAndProject
+    # already reduced to (relational.py skew audit), never the key table
+    "dq_key_skew_profile",
 }
 
 # the declared quadratic correctness baseline is the only legal
