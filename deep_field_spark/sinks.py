@@ -69,6 +69,24 @@ def write_partitioned(
     )
 
 
+
+def morton_column(ranks, bits: int):
+    """Bit-interleave k integer rank columns into one Morton value:
+    bit j of column i lands at position j*k + i (LSB-first). Pure
+    column expressions — stays inside whole-stage codegen. Bijective
+    for ranks in [0, 2^bits): tests/test_zorder.py checks the
+    round-trip against an independent Python reference."""
+    from pyspark.sql import functions as F
+
+    k = len(ranks)
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, r in enumerate(ranks):
+            bit = F.shiftright(r, j).bitwiseAND(F.lit(1)).cast("long")
+            z = z.bitwiseOR(F.shiftleft(bit, j * k + i))
+    return z
+
+
 def write_zorder(
     df: DataFrame,
     path: str,
@@ -126,14 +144,7 @@ def write_zorder(
         ranks.append(
             F.least(F.lit(scale), F.floor(num / den * scale).cast("int"))
         )
-    # Morton interleave: bit j of column i lands at position
-    # j * k + i (LSB-first), k = number of clustered columns
-    k = len(zorder_cols)
-    z = F.lit(0).cast("long")
-    for j in range(bits):
-        for i, r in enumerate(ranks):
-            bit = F.shiftright(r, j).bitwiseAND(F.lit(1)).cast("long")
-            z = z.bitwiseOR(F.shiftleft(bit, j * k + i))
+    z = morton_column(ranks, bits)
     out = (
         out.withColumn("_z", z)
         .drop(*[f"_mn_{c}" for c in zorder_cols], *[f"_mx_{c}" for c in zorder_cols])

@@ -114,3 +114,46 @@ def test_zorder_2d_box_prunes(layouts):
     _, _, zpath, _, bounds = layouts
     box = {c: _slab(bounds, c) for c in COLS}
     assert _files_overlapping(zpath, box) < 8
+
+
+def _morton_ref(vals: tuple[int, ...], bits: int) -> int:
+    z = 0
+    k = len(vals)
+    for j in range(bits):
+        for i, v in enumerate(vals):
+            z |= ((v >> j) & 1) << (j * k + i)
+    return z
+
+
+def test_morton_column_matches_reference_and_is_bijective(spark):
+    """The column-expression interleave must agree with an independent
+    Python reference on the FULL 2-D 4-bit grid, and be a bijection
+    (256 distinct z values for 256 distinct rank pairs)."""
+    from pyspark.sql import functions as F
+
+    from deep_field_spark.sinks import morton_column
+
+    grid = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(grid, ["x", "y"])
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", morton_column([F.col("x"), F.col("y")], 4).alias("z")
+        ).collect()
+    }
+    assert len(set(got.values())) == 256
+    for (x, y), z in got.items():
+        assert z == _morton_ref((x, y), 4), (x, y, z)
+
+
+def test_morton_three_columns_round_trip(spark):
+    from pyspark.sql import functions as F
+
+    from deep_field_spark.sinks import morton_column
+
+    grid = [(a, b, c) for a in range(8) for b in range(8) for c in range(8)]
+    df = spark.createDataFrame(grid, ["a", "b", "c"])
+    cols = [F.col("a"), F.col("b"), F.col("c")]
+    zs = [r.z for r in df.select(morton_column(cols, 3).alias("z")).collect()]
+    assert len(set(zs)) == len(grid)
+    assert max(zs) < (1 << 9)
