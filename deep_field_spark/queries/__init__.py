@@ -59,10 +59,16 @@ _LOADED = False
 # truncation costs the least new information. Names not listed keep
 # their import order after the listed ones.
 _PRIORITY = [
-    # flagship parity (fast, always green — identity card)
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    # reference-core appearance-window semantics, oracle-checkable form
-    "appearance_windows_events",
+    # (q1/q3/q5 flagship parity rotated below after green rows in ALL
+    # FIVE rounds r01-r05 — the single most over-evidenced queries in
+    # the registry; q1 also runs in every bench and every pytest.
+    # Their three slots fund first driver evidence for the round-6
+    # tpch plan-shape wave below)
+    # (appearance_windows_events rotated below after green r03/r04/r05
+    # rows — the reference-core semantics stay in-window through their
+    # strict superset scrape_core_resolved_plays, which oracle-checks
+    # the same W2-W4 windows over the real parsed fixtures; its slot
+    # funds the round-6 Bloom-pruned join)
     # round-5: the scrape core's OWN semantics (W1-W4 + J1/J2/J5 over
     # the parsed fixture literals) now oracle-checked — first driver
     # evidence for the reference's hardest logic beyond local goldens
@@ -86,8 +92,13 @@ _PRIORITY = [
     # rows — its oracle is shared with the batch twin, and four
     # streaming rows stay in-window; its slot funds the round-6
     # resample/gap-fill time-series prep)
-    "streaming_session_window", "streaming_stateful_counts",
-    "streaming_stream_join", "events_resample_gapfill",
+    # (streaming_session_window / streaming_stateful_counts /
+    # streaming_stream_join rotated below after green r03/r04/r05 rows
+    # each — the whole streaming surface now has 3+ green rows on file
+    # per query and is re-verified locally every pytest run; their
+    # three slots fund the round-6 retrieval-eval pair and the
+    # snapshot-diff op)
+    "events_resample_gapfill",
     # (streaming_static_enrich rotated below after its green r05 row —
     # three streaming rows stay in-window (session window, stateful
     # counts, stream-stream join) and the static-enrich join shape is
@@ -96,7 +107,10 @@ _PRIORITY = [
     # round-5: SCD Type-2 dimension build from the event stream (the
     # warehouse temporal-dimension op; slot funded by the rotated
     # join_range_events_bucketed)
-    "events_scd2_intervals",
+    # (events_scd2_intervals rotated below after its green r05 row —
+    # interval/window machinery stays in-window via resample_gapfill
+    # and the scrape-core windows; its slot funds the round-6
+    # key-skew data-quality profile)
     # event analytics (events_tumbling/sliding twins demoted: they share
     # oracles with their driver-green streaming_* siblings — a budget
     # slot re-proving the same SQL buys zero new information;
@@ -148,7 +162,10 @@ _PRIORITY = [
     # row — dedup_dup_span_removal COMPOSES those runs into per-doc
     # span accounting, so the anchor-diagonal machinery stays in-window
     # through its strict superset; the slot funds tpch q4's first row.
-    "dedup_dup_span_removal",
+    # (dedup_dup_span_removal itself rotated below after its green r05
+    # row — its slot funds the round-6 MinHash recall calibration,
+    # which hash-checks the banded-LSH recall contract the whole
+    # near-dup family depends on)
     # (join_full_outer rotated below after its green r04 row)
     # similarity / embeddings (quantize_int8: round-3's only hard red,
     # array column now serialized via to_json — needs a green row)
@@ -167,7 +184,12 @@ _PRIORITY = [
     # trained twin ann_ivf_kmeans, a strict superset of the serving
     # shape, stays in-window; the slot funds the round-6 product-
     # quantization codebooks, the next step of the same IVF-PQ story)
-    "embedding_pq_codes", "embedding_quantize_int8",
+    # (embedding_quantize_int8 rotated below after green r04/r05 rows
+    # — int8 quantization machinery stays in-window through
+    # embedding_pq_codes, the strictly harder member of the same
+    # compression family; its slot funds the round-6 tfidf all-pairs
+    # similarity, the dense-corpus adversarial case)
+    "embedding_pq_codes",
     # round-5: trained-cells IVF (distributed Lloyd's) + SemDeDup-style
     # per-cell semantic prune — the LLM-curation capability the round-4
     # verdict ranked top-missing
@@ -176,7 +198,11 @@ _PRIORITY = [
     # top-k ⋈ multiprobe top-k per query), and the top-principal-
     # direction spectral diagnostic (fixed power iterations,
     # DECIMAL-exact Gram sums)
-    "ann_recall_report", "embedding_power_iteration",
+    # (embedding_power_iteration rotated below after its green r05 row
+    # — single-purpose spectral diagnostic; its DECIMAL-exact Gram-sum
+    # machinery is shared with the in-window ann_ivf_kmeans trainer.
+    # Its slot funds the round-6 layered decontamination report)
+    "ann_recall_report",
     # multimodal (feature_extract demoted: stub decode → no_oracle row;
     # resize rotated below after its green r03 row;
     # multimodal_binary_meta rotated below after green r03+r04 —
@@ -195,7 +221,9 @@ _PRIORITY = [
     # multimodal_decode_real, which exercises the same mapInArrow
     # surface plus a hash-checked codec-free decode, keeps multimodal
     # in-window; its slot funds the lineitem column-profiling op)
-    "cogrouped_map_asof",
+    # (cogrouped_map_asof rotated below after green r04/r05 rows — the
+    # pandas cogrouped-map surface has two green rows on file; its
+    # slot funds tpch q7's first driver row)
     # (curation_source_profile and text_unigram_logprob rotated below
     # after green r04 rows — their round-5 slots fund the 4 additions)
     # round-4 reworks needing fresh driver evidence: approx_distinct now
@@ -207,20 +235,25 @@ _PRIORITY = [
     # the round-5 mixture planner)
     # (corpus_pack_sequences rotated below after its re-keyed green
     # r04 row — its slot funds the round-5 length-bucketed batching)
-    "approx_distinct",
+    # (approx_distinct rotated below after green r04/r05 rows — its
+    # slot funds tpch q10's first driver row)
     # (corpus_group_sample rotated below after green r02/r04/r05 rows —
     # sampling stays in-window via corpus_shuffle_assign and
     # corpus_mixture_plan; its slot funds the round-6 embedding-space
     # decontamination, the paraphrase case n-gram decontam misses)
     "decontam_embedding",
-    # round-4 additions needing first driver evidence (the slots come
-    # from the four rotated-out r03-green twins above)
-    "corpus_shuffle_assign", "decontam_exact_substring",
-    "curation_boilerplate_ngrams", "text_token_entropy",
+    # (corpus_shuffle_assign, decontam_exact_substring,
+    # curation_boilerplate_ngrams and text_token_entropy rotated below
+    # after green r04/r05 rows each — their four slots fund tpch
+    # q17/q19/q15/q22, completing the round-6 plan-shape wave's
+    # driver evidence)
     # round-5: learned-quality-classifier inference (scan-speed
     # logistic over the quality signals, literal weights)
     "curation_quality_classifier",
-    "text_bigram_logprob",
+    # (text_bigram_logprob rotated below after green r04/r05 rows —
+    # LM scoring stays in-window via the perplexity-bucket composition
+    # below, which consumes the same bigram model; its slot funds
+    # that corpus_perplexity_buckets query's first driver row)
     # round-3 additions, green r03 (+ tfidf, oracle-bearing, fills the
     # 50th slot so no no-oracle row sits inside the budget window)
     # (text_chunk_overlap rotated below after green r03/r04/r05 rows —
@@ -252,9 +285,10 @@ _PRIORITY = [
     # decimal-exact arithmetic + bounded windows) is proven across the
     # in-window curation set; their four slots fund tpch q18/q21, the
     # incremental-aggregate refresh and the per-doc novelty profile)
-    # round-5: 2-pass Misra-Gries heavy hitters (exact above N/k, no
-    # long-tail groupBy; MG superset guarantee hypothesis-tested)
-    "text_heavy_hitters",
+    # (text_heavy_hitters rotated below after its green r05 row — the
+    # Misra-Gries superset guarantee is hypothesis-tested locally and
+    # the frequency family stays in-window via text_countmin_freq; its
+    # slot funds the round-6 vocab-coverage audit)
     # round-6 additions needing first driver evidence:
     # - unpivot_part_metrics: the only oracle-bearing query that has
     #   never had a driver row (landed late in r5 outside the window)
@@ -277,6 +311,28 @@ _PRIORITY = [
     "q4_order_priority", "q14_promo_revenue", "q18_large_volume_customer",
     "q21_waiting_supplier", "table_profile_lineitem",
     "dq_referential_audit", "incr_agg_refresh", "corpus_novelty_profile",
+    # round-6 late additions needing first driver evidence (19 slots
+    # funded by the rotations annotated above — every oracle-bearing
+    # query in the registry now either has a driver-green row on file
+    # or sits inside this window):
+    # - the remaining tpch plan shapes (bloom-pruned join variant,
+    #   q13 outer-join distribution, q7 volume shipping, q10 returned
+    #   items, q17 small-quantity avg-correlated scan, q19 disjunctive
+    #   pushdown, q15 top-supplier view, q22 dormant customers)
+    "join_bloom_pruned", "q13_customer_distribution", "q7_volume_shipping",
+    "q10_returned_items", "q17_small_quantity", "q19_disjunctive_predicates",
+    "q15_top_supplier", "q22_dormant_customers",
+    # - warehouse ops: partition-level snapshot diff, join-key skew
+    #   audit
+    "table_snapshot_diff", "dq_key_skew_profile",
+    # - LLM-pipeline round-6 wave: perplexity buckets, vocab coverage,
+    #   stratified quotas, RRF hybrid retrieval + nDCG/MRR eval,
+    #   prefix-filtered tfidf all-pairs, layered decontam report,
+    #   MinHash recall calibration, dedup threshold sweep
+    "corpus_perplexity_buckets", "text_vocab_coverage",
+    "corpus_stratified_quota", "retrieval_rrf_fusion", "retrieval_eval_ndcg",
+    "dedup_tfidf_allpairs", "decontam_union_report",
+    "dedup_minhash_recall_report", "dedup_threshold_sweep",
     # no-oracle scrape fixtures (golden/diff-sim-gated locally; driver
     # rows are permanently "no_oracle" — moved below the oracle-bearing
     # set so they stop eating top-50 budget slots)
