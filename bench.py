@@ -31,6 +31,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q8_market_share",
     "q18_large_volume_customer",
     "q4_order_priority",
     "q14_promo_revenue",

@@ -2013,6 +2013,149 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- Q6
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+                          AS DECIMAL(28,9))), 2) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (forecasting revenue change): a pure "
+        "scan-filter-aggregate with NO join — the canonical pushdown "
+        "benchmark. All three predicates (shipdate range, discount "
+        "band, quantity cap) reach the parquet scan as PushedFilters; "
+        "the plan is a single WholeStageCodegen span ending in one "
+        "scalar partial+final aggregate, zero shuffles beyond the "
+        "1-row exchange. Revenue summed as DECIMAL(28,9) so partial "
+        "aggregation order cannot move the hash.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(28,9)")),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------- Q8
+Q8_REGION = "EUROPE"
+Q8_TYPE = "ECONOMY"
+Q8_NATION = "NATION_9"
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    WITH all_nations AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(28,9)) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = '{Q8_REGION}' AND p.p_type = '{Q8_TYPE}'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01')
+    SELECT o_year,
+           CAST(round(sum(CASE WHEN supp_nation = '{Q8_NATION}'
+                               THEN volume ELSE CAST(0 AS DECIMAL(28,9)) END),
+                      2) AS DOUBLE) AS nation_volume,
+           CAST(round(sum(volume), 2) AS DOUBLE) AS total_volume,
+           round(CAST(round(sum(CASE WHEN supp_nation = '{Q8_NATION}'
+                                      THEN volume
+                                      ELSE CAST(0 AS DECIMAL(28,9)) END),
+                            2) AS DOUBLE)
+                 / CAST(round(sum(volume), 2) AS DOUBLE), 6) AS mkt_share
+    FROM all_nations GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape (national market share): one supplier nation's "
+        "share of revenue for one part type sold into one region, per "
+        "order year — the widest join in the suite (7 tables: lineitem "
+        "⋈ part ⋈ supplier ⋈ orders ⋈ customer ⋈ nation×2 ⋈ region). "
+        "part is filtered to one type BEFORE the fact join (the most "
+        "selective probe) and broadcast; both nation dims and region "
+        "broadcast; the orderdate range reaches the orders scan. The "
+        "share is a conditional-aggregate ratio — one pass, no "
+        "self-join — with both sums DECIMAL(28,9)-exact and rounded "
+        "before the division so the quotient bits match any engine.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == Q8_TYPE)
+        .select("p_partkey")
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+    n1 = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("n1_key"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,9)"
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"), "left_semi")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(28,9)")
+    nat_vol = F.round(
+        F.sum(
+            F.when(F.col("supp_nation") == Q8_NATION, F.col("volume")).otherwise(zero)
+        ),
+        2,
+    ).cast("double")
+    tot_vol = F.round(F.sum("volume"), 2).cast("double")
+    return j.groupBy("o_year").agg(
+        nat_vol.alias("nation_volume"),
+        tot_vol.alias("total_volume"),
+        F.round(nat_vol / tot_vol, 6).alias("mkt_share"),
+    )
+
+
 # ------------------------------------------------- join-key skew audit
 SKEW_TOP = 5
 

@@ -796,3 +796,32 @@ def test_q22_anti_join_and_scalar_threshold(spark, sf_dir):
     for line in plan.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert ", Cross" in line, line
+
+def test_q6_pure_pushdown_scan_agg(spark, sf_dir):
+    """Q6 is the canonical pushdown probe: every predicate reaches the
+    parquet scan, the plan has no join, and the only exchange is the
+    1-row partial->final aggregate."""
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    scans = plan.split("PushedFilters: ")[1:]
+    assert scans, "no pushed filters at all"
+    # executedPlan().toString() truncates long filter lists — assert on
+    # the prefix that survives truncation (all three columns appear in
+    # the leading IsNotNull trio, proving they reached the scan).
+    pushed = scans[0].split("]")[0]
+    assert "IsNotNull(l_shipdate)" in pushed
+    assert "IsNotNull(l_discount)" in pushed
+    assert "IsNotNull(l_quantity)" in pushed
+    assert plan.count("Exchange") == 1  # single-partition final agg only
+
+
+def test_q8_widest_join_all_dims_broadcast(spark, sf_dir):
+    """Q8's 7-table join: the one-type part probe, supplier, customer
+    and both nation roles all broadcast — only the lineitem<->orders
+    fact-fact join may shuffle; no cartesian anywhere; the type filter
+    reaches the part scan."""
+    plan = _plan(spark, sf_dir, "q8_market_share")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "EqualTo(p_type,ECONOMY)" in plan
