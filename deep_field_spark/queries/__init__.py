@@ -193,7 +193,12 @@ _PRIORITY = [
     # round-5: trained-cells IVF (distributed Lloyd's) + SemDeDup-style
     # per-cell semantic prune — the LLM-curation capability the round-4
     # verdict ranked top-missing
-    "ann_ivf_kmeans", "dedup_semantic",
+    # (ann_ivf_kmeans rotated below after its green r05 row — the code
+    # is byte-unchanged since that row, its Lloyd's-loop machinery is
+    # locally oracle-checked every pytest run, and the serving shape
+    # stays in-window via ann_recall_report + embedding_pq_codes; its
+    # slot funds tpch q6's first driver row)
+    "dedup_semantic",
     # round-5: the ANN recall contract itself, hash-checked (brute-force
     # top-k ⋈ multiprobe top-k per query), and the top-principal-
     # direction spectral diagnostic (fixed power iterations,
@@ -274,7 +279,10 @@ _PRIORITY = [
     # train loop, whose oracle replays every merge the apply pass
     # consumes, is the strictly harder member and stays in-window;
     # its slot funds tpch q14's first row)
-    "text_bpe_train",
+    # (text_bpe_train itself rotated below after its green r05 row —
+    # byte-unchanged since, and the merge-loop oracle discipline is
+    # re-proven locally every pytest run; its slot funds tpch q8's
+    # first driver row)
     # round-5: cross-split leakage audit (train grams ⋈ test gram set
     # — the held-out contamination check; slot funded by the rotated
     # streaming_dedup_watermark)
@@ -322,6 +330,10 @@ _PRIORITY = [
     "join_bloom_pruned", "q13_customer_distribution", "q7_volume_shipping",
     "q10_returned_items", "q17_small_quantity", "q19_disjunctive_predicates",
     "q15_top_supplier", "q22_dormant_customers",
+    # - q6 pure-pushdown forecast-revenue aggregate and q8 7-table
+    #   market share (slots funded by the ann_ivf_kmeans and
+    #   text_bpe_train rotations above)
+    "q6_forecast_revenue", "q8_market_share",
     # - warehouse ops: partition-level snapshot diff, join-key skew
     #   audit
     "table_snapshot_diff", "dq_key_skew_profile",
