@@ -6,12 +6,24 @@ Parity map (SURVEY.md §2): the reference has point-lookup joins
 (J1-J5), existence anti-joins (P9/J3), window sequencing (W1-W4) and
 scalar transforms (F1-F15); the general relational operators are its
 (parity) surface. Each query here is the Spark-idiomatic form —
-declarative DataFrame/SQL, broadcast hints for dims, unique tie-breaks
-on every window order.
+declarative DataFrame/SQL, unique tie-breaks on every window order.
 
-Scale notes are inline per query; the common rules: dims broadcast,
-fact-fact joins shuffle on join keys only after filters (pushdown),
-aggregates rely on partial aggregation, top-k is TakeOrderedAndProject.
+Broadcast-hint policy (the round-6 scale lesson, mirroring
+scraping/pipeline.py resolve_plays): `F.broadcast` is reserved for
+relations whose size is BOUNDED regardless of scale factor — nation
+(25 rows), region (5), 1-row scalar aggregates, and filtered bit/stat
+sets. customer / supplier / part grow linearly with SF (multi-hundred-
+GB at the 100 TB target), so they carry NO hint: a forced hint
+overrides AQE's size decision and the plan OOMs instead of degrading
+to shuffle. At test scale AQE/the 64 MB size threshold still picks
+broadcast for them on its own (plan-pinned in tests/test_plans.py);
+at cluster scale the same code flips to shuffle-hash gracefully.
+tests/test_registry_invariants.py lints this file for hint regressions.
+
+Scale notes are inline per query; the common rules: bounded dims
+broadcast, fact-fact joins shuffle on join keys only after filters
+(pushdown), aggregates rely on partial aggregation, top-k is
+TakeOrderedAndProject.
 """
 
 from __future__ import annotations
@@ -107,8 +119,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, l_orderkey
     LIMIT 10
     """,
-    doc="TPC-H Q3: selective dim filter → broadcast customer into orders, "
-        "shuffle join to lineitem on orderkey, top-10 via TakeOrdered.",
+    doc="TPC-H Q3: selective dim filter on customer (size-based broadcast "
+        "at test scale, shuffle-hash at SF where it outgrows the threshold "
+        "— no forced hint), shuffle join to lineitem on orderkey, top-10 "
+        "via TakeOrdered.",
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -120,7 +134,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -159,9 +173,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = table(spark, sf_dir, "region")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -208,15 +222,17 @@ def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                 JOIN nation   ON c_nationkey = n_nationkey
     WHERE o_orderstatus = 'P'
     """,
-    doc="Broadcast hash join chain orders→customer→nation (dims stay "
-        "under the broadcast threshold at any realistic scale).",
+    doc="Hash join chain orders→customer→nation. nation (25 rows) is "
+        "hint-broadcast; customer grows with SF so its join strategy is "
+        "left to AQE's size decision (broadcast at test scale, shuffle "
+        "at 100 TB).",
 )
 def join_inner_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
     cust = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .select("o_orderkey", "o_totalprice", "c_name", "n_name")
     )
@@ -1169,15 +1185,19 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(_r2(F.sum("l_quantity")).alias("sum_qty"))
+        # order by the UNROUNDED o_totalprice — the oracle's qualified
+        # ORDER BY o.o_totalprice sorts the raw column, and rounding
+        # before the cutoff could flip top-100 ties if totalprice ever
+        # carried >2 decimals; round only in the final projection
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
             _r2(F.col("o_totalprice")).alias("o_totalprice"), "sum_qty",
         )
-        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
-        .limit(100)
     )
 
 
@@ -1246,7 +1266,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
         .agg(
             F.round(
@@ -1316,7 +1336,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        cand.join(F.broadcast(supp), cand.l_suppkey == supp.s_suppkey)
+        cand.join(supp, cand.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -1543,7 +1563,7 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return (
         pruned.drop("bits")
-        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .join(dim, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
@@ -1726,9 +1746,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     j = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
@@ -1784,7 +1804,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     g = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -1836,7 +1856,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pavg = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("aq"))
     j = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(pavg.select(F.col("l_partkey").alias("_pk"), "aq"),
               F.col("l_partkey") == F.col("_pk"))
         .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
@@ -1878,7 +1898,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
     )
     part = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     clause = (
         (
             (F.col("p_brand") == "Brand#12")
@@ -1949,7 +1969,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         rev.join(F.broadcast(mx), rev.total_rev == F.col("m"))
-        .join(F.broadcast(supp), F.col("suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev")
         )
@@ -2129,10 +2149,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(28,9)"
     )
     j = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"), "left_semi")
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .select(
