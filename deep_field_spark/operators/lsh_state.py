@@ -45,15 +45,30 @@ def _tables(name: str) -> tuple[str, str]:
     return f"{name}_bands", f"{name}_shingles"
 
 
-def _location(table: str) -> str:
-    """External data location for a state table: an explicit path
-    under the system temp dir, NOT the session's warehouse directory —
-    the warehouse defaults to ./spark-warehouse of whatever CWD built
-    the session, which an externally-driven session may not own. The
-    catalog still carries the bucket metadata; only the bytes move."""
+ROOT_CONF = "spark.deepfield.lshStateRoot"
+
+
+def _location(spark: SparkSession, table: str) -> str:
+    """External data location for a state table.
+
+    Root resolution: the ``spark.deepfield.lshStateRoot`` conf if set
+    (a production deployment points it at durable shared storage so
+    ``attach`` finds yesterday's state from a fresh session), else a
+    temp-dir path scoped by the Spark application id — two concurrent
+    sessions on the same host (parallel benches over the same sf_dir)
+    must NOT share a default root, or one session's ``build`` rmtree
+    deletes the other's live state mid-query. Not the session's
+    warehouse directory: that defaults to ./spark-warehouse of whatever
+    CWD built the session, which an externally-driven session may not
+    own. The catalog still carries the bucket metadata; only the bytes
+    move."""
     import tempfile
 
-    return f"{tempfile.gettempdir()}/dfs_lsh_state/{table.lower()}"
+    root = spark.conf.get(ROOT_CONF, None)
+    if root is None:
+        app_id = spark.sparkContext.applicationId
+        root = f"{tempfile.gettempdir()}/dfs_lsh_state/{app_id}"
+    return f"{root}/{table.lower()}"
 
 
 def _banded_from_shingles(
@@ -91,17 +106,17 @@ def build(
     t_bands, t_shingles = _tables(name)
     for t in (t_bands, t_shingles):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(_location(t), ignore_errors=True)
+        shutil.rmtree(_location(spark, t), ignore_errors=True)
     # tokenize+shingle ONCE: the persisted frame feeds both state
     # writes (bands derive from it too), so the corpus text is read a
     # single time per build
     sh = D.shingled(docs, text_col, id_col, ngram).persist()
     sinks.write_bucketed(
-        sh, t_shingles, [id_col], num_buckets, path=_location(t_shingles)
+        sh, t_shingles, [id_col], num_buckets, path=_location(spark, t_shingles)
     )
     banded = _banded_from_shingles(sh, id_col, num_hashes, bands)
     sinks.write_bucketed(
-        banded, t_bands, ["band", "key"], num_buckets, path=_location(t_bands)
+        banded, t_bands, ["band", "key"], num_buckets, path=_location(spark, t_bands)
     )
     sh.unpersist()
 
@@ -111,7 +126,7 @@ def drop(spark: SparkSession, name: str) -> None:
 
     for t in _tables(name):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(_location(t), ignore_errors=True)
+        shutil.rmtree(_location(spark, t), ignore_errors=True)
 
 
 def attach(
@@ -138,12 +153,12 @@ def attach(
     for t, cols in specs.items():
         if spark.catalog.tableExists(t):
             continue
-        schema = spark.read.parquet(_location(t)).schema
+        schema = spark.read.parquet(_location(spark, t)).schema
         cols_sql = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
         spark.sql(
             f"CREATE TABLE {t} ({cols_sql}) USING parquet "
             f"CLUSTERED BY ({', '.join(cols)}) INTO {num_buckets} BUCKETS "
-            f"LOCATION '{_location(t)}'"
+            f"LOCATION '{_location(spark, t)}'"
         )
 
 
@@ -160,6 +175,7 @@ def ingest(
     threshold: float,
     append: bool = True,
     num_buckets: int = STATE_BUCKETS,
+    on_report=None,
 ) -> DataFrame:
     """Dedup a batch against the persisted state; optionally absorb it.
 
@@ -170,6 +186,13 @@ def ingest(
     Docs already absorbed into the state are excluded entirely, which
     makes a replayed ingest exactly-once: candidates are emitted the
     first time a doc is seen and never again.
+
+    ``on_report`` (append path only): called with the materialized
+    report BEFORE the state appends run. A caller that persists the
+    report durably here cannot lose it to a crash between the state
+    mutation and its own write — the absorb-then-report ordering is
+    the window where dedup evidence silently vanishes (see
+    foreach_batch_ingest).
     """
     t_bands, t_shingles = _tables(name)
     state_bands = spark.table(t_bands)
@@ -227,6 +250,15 @@ def ingest(
         # the report must be computed OFF the pre-append state; sever
         # lineage before mutating the tables it reads
         report = report.localCheckpoint(eager=True)
+        if on_report is not None:
+            on_report(report)
+        # append order matters for crash-safety: bands FIRST, shingles
+        # second. The known-ids anti-join reads the SHINGLE table, so a
+        # crash between the two appends replays the whole batch (docs
+        # not yet in shingles) and the band rows merely duplicate —
+        # benign, the candidate join is .distinct() on id pairs. The
+        # reverse order would leave docs known-but-bandless: absorbed,
+        # never again findable as dup sources. Permanent recall loss.
         new_banded.write.mode("append").format("parquet").bucketBy(
             num_buckets, "band", "key"
         ).saveAsTable(t_bands)
@@ -252,21 +284,39 @@ def foreach_batch_ingest(
     persisted LSH state, and its dedup report lands in
     ``{report_path}/batch_id={id}``.
 
-    Exactly-once composes from two idempotencies: a replayed
-    micro-batch's docs are already in the state, so ``ingest``'s
-    anti-join reports them as already-absorbed (empty), and the
-    batch-id-keyed report directory overwrites itself — the same
-    contract as sinks.foreach_batch_idempotent + merge idempotency.
+    Exactly-once, including for the REPORT: the report is written
+    durably BEFORE the batch is absorbed into the state (``ingest``'s
+    ``on_report`` hook), so a crash after the state appends cannot
+    strand an unwritten report. The replay of such a crash sees every
+    batch doc already absorbed → ``ingest`` returns an EMPTY report —
+    which must NOT overwrite the completed report written pre-crash:
+    the empty-replay guard keeps the existing ``_SUCCESS``-committed
+    directory. (Absorb-then-write, the naive order, loses the dedup
+    evidence for the whole batch on exactly that crash.)
     """
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        report = ingest(spark, name, batch_df, **ingest_kwargs)
-        report.write.mode("overwrite").parquet(
-            f"{report_path}/batch_id={batch_id}"
-        )
+        dest = f"{report_path}/batch_id={batch_id}"
+
+        def _write(report: DataFrame) -> None:
+            if report.isEmpty():
+                # every doc already absorbed — a replayed batch. Keep
+                # the original report if one was committed; only a
+                # batch that REALLY had nothing new writes empty.
+                jvm = spark._jvm
+                p = jvm.org.apache.hadoop.fs.Path(f"{dest}/_SUCCESS")
+                fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+                if fs.exists(p):
+                    return
+            report.write.mode("overwrite").parquet(dest)
+
+        report = ingest(spark, name, batch_df, on_report=_write, **ingest_kwargs)
+        if ingest_kwargs.get("append", True) is False:
+            # read-only form: no absorb step exists, write directly
+            _write(report)
 
     return (
         stream_df.writeStream.foreachBatch(_apply)

@@ -1145,6 +1145,16 @@ def curation_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col(f"w{j}") * F.col(f"x{j}") for j in range(1, nf)),
             F.col("w0") * F.col("x0"),
         )
+        # exp() determinism across engines (the ln-vs-log2 lesson
+        # applies to any libm call): JVM Math.exp and DuckDB's libm
+        # exp may differ by 1 ulp on the same double. That drift is
+        # absorbed one line below — every gradient term (e * x_j) is
+        # quantized to DECIMAL(28,9) BEFORE summing, so a 1-ulp
+        # sigmoid wobble (~1e-17 relative) only survives if the
+        # product lands exactly on a 1e-9 rounding boundary, and the
+        # weights themselves are requantized each round so drift
+        # cannot compound across iterations. Keep that cast: it is
+        # the determinism backstop, not a formatting choice.
         e = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y")
         g = scored.agg(
             *[

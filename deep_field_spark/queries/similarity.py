@@ -1219,7 +1219,10 @@ def _eval_oracle() -> str:
                i -> CAST(1.0 AS DOUBLE) / ln(CAST(i AS DOUBLE) + 1.0)),
                'sum') AS idcg
       FROM embeddings q JOIN cls c USING (label)
-      WHERE q.vec_id % {QUERY_MOD} = 0),
+      -- n_label >= 2 mirrors the Spark plan's m >= 1 filter: singleton
+      -- label classes have no relevant docs and are excluded from the
+      -- macro-average (0/0 NaN vs NULL divergence otherwise)
+      WHERE q.vec_id % {QUERY_MOD} = 0 AND c.n_label >= 2),
     scored AS (
       SELECT p.system,
              CAST(p.dcg_dec AS DOUBLE) / i.idcg AS ndcg,
@@ -1315,6 +1318,13 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             F.least(F.col("n_label") - 1, F.lit(EVAL_K)).alias("m"),
         )
+        # a singleton label class has NO relevant docs (m=0): Spark's
+        # F.aggregate over the empty sequence folds to idcg=0.0 and
+        # ndcg=0/0=NaN while DuckDB's list_aggregate yields NULL — the
+        # engines diverge and either poisons the macro-average. Such
+        # queries are unjudgeable by definition; exclude them from the
+        # eval in BOTH engines (oracle mirrors with n_label >= 2).
+        .filter(F.col("m") >= 1)
         .select(
             "qid",
             F.aggregate(

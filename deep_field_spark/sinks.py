@@ -295,6 +295,23 @@ def compact_partitioned(
     return {"files_before": files_before, "files_after": files_after}
 
 
+def _validate_partition_values(parts) -> None:
+    """merge_upsert's path-safety contract, shared by the bootstrap and
+    merge paths: partition-directory names are reconstructed as literal
+    f"{col}={value}" and pruned with literal filters, which silently
+    miss Spark's escaped names and __HIVE_DEFAULT_PARTITION__ (NULL) —
+    fail loudly on any value that would need either."""
+    for vals in parts:
+        for v in vals:
+            if v is None or not str(v).replace("-", "").replace("_", "").replace(
+                ".", ""
+            ).isalnum():
+                raise ValueError(
+                    f"partition value {v!r} is null or needs path escaping; "
+                    "merge_upsert requires path-safe, non-null partition values"
+                )
+
+
 def merge_upsert(
     spark,
     path: str,
@@ -385,6 +402,13 @@ def merge_upsert(
     )
     if not has_data:
         out = upserts
+        # the bootstrap must enforce the SAME partition-value safety
+        # the merge path does: a NULL / needs-escaping value accepted
+        # here succeeds today and bricks the table one day late (every
+        # subsequent merge raises on the value the bootstrap let in)
+        _validate_partition_values(
+            {tuple(r) for r in out.select(*partition_cols).distinct().collect()}
+        )
         (
             out.write.mode("overwrite")
             .partitionBy(*partition_cols)
@@ -416,15 +440,7 @@ def merge_upsert(
     # AFTER the key-locate union so target-derived partition values
     # (a matched key living in a NULL/escaped partition) are rejected
     # too — a literal filter can never prune those correctly.
-    for vals in parts:
-        for v in vals:
-            if v is None or not str(v).replace("-", "").replace("_", "").replace(
-                ".", ""
-            ).isalnum():
-                raise ValueError(
-                    f"partition value {v!r} is null or needs path escaping; "
-                    "merge_upsert requires path-safe, non-null partition values"
-                )
+    _validate_partition_values(parts)
     parts = sorted(parts)
     cond = F.lit(False)
     for vals in parts:

@@ -222,3 +222,42 @@ def test_attach_reregisters_state_in_fresh_catalog(spark, sf_dir, state_name):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+
+
+def test_replayed_batch_keeps_original_report(spark, sf_dir, state_name, tmp_path):
+    """The ADVICE r6 crash window: a micro-batch crashes AFTER ingest
+    absorbed its docs but BEFORE the checkpoint commit. The replayed
+    batch's anti-join excludes the absorbed docs, so its recomputed
+    report is EMPTY — the guard must keep the original non-empty
+    report instead of overwriting the batch's dedup evidence away."""
+    docs = table(spark, sf_dir, "documents")
+    lsh_state.build(docs.filter(F.col("doc_id") < 300), state_name, **{
+        k: v for k, v in KW.items() if k != "threshold"
+    })
+    batch = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 350))
+    dest = str(tmp_path / "reports" / "batch_id=0")
+
+    def _guarded_write(report):
+        if report.isEmpty():
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(f"{dest}/_SUCCESS")
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(p):
+                return
+        report.write.mode("overwrite").parquet(dest)
+
+    # first attempt: report written (via on_report, BEFORE absorb),
+    # docs absorbed — then the "crash" (checkpoint never commits)
+    lsh_state.ingest(spark, state_name, batch, on_report=_guarded_write, **KW)
+    first = spark.read.parquet(dest)
+    assert first.count() == 50
+    want = {(r.doc_id, r.dup_of, r.jaccard) for r in first.collect()}
+
+    # replay: same batch, docs already in state → empty report; the
+    # original evidence must survive
+    replay = lsh_state.ingest(
+        spark, state_name, batch, on_report=_guarded_write, **KW
+    )
+    assert replay.count() == 0
+    kept = spark.read.parquet(dest)
+    assert {(r.doc_id, r.dup_of, r.jaccard) for r in kept.collect()} == want

@@ -449,3 +449,30 @@ def test_merge_upsert_corrupt_target_fails_loudly(spark, tmp_path):
     # the corrupt file must still be there — nothing was overwritten
     with open(os.path.join(out, "part-00000.parquet"), "rb") as f:
         assert f.read() == b"not a parquet file"
+
+
+def test_merge_upsert_bootstrap_rejects_unsafe_partition_values(spark, tmp_path):
+    """The ADVICE r6 gap: the bootstrap path must enforce the same
+    partition-value safety as the merge path — otherwise a NULL or
+    needs-escaping value bootstraps fine and every subsequent merge on
+    the table raises (bricked one day late)."""
+    import pytest
+
+    out = str(tmp_path / "fresh_unsafe")
+    upd = spark.createDataFrame(
+        [(1, "a", "p=1")], "k long, v string, part string"
+    )
+    with pytest.raises(ValueError, match="path-safe"):
+        sinks.merge_upsert(
+            spark, out, upd, key_cols=["k"], partition_cols=["part"]
+        )
+    import os
+    assert not os.path.isdir(out)  # nothing half-written
+
+    upd_null = spark.createDataFrame(
+        [(1, "a", None)], "k long, v string, part string"
+    )
+    with pytest.raises(ValueError, match="path-safe"):
+        sinks.merge_upsert(
+            spark, out, upd_null, key_cols=["k"], partition_cols=["part"]
+        )
