@@ -163,6 +163,50 @@ HEADLINE = [
 ]
 
 
+def _bench_lsh_split(spark, sf_dir: str) -> tuple[float, float, int]:
+    """Time dedup_incremental_minhash's two phases separately (same
+    parameters and filters as the registered query, queries/dedup.py):
+    corpus state build vs batch ingest."""
+    import pyspark.sql.functions as F
+
+    from deep_field_spark.catalog import table
+    from deep_field_spark.operators import lsh_state
+    from deep_field_spark.queries.dedup import (
+        BANDS,
+        INCR_BATCH_MIN_ID,
+        MINHASH_THRESHOLD,
+        NGRAM,
+        NUM_HASHES,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    name = "bench_lsh_split"
+    t0 = time.perf_counter()
+    lsh_state.build(
+        docs.filter(F.col("doc_id") < INCR_BATCH_MIN_ID),
+        name,
+        ngram=NGRAM,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+    )
+    build_dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    report = lsh_state.ingest(
+        spark,
+        name,
+        docs.filter(F.col("doc_id") >= INCR_BATCH_MIN_ID),
+        ngram=NGRAM,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        threshold=MINHASH_THRESHOLD,
+        append=False,
+    )
+    n = report.filter(F.col("dup_of").isNotNull()).count()
+    ingest_dt = time.perf_counter() - t0
+    lsh_state.drop(spark, name)
+    return build_dt, ingest_dt, n
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -186,6 +230,24 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
+        if name == "dedup_incremental_minhash":
+            # split the phases: the hermetic registry query rebuilds the
+            # persisted LSH state per run, but at 100 TB the build is a
+            # one-time (or re-sharding-time) cost amortized across days
+            # while INGEST is the recurring day-2 number. Report both so
+            # the bench is interpretable round-over-round; the query's
+            # own entry stays their sum for comparability.
+            b, i, n = _bench_lsh_split(spark, sf_dir)
+            timings["lsh_state.build"] = round(b, 3)
+            timings["lsh_state.ingest"] = round(i, 3)
+            timings[name] = round(b + i, 3)
+            total += b + i
+            print(
+                f"# {name}: {b + i:.2f}s ({n} rows) "
+                f"[build {b:.2f}s + ingest {i:.2f}s]",
+                file=sys.stderr,
+            )
+            continue
         q = reg[name]
         t0 = time.perf_counter()
         n = q.fn(spark, sf_dir).count()
@@ -216,7 +278,9 @@ def main() -> None:
                 "metric": "headline_suite_wall_sec",
                 "value": round(total, 3),
                 "unit": "sec",
-                "n_queries": len(timings),
+                # len(HEADLINE), not len(timings): the lsh_state.build /
+                # .ingest phase-split rows are informational, not queries
+                "n_queries": len(HEADLINE),
                 "sf": sf_val,
             }
         )
