@@ -1036,21 +1036,87 @@ def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- asymmetric containment -------------------------------------------
 
 CONTAINMENT_THRESHOLD = 0.6
+# planted quote twins: an excerpt (token prefix) of every 100th doc —
+# the tweet-inside-article shape. QUOTE_TOKENS=6 gives the quote ~4
+# shingles vs the article's ~50, so Jaccard ≈ 0.07: far below MinHash
+# band reach (collision prob ≈ 2% at 4 bands × 2 rows), while
+# containment is exactly 1.0 — only the anchor path can reliably
+# catch these.
+QUOTE_MOD = 100
+QUOTE_RESIDUE = 7
+QUOTE_TOKENS = 6
+QUOTE_MIN_TOKENS = 40
+QUOTE_ID_OFFSET = 9_000_000
+# anchor-shingle candidates: each doc's ANCHOR_K smallest-hash
+# shingles (a bottom-K sample of its shingle set) probe a DF-capped
+# inverted index. If C(A→B) >= theta, each anchor of A lands in B with
+# prob >= theta, so the miss probability is <= (1-theta)^K — 2.6% at
+# theta 0.6, K 4 — and a quote whose shingle count <= K is caught with
+# certainty (all its shingles are anchors). The DF cap bounds the
+# candidate fan-out at scale (candidates <= K·N·CAP worst case, ~5·N
+# on this corpus where trigram DF is nearly 1).
+ANCHOR_K = 4
+ANCHOR_DF_CAP = 50
 
 
 @register(
     "dedup_containment",
     oracle=f"""
-    WITH {_MINHASH_CAND_CTE},
-    bidir AS (
-      SELECT id_a AS doc_id, id_b AS other_id, sa AS s_self, sb AS s_other
-      FROM cand
+    WITH alldocs AS (
+      SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT id_b, id_a, sb, sa FROM cand),
-    c AS (SELECT doc_id, other_id,
-                 CAST(len(list_intersect(s_self, s_other)) AS DOUBLE)
-                   / len(s_self) AS containment
-          FROM bidir),
+      SELECT doc_id + {QUOTE_ID_OFFSET} AS doc_id,
+             array_to_string(toks[1:{QUOTE_TOKENS}], ' ') AS text
+      FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)
+      WHERE doc_id % {QUOTE_MOD} = {QUOTE_RESIDUE}
+        AND len(toks) >= {QUOTE_MIN_TOKENS}),
+    t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM alldocs),
+    sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(toks) >= {NGRAM}
+                       THEN list_transform(range(1, len(toks) - {NGRAM - 2}),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                       ELSE CAST([] AS VARCHAR[]) END) AS shingles
+           FROM t),
+    shf AS (SELECT * FROM sh WHERE len(shingles) > 0),
+    sig AS (SELECT doc_id,
+                   list_transform(range(0, {NUM_HASHES}),
+                        s -> list_aggregate(list_transform(shingles,
+                             x -> md5(CAST(s AS VARCHAR) || '|' || x)), 'min')) AS sig
+            FROM shf),
+    banded AS (SELECT doc_id, unnest(range(0, {BANDS})) AS band FROM sig),
+    keyed AS (SELECT b.doc_id, b.band,
+                     md5(s.sig[2*b.band + 1] || '|' || s.sig[2*b.band + 2]) AS key
+              FROM banded b JOIN sig s USING (doc_id)),
+    cand_band AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM keyed a JOIN keyed b
+                    ON a.band = b.band AND a.key = b.key
+                   AND a.doc_id < b.doc_id),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM shf),
+    dfq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1),
+    anch AS (SELECT doc_id, shingle FROM (
+               SELECT doc_id, shingle,
+                      row_number() OVER (PARTITION BY doc_id
+                           ORDER BY md5('a|' || shingle), shingle) AS rn
+               FROM ex)
+             WHERE rn <= {ANCHOR_K}),
+    post AS (SELECT e.doc_id, e.shingle FROM ex e JOIN dfq USING (shingle)
+             WHERE df <= {ANCHOR_DF_CAP}),
+    cand_anchor AS (SELECT DISTINCT least(a.doc_id, p.doc_id) AS id_a,
+                           greatest(a.doc_id, p.doc_id) AS id_b
+                    FROM anch a JOIN post p USING (shingle)
+                    WHERE a.doc_id <> p.doc_id),
+    cand AS (SELECT id_a, id_b FROM cand_band
+             UNION SELECT id_a, id_b FROM cand_anchor),
+    bidir AS (
+      SELECT id_a AS doc_id, id_b AS other_id FROM cand
+      UNION ALL
+      SELECT id_b, id_a FROM cand),
+    c AS (SELECT b.doc_id, b.other_id,
+                 CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+                   / len(s1.shingles) AS containment
+          FROM bidir b
+          JOIN shf s1 ON s1.doc_id = b.doc_id
+          JOIN shf s2 ON s2.doc_id = b.other_id),
     f AS (SELECT * FROM c WHERE containment >= {CONTAINMENT_THRESHOLD}),
     r AS (SELECT doc_id, other_id, containment,
                  row_number() OVER (PARTITION BY doc_id
@@ -1064,29 +1130,70 @@ CONTAINMENT_THRESHOLD = 0.6
         "shingle sets — the quote/subset case Jaccard under-scores (a "
         "tweet quoted inside an article has tiny Jaccard but "
         "containment ~1), which is how excerpt-heavy near-dups slip "
-        "through symmetric dedup. Candidates come from the SAME "
-        "MinHash band join as dedup_minhash_lsh (id pairs only, both "
-        "directions of each pair scored); the exact containment "
-        "verify runs on candidates, and each doc reports its best "
-        "container. Band recall is tuned for Jaccard — high-"
-        "containment/low-Jaccard pairs below band reach are the "
-        "declared trade (a production containment pass banding on "
-        "the shorter doc's signature would close it); the oracle "
-        "replays the identical candidates so the contract is "
-        "hash-checked.",
+        "through symmetric dedup. Deterministic quote twins (6-token "
+        "excerpts of every 100th doc, Jaccard ~0.07 — far below "
+        "MinHash band reach) are planted in BOTH engines so the "
+        "hard case is exercised, not assumed. Candidates are the "
+        "union of two sources: the symmetric MinHash band join "
+        "(same as dedup_minhash_lsh) and the asymmetric ANCHOR path "
+        "that closes the band-recall gap — each doc's K smallest-"
+        "hash shingles probe a DF-capped inverted index, so a pair "
+        "with containment >= theta is missed with prob <= (1-theta)^K "
+        "(2.6% at K=4) and a short quote (<= K shingles) is caught "
+        "with certainty. Exact containment verifies on candidates "
+        "only (ids shuffle, text never), each doc reports its best "
+        "container, and the oracle replays the identical candidate "
+        "union so the contract is hash-checked.",
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import texting
+
     docs = table(spark, sf_dir, "documents")
-    sh = D.shingled(docs, "text", "doc_id", NGRAM).persist()
+    toks = texting.tokens(F.col("text"))
+    quotes = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(
+            (F.col("doc_id") % QUOTE_MOD == QUOTE_RESIDUE)
+            & (F.size("toks") >= QUOTE_MIN_TOKENS)
+        )
+        .select(
+            (F.col("doc_id") + QUOTE_ID_OFFSET).alias("doc_id"),
+            F.concat_ws(" ", F.slice(F.col("toks"), 1, QUOTE_TOKENS)).alias("text"),
+        )
+    )
+    alldocs = docs.select("doc_id", "text").unionByName(quotes)
+    sh = D.shingled(alldocs, "text", "doc_id", NGRAM).persist()
     banded = _banded_of(sh)
     a = banded.select(F.col("doc_id").alias("id_a"), "band", "key")
     b = banded.select(F.col("doc_id").alias("id_b"), "band", "key")
-    cand = (
+    cand_band = (
         a.join(b, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    # asymmetric anchor path: bottom-K shingle sample per doc probes a
+    # DF-capped inverted index — catches high-containment/low-Jaccard
+    # pairs the symmetric bands can't reach
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    dfq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    w_anchor = Window.partitionBy("doc_id").orderBy(
+        F.md5(F.concat(F.lit("a|"), F.col("shingle"))), F.col("shingle")
+    )
+    anch = (
+        ex.withColumn("rn", F.row_number().over(w_anchor))
+        .filter(F.col("rn") <= ANCHOR_K)
+        .select(F.col("doc_id").alias("a_id"), "shingle")
+    )
+    post = ex.join(dfq.filter(F.col("df") <= ANCHOR_DF_CAP), "shingle", "left_semi")
+    cand_anchor = (
+        anch.join(post, "shingle")
+        .filter(F.col("a_id") != F.col("doc_id"))
+        .select(
+            F.least("a_id", "doc_id").alias("id_a"),
+            F.greatest("a_id", "doc_id").alias("id_b"),
+        )
+    )
+    cand = cand_band.unionAll(cand_anchor).distinct()
     both = cand.select(
         F.col("id_a").alias("doc_id"), F.col("id_b").alias("other_id")
     ).unionAll(
