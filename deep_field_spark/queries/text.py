@@ -1224,6 +1224,111 @@ _REG["corpus_perplexity_buckets"].oracle = f"""
 """
 
 
+# tolerance for the approx-percentile bucketing vs the exact thirds:
+# GK-sketch rank error at accuracy 10000 is < 1 doc at any realistic
+# per-source count, so the budget is dominated by boundary TIES (docs
+# with identical avg_nll straddling a cutpoint go wholly to one side
+# in the approx path but are split by the doc_id tie-break in the
+# exact path; measured max tie-run 6 at sf0.1)
+PPL_APPROX_TOL_MIN = 8
+PPL_APPROX_TOL_FRAC = 0.02
+
+
+@register(
+    "corpus_perplexity_buckets_approx",
+    oracle=None,  # set below — needs the bigram oracle registered first
+    doc="The 100 TB form of corpus_perplexity_buckets (the swap its "
+        "twin's docstring declares): per-source head/middle/tail "
+        "cutpoints come from approx_percentile (GK sketch, mergeable, "
+        "one pass) instead of a rank window, so NO per-source sort "
+        "appears anywhere in the plan — the only shuffles are hash "
+        "aggregations, and the per-source cutpoint table (bounded by "
+        "|sources|) broadcasts back onto the doc stream. Sketch "
+        "cutpoints are not portable across engines, so (same contract "
+        "as approx_percentiles) the oracle-matched columns are the "
+        "EXACT thirds counts — pure integer arithmetic "
+        "ceil((b+1)n/3)-ceil(bn/3) from the per-source doc count, no "
+        "sort needed — plus sketch_check_passed, a Spark-side-only "
+        "assertion (literal TRUE in the oracle) that the approx "
+        "bucket's doc count deviates from the exact third by at most "
+        "max(8, 2% of n_src): the GK rank error at accuracy 10000 is "
+        "sub-1-doc, so the budget covers boundary ties only.",
+)
+def corpus_perplexity_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lp = text_bigram_logprob(spark, sf_dir)
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    d = lp.join(src, "doc_id")
+    stats = d.groupBy("source").agg(
+        F.count("*").alias("n_src"),
+        F.percentile_approx(
+            "avg_nll",
+            F.array(F.lit(1.0 / PPL_BUCKETS), F.lit(2.0 / PPL_BUCKETS)),
+            F.lit(10000),
+        ).alias("cuts"),
+    )
+    assigned = d.join(F.broadcast(stats.select("source", "cuts")), "source").select(
+        "source",
+        F.when(F.col("avg_nll") <= F.element_at("cuts", 1), 0)
+        .when(F.col("avg_nll") <= F.element_at("cuts", 2), 1)
+        .otherwise(2)
+        .alias("b"),
+    )
+    approx_counts = assigned.groupBy("source", "b").agg(
+        F.count("*").alias("n_approx")
+    )
+    n = F.col("n_src")
+    b = F.col("b")
+    exact = (
+        stats.select("source", "n_src")
+        .select("source", "n_src", F.explode(F.array(*[F.lit(i) for i in range(PPL_BUCKETS)])).alias("b"))
+        .select(
+            "source",
+            "n_src",
+            "b",
+            (
+                F.ceil((b + 1) * n / PPL_BUCKETS) - F.ceil(b * n / PPL_BUCKETS)
+            ).cast("long").alias("n_docs"),
+        )
+    )
+    tol = F.greatest(
+        F.lit(PPL_APPROX_TOL_MIN),
+        F.ceil(F.col("n_src") * PPL_APPROX_TOL_FRAC),
+    )
+    return (
+        # both sides are |sources| x 3 rows — bounded regardless of SF,
+        # so the hint is legal under the broadcast policy and keeps a
+        # sort-merge join (2 pointless sorts) out of the plan
+        exact.join(F.broadcast(approx_counts), ["source", "b"], "left_outer")
+        .select(
+            "source",
+            F.expr(_PPL_NAMES).alias("bucket"),
+            "n_docs",
+            (
+                F.abs(F.coalesce(F.col("n_approx"), F.lit(0)) - F.col("n_docs"))
+                <= tol
+            ).alias("sketch_check_passed"),
+        )
+    )
+
+
+def _ppl_approx_oracle() -> str:
+    return f"""
+    WITH lp AS ({_bigram_oracle()}),
+    d AS (SELECT lp.doc_id, lp.avg_nll, doc.source
+          FROM lp JOIN documents doc ON lp.doc_id = doc.doc_id),
+    n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM d GROUP BY 1),
+    e AS (SELECT source, n_src, unnest(range(0, {PPL_BUCKETS})) AS b FROM n)
+    SELECT source, {_PPL_NAMES} AS bucket,
+           CAST(ceil((b + 1) * n_src / {PPL_BUCKETS}.0)
+                - ceil(b * n_src / {PPL_BUCKETS}.0) AS BIGINT) AS n_docs,
+           TRUE AS sketch_check_passed
+    FROM e
+    """
+
+
+_REG["corpus_perplexity_buckets_approx"].oracle = _ppl_approx_oracle()
+
+
 # ------------------------------------------ vocabulary coverage audit
 COV_VOCAB_K = 50  # the "model vocabulary": top-K terms by occurrence
 

@@ -94,6 +94,7 @@ def write_zorder(
     bits: int = 8,
     n_files: int = 8,
     mode: str = "overwrite",
+    rank_mode: str = "minmax",
 ) -> None:
     """Z-order clustered parquet write: multi-dimensional locality so
     min/max row-group stats prune on EVERY clustered column, not just
@@ -108,10 +109,17 @@ def write_zorder(
     OPTIMIZE ... ZORDER BY in lakehouse engines, built from plain
     DataFrame ops:
 
-      1. each column is min-max scaled to a ``bits``-bit integer rank
-         (linear scaling — cheap, deterministic, one extra aggregate;
-         for heavily skewed columns substitute approx_percentile
-         bucket boundaries, same interleave afterwards),
+      1. each column is scaled to a ``bits``-bit integer rank.
+         ``rank_mode="minmax"`` (default) is linear scaling — cheap,
+         deterministic, one extra aggregate — and is the right choice
+         for roughly-uniform columns. ``rank_mode="quantile"`` ranks by
+         approx_percentile bucket boundaries instead (rank = number of
+         quantile cutpoints <= value): on a skewed column linear
+         scaling collapses most rows into a few low rank values, so
+         every file's footer spans the crowded region and a selective
+         probe there prunes nothing — quantile ranks equalize row
+         counts per rank value, restoring pruning. Same interleave
+         afterwards; one sketch aggregate instead of min/max.
       2. ranks are bit-interleaved into the Morton value z — pure
          column expressions, whole-stage-codegen friendly,
       3. repartitionByRange(z) + sortWithinPartitions(z) writes files
@@ -125,29 +133,56 @@ def write_zorder(
     """
     from pyspark.sql import functions as F
 
-    aggs = []
-    for c in zorder_cols:
-        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
-    # bounds is one row — broadcast it as literals-by-join (keeps the
-    # builder free of a driver collect; the cross join is 1-row)
-    bounds = df.agg(*aggs)
-    out = df.crossJoin(F.broadcast(bounds))
+    if rank_mode not in ("minmax", "quantile"):
+        raise ValueError(f"unknown rank_mode {rank_mode!r}")
     scale = (1 << bits) - 1
     ranks = []
-    for c in zorder_cols:
-        mn, mx = F.col(f"_mn_{c}"), F.col(f"_mx_{c}")
-        num = F.col(c).cast("double") - mn.cast("double")
-        den = F.when(
-            mx.cast("double") > mn.cast("double"),
-            mx.cast("double") - mn.cast("double"),
-        ).otherwise(F.lit(1.0))
-        ranks.append(
-            F.least(F.lit(scale), F.floor(num / den * scale).cast("int"))
+    if rank_mode == "quantile":
+        # 2^bits - 1 interior quantile cutpoints per column; rank =
+        # |{cutpoints <= value}| in [0, scale]. The sketch is mergeable
+        # (one pass, partial-aggregable); the cutpoint arrays are one
+        # row of bits-sized arrays — broadcast as literals-by-join
+        qs = F.array(*[F.lit(i / (1 << bits)) for i in range(1, 1 << bits)])
+        bounds = df.agg(
+            *[
+                F.percentile_approx(F.col(c).cast("double"), qs, F.lit(10000)).alias(
+                    f"_qb_{c}"
+                )
+                for c in zorder_cols
+            ]
         )
+        out = df.crossJoin(F.broadcast(bounds))
+        for c in zorder_cols:
+            v = F.col(c).cast("double")
+            ranks.append(
+                F.size(F.filter(F.col(f"_qb_{c}"), lambda b: b <= v)).cast("int")
+            )
+        drop_cols = [f"_qb_{c}" for c in zorder_cols]
+    else:
+        aggs = []
+        for c in zorder_cols:
+            aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+        # bounds is one row — broadcast it as literals-by-join (keeps the
+        # builder free of a driver collect; the cross join is 1-row)
+        bounds = df.agg(*aggs)
+        out = df.crossJoin(F.broadcast(bounds))
+        for c in zorder_cols:
+            mn, mx = F.col(f"_mn_{c}"), F.col(f"_mx_{c}")
+            num = F.col(c).cast("double") - mn.cast("double")
+            den = F.when(
+                mx.cast("double") > mn.cast("double"),
+                mx.cast("double") - mn.cast("double"),
+            ).otherwise(F.lit(1.0))
+            ranks.append(
+                F.least(F.lit(scale), F.floor(num / den * scale).cast("int"))
+            )
+        drop_cols = [f"_mn_{c}" for c in zorder_cols] + [
+            f"_mx_{c}" for c in zorder_cols
+        ]
     z = morton_column(ranks, bits)
     out = (
         out.withColumn("_z", z)
-        .drop(*[f"_mn_{c}" for c in zorder_cols], *[f"_mx_{c}" for c in zorder_cols])
+        .drop(*drop_cols)
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")

@@ -825,3 +825,15 @@ def test_q8_widest_join_all_dims_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 5
     assert "EqualTo(p_type,ECONOMY)" in plan
+
+
+def test_perplexity_approx_has_no_sort_anywhere(spark, sf_dir):
+    """corpus_perplexity_buckets_approx is the declared 100 TB swap for
+    the rank-window twin: cutpoints come from the GK sketch, so the
+    plan must contain NO Sort and NO Window at all — hash/object
+    aggregations and broadcast joins only."""
+    plan = _plan(spark, sf_dir, "corpus_perplexity_buckets_approx")
+    assert "Sort " not in plan and "Sort[" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "ObjectHashAggregate" in plan  # the percentile_approx sketch
+    assert "BroadcastHashJoin" in plan

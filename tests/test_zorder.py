@@ -157,3 +157,45 @@ def test_morton_three_columns_round_trip(spark):
     zs = [r.z for r in df.select(morton_column(cols, 3).alias("z")).collect()]
     assert len(set(zs)) == len(grid)
     assert max(zs) < (1 << 9)
+
+
+@pytest.fixture(scope="module")
+def skew_layouts(spark, tmp_path_factory):
+    """A Zipf-distributed column (v = N//(id+1): half the rows share
+    v=1) beside a uniform scrambled column — the skew case where
+    min-max ranks collapse and quantile ranks must restore pruning."""
+    n = 20_000
+    df = spark.range(n).select(
+        (F.lit(n) / (F.col("id") + 1)).cast("long").alias("v"),
+        ((F.col("id") * 2654435761) % n).alias("u"),
+    )
+    root = tmp_path_factory.mktemp("zorder_skew")
+    mpath, qpath = str(root / "minmax"), str(root / "quantile")
+    write_zorder(df, mpath, ["v", "u"], bits=8, n_files=8, rank_mode="minmax")
+    write_zorder(df, qpath, ["v", "u"], bits=8, n_files=8, rank_mode="quantile")
+    return spark, df, mpath, qpath
+
+
+def test_zorder_quantile_round_trips_all_rows(skew_layouts):
+    spark, df, mpath, qpath = skew_layouts
+    for path in (mpath, qpath):
+        back = spark.read.parquet(path)
+        assert back.count() == df.count()
+        a = df.agg(F.sum("v"), F.sum("u")).first()
+        b = back.agg(F.sum("v"), F.sum("u")).first()
+        assert tuple(a) == tuple(b)
+
+
+def test_zorder_quantile_boundaries_prune_on_zipf_column(skew_layouts):
+    """Footer-overlap on a selective probe inside the skewed column's
+    crowded region (v in [5, 9]: ~9% of rows, but min-max maps it to
+    rank 0 — the SAME rank as the v=1 mass holding half the table, so
+    every file admits the probe). Quantile ranks spread the crowded
+    region across the rank space; the probe must overlap strictly
+    fewer files, and genuinely prune (< n_files)."""
+    _, _, mpath, qpath = skew_layouts
+    box = {"v": (5, 9)}
+    m = _files_overlapping(mpath, box)
+    q = _files_overlapping(qpath, box)
+    assert q < m, (q, m)
+    assert q < 8, q
