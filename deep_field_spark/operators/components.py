@@ -13,16 +13,19 @@ shape Spark expresses as a join loop:
   - each round also pointer-jumps (comp := comp[comp]), so label
     chains collapse geometrically: O(log n) rounds even on path
     graphs, ~2-3 rounds for real near-dup clusters.
-  - each round localCheckpoints the state: without it the plan doubles
-    per iteration and Catalyst analysis — not the data — becomes the
-    bottleneck. On a cluster use reliable checkpointing to survive
-    executor loss mid-loop.
+  - each round severs the state's lineage (iter_checkpoint): without
+    it the plan doubles per iteration and Catalyst analysis — not the
+    data — becomes the bottleneck. With a session checkpoint dir set
+    the severing is a reliable checkpoint, surviving executor loss
+    mid-loop (cluster posture).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .iterate import iter_checkpoint
 
 
 def connected_components(
@@ -36,13 +39,13 @@ def connected_components(
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = fwd.unionByName(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct()
+    edges = iter_checkpoint(edges)
 
-    labels = (
+    labels = iter_checkpoint(
         edges.select(F.col("src").alias("v"))
         .distinct()
         .select("v", F.col("v").alias("comp"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         # (1) adopt the smallest neighbor label
@@ -65,14 +68,13 @@ def connected_components(
         # label chains collapse geometrically — O(log n) rounds even
         # for path graphs.
         ptr = stepped.select(F.col("v").alias("cv"), F.col("comp").alias("ccomp"))
-        jumped = (
+        jumped = iter_checkpoint(
             stepped.join(ptr, stepped.comp == ptr.cv, "left")
             .select(
                 "v",
                 "old_comp",
                 F.coalesce(F.col("ccomp"), F.col("comp")).alias("comp"),
             )
-            .localCheckpoint(eager=True)
         )
         n_changed = jumped.filter(F.col("comp") != F.col("old_comp")).count()
         labels = jumped.select("v", "comp")

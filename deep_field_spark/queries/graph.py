@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..operators.iterate import iter_checkpoint
 from . import register
 
 PR_ITERS = 5
@@ -97,20 +98,20 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONCE with severed lineage, and the rank table re-checkpoints per
     # round — otherwise round N's plan contains rounds 1..N-1 as
     # subtrees (O(iters²) stages), which a default-conf 200-partition
-    # session turns into minutes of pure scheduling. On a cluster the
-    # localCheckpoints become reliable checkpoints (SCALE.md).
+    # session turns into minutes of pure scheduling. iter_checkpoint
+    # upgrades to reliable checkpoints when the session has a
+    # checkpoint dir (the cluster posture, SCALE.md).
     edges = e0.select(
         F.col("c").alias("src"), (F.lit(SUPP_OFFSET) + F.col("s")).alias("dst")
     ).unionAll(
         e0.select(
             (F.lit(SUPP_OFFSET) + F.col("s")).alias("src"), F.col("c").alias("dst")
         )
-    ).localCheckpoint(eager=True)
-
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(
-        eager=True
     )
-    n_df = deg.agg(F.count("*").alias("n")).localCheckpoint(eager=True)
+    edges = iter_checkpoint(edges)
+
+    deg = iter_checkpoint(edges.groupBy("src").agg(F.count("*").alias("deg")))
+    n_df = iter_checkpoint(deg.agg(F.count("*").alias("n")))
     ranks = deg.crossJoin(F.broadcast(n_df)).select(
         F.col("src").alias("node"),
         (F.lit(1.0) / F.col("n")).alias("rank"),
@@ -137,7 +138,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double")
                 .alias("rank"),
             )
-        ).localCheckpoint(eager=True)
+        )
+        ranks = iter_checkpoint(ranks)
     return ranks.crossJoin(F.broadcast(n_df)).select(
         "node",
         F.when(F.col("node") >= SUPP_OFFSET, "supplier")
