@@ -128,6 +128,7 @@ HEADLINE = [
     "text_token_entropy",
     "text_bigram_logprob",
     "corpus_perplexity_buckets",
+    "corpus_perplexity_buckets_approx",
     "curation_pipeline_e2e",
     "curation_quality_classifier",
     "curation_dsir_weights",
@@ -152,6 +153,7 @@ HEADLINE = [
     "multimodal_frame_sample",
     "multimodal_arrow_meta",
     "multimodal_decode_real",
+    "multimodal_audio_rms",
     "udaf_grouped_pandas",
     "cogrouped_map_asof",
     "map_funcs_events",

@@ -198,16 +198,23 @@ _PRIORITY = [
     # locally oracle-checked every pytest run, and the serving shape
     # stays in-window via ann_recall_report + embedding_pq_codes; its
     # slot funds tpch q6's first driver row)
-    "dedup_semantic",
+    # (dedup_semantic rotated below after green r05/r06 rows —
+    # byte-unchanged since; SemDeDup's cell machinery is shared with
+    # the in-window embedding_pq_codes/IVF family and re-verified
+    # locally every pytest run. Its slot funds the round-7 WAV RMS
+    # decode, the audio sibling of multimodal_decode_real)
     # round-5: the ANN recall contract itself, hash-checked (brute-force
     # top-k ⋈ multiprobe top-k per query), and the top-principal-
     # direction spectral diagnostic (fixed power iterations,
     # DECIMAL-exact Gram sums)
+    # (ann_recall_report rotated below after green r05/r06 rows —
+    # byte-unchanged since; its slot funds corpus_perplexity_buckets_
+    # approx, the sort-free 100 TB form of the r06-green exact twin)
     # (embedding_power_iteration rotated below after its green r05 row
     # — single-purpose spectral diagnostic; its DECIMAL-exact Gram-sum
     # machinery is shared with the in-window ann_ivf_kmeans trainer.
     # Its slot funds the round-6 layered decontamination report)
-    "ann_recall_report",
+    "multimodal_audio_rms", "corpus_perplexity_buckets_approx",
     # multimodal (feature_extract demoted: stub decode → no_oracle row;
     # resize rotated below after its green r03 row;
     # multimodal_binary_meta rotated below after green r03+r04 —
@@ -254,7 +261,15 @@ _PRIORITY = [
     # driver evidence)
     # round-5: learned-quality-classifier inference (scan-speed
     # logistic over the quality signals, literal weights)
-    "curation_quality_classifier",
+    # (curation_quality_classifier rotated below after green r05/r06
+    # rows — byte-unchanged since, and the learned-weights TRAINING
+    # loop that produces its coefficients stays in-window. Together
+    # with the text_bm25_search and curation_dsir_weights rotations
+    # (green r05/r06 each, byte-unchanged), the three slots fund fresh
+    # driver evidence for q3/q5/join_inner_dim under their de-hinted
+    # round-7 plans — customer/supplier/part broadcasts removed, AQE
+    # size decision pinned — so all 13 de-hinted queries have a
+    # driver row on the new plans, not just the 10 already in-window)
     # (text_bigram_logprob rotated below after green r04/r05 rows —
     # LM scoring stays in-window via the perplexity-bucket composition
     # below, which consumes the same bigram model; its slot funds
@@ -272,7 +287,7 @@ _PRIORITY = [
     # round-5: Okapi BM25 top-k retrieval and DSIR hashed-ngram
     # importance weights (slots funded by the rotated udaf_grouped_
     # pandas and multimodal_frame_sample)
-    "text_bm25_search", "curation_dsir_weights",
+    "q3_shipping_priority", "q5_local_supplier_volume", "join_inner_dim",
     # round-5: distributed BPE tokenizer training (first merges,
     # oracle-unrolled loop; slot funded by multimodal_binary_meta).
     # (text_bpe_apply rotated below after its green r05 row — the

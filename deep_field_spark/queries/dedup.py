@@ -1047,7 +1047,7 @@ QUOTE_RESIDUE = 7
 QUOTE_TOKENS = 6
 QUOTE_MIN_TOKENS = 40
 QUOTE_ID_OFFSET = 9_000_000
-# anchor-shingle candidates: each doc's ANCHOR_K smallest-hash
+# anchor-shingle candidates: each doc's CONT_ANCHOR_K smallest-hash
 # shingles (a bottom-K sample of its shingle set) probe a DF-capped
 # inverted index. If C(A→B) >= theta, each anchor of A lands in B with
 # prob >= theta, so the miss probability is <= (1-theta)^K — 2.6% at
@@ -1055,8 +1055,8 @@ QUOTE_ID_OFFSET = 9_000_000
 # certainty (all its shingles are anchors). The DF cap bounds the
 # candidate fan-out at scale (candidates <= K·N·CAP worst case, ~5·N
 # on this corpus where trigram DF is nearly 1).
-ANCHOR_K = 4
-ANCHOR_DF_CAP = 50
+CONT_ANCHOR_K = 4
+CONT_ANCHOR_DF_CAP = 50
 
 
 @register(
@@ -1098,9 +1098,9 @@ ANCHOR_DF_CAP = 50
                       row_number() OVER (PARTITION BY doc_id
                            ORDER BY md5('a|' || shingle), shingle) AS rn
                FROM ex)
-             WHERE rn <= {ANCHOR_K}),
+             WHERE rn <= {CONT_ANCHOR_K}),
     post AS (SELECT e.doc_id, e.shingle FROM ex e JOIN dfq USING (shingle)
-             WHERE df <= {ANCHOR_DF_CAP}),
+             WHERE df <= {CONT_ANCHOR_DF_CAP}),
     cand_anchor AS (SELECT DISTINCT least(a.doc_id, p.doc_id) AS id_a,
                            greatest(a.doc_id, p.doc_id) AS id_b
                     FROM anch a JOIN post p USING (shingle)
@@ -1181,10 +1181,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     anch = (
         ex.withColumn("rn", F.row_number().over(w_anchor))
-        .filter(F.col("rn") <= ANCHOR_K)
+        .filter(F.col("rn") <= CONT_ANCHOR_K)
         .select(F.col("doc_id").alias("a_id"), "shingle")
     )
-    post = ex.join(dfq.filter(F.col("df") <= ANCHOR_DF_CAP), "shingle", "left_semi")
+    post = ex.join(dfq.filter(F.col("df") <= CONT_ANCHOR_DF_CAP), "shingle", "left_semi")
     cand_anchor = (
         anch.join(post, "shingle")
         .filter(F.col("a_id") != F.col("doc_id"))

@@ -62,31 +62,42 @@ def test_driver_window_is_all_oracle_bearing():
     )
 
 
-def test_round6_additions_hold_window_slots():
-    """Every round-6 query with zero prior driver evidence must sit in
-    the driver's top-50 budget window, plus the reference-core flagship
-    and the re-evidenced round-5 composites the window policy keeps."""
+def test_round7_window_slots():
+    """The round-7 budget window: every query with zero prior driver
+    evidence (the two round-7 additions), every query whose SEMANTICS
+    changed this round and needs fresh evidence (containment anchor
+    path, ndcg singleton guard, q18 unrounded cutoff), the three
+    de-hinted TPC-H queries rotated back in so all 13 broadcast-policy
+    queries get a driver row on their new plans, plus the
+    reference-core flagship and the round-6 first-evidence set that
+    stays. (dedup_semantic / ann_recall_report /
+    curation_quality_classifier / text_bm25_search /
+    curation_dsir_weights rotated out: green r05+r06 each,
+    byte-unchanged since.)"""
     names = list(REGISTRY)[:DRIVER_WINDOW]
     for q in (
-        # reference-core + round-5 keeps (ann_ivf_kmeans and
-        # text_bpe_train rotated out late in round 6 — both green r05
-        # and byte-unchanged since; their slots fund q6/q8)
-        "scrape_core_resolved_plays", "dedup_semantic",
-        "ann_recall_report", "curation_quality_classifier",
-        "text_bm25_search", "curation_dsir_weights",
-        "corpus_split_leakage", "curation_dedup_report",
-        "dedup_incremental_minhash",
-        # round-6 first-evidence set
-        "events_resample_gapfill", "dedup_containment",
-        "multimodal_decode_real", "dedup_embedding_cosine",
-        "variant_props_events", "embedding_pq_codes",
-        "decontam_embedding", "text_countmin_freq", "join_skew_salted",
+        # round-7 first-evidence set
+        "multimodal_audio_rms", "corpus_perplexity_buckets_approx",
+        # round-7 changed-semantics set
+        "dedup_containment", "retrieval_eval_ndcg",
+        "q18_large_volume_customer",
+        # de-hinted broadcast-policy queries rotated back in (the other
+        # ten of the 13 are already in-window)
+        "q3_shipping_priority", "q5_local_supplier_volume",
+        "join_inner_dim",
+        # reference-core flagship + round-6 keeps
+        "scrape_core_resolved_plays", "corpus_split_leakage",
+        "curation_dedup_report", "dedup_incremental_minhash",
+        "events_resample_gapfill", "multimodal_decode_real",
+        "dedup_embedding_cosine", "variant_props_events",
+        "embedding_pq_codes", "decontam_embedding",
+        "text_countmin_freq", "join_skew_salted",
         "unpivot_part_metrics", "curation_quality_train",
         "graph_pagerank", "q4_order_priority", "q14_promo_revenue",
-        "q18_large_volume_customer", "q21_waiting_supplier",
-        "table_profile_lineitem", "dq_referential_audit",
-        "incr_agg_refresh", "corpus_novelty_profile",
-        "q6_forecast_revenue", "q8_market_share",
+        "q21_waiting_supplier", "table_profile_lineitem",
+        "dq_referential_audit", "incr_agg_refresh",
+        "corpus_novelty_profile", "q6_forecast_revenue",
+        "q8_market_share",
     ):
         assert q in names, q
 
