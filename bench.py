@@ -121,6 +121,7 @@ HEADLINE = [
     "corpus_mixture_plan",
     "corpus_length_buckets",
     "corpus_group_sample",
+    "corpus_weighted_sample",
     "corpus_stratified_quota",
     "corpus_shuffle_assign",
     "decontam_exact_substring",

@@ -133,7 +133,15 @@ _PRIORITY = [
     # ways: the incremental twin, the dedup dashboard, and the new
     # containment pass; its slot funds that asymmetric-containment
     # detector, the quote/subset case Jaccard under-scores)
-    "dedup_containment", "curation_dedup_report",
+    "dedup_containment",
+    # (curation_dedup_report rotated below after green r05/r06 rows —
+    # a composition whose members (digest dedup, banded LSH, exact
+    # verify, components closure) are each multi-green and locally
+    # re-verified every pytest run; test_iter_checkpoint additionally
+    # proves the round-7 lineage-severing swap is answer-identical.
+    # Its slot funds corpus_weighted_sample, the A-ES weight-
+    # proportional sampler's first driver evidence)
+    "corpus_weighted_sample",
     # (simhash_pairs, embedding_cosine_exact and keep_canonical rotated
     # below after green r03 rows — the capped/bucketed scale-path twins
     # and the components clusterer they build on stay)

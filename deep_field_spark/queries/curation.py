@@ -1712,3 +1712,76 @@ def corpus_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("samp_rank") <= F.col("quota")
     ).select("source", "doc_id", "samp_rank", "quota")
 
+
+
+# --- weighted sampling (Efraimidis-Spirakis A-ES) ---------------------
+WS_K = 5  # docs kept per source
+
+_WS_HEX = ("(strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 1048576 "
+           "+ (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 65536 "
+           "+ (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 4096 "
+           "+ (strpos('0123456789abcdef', substring(h, 4, 1)) - 1) * 256 "
+           "+ (strpos('0123456789abcdef', substring(h, 5, 1)) - 1) * 16 "
+           "+ (strpos('0123456789abcdef', substring(h, 6, 1)) - 1)")
+
+
+@register(
+    "corpus_weighted_sample",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, source, n_chars,
+                      md5('ws|' || CAST(doc_id AS VARCHAR)) AS h
+               FROM documents),
+    v AS (SELECT doc_id, source, n_chars, {_WS_HEX} AS hv FROM h),
+    k AS (SELECT doc_id, source, n_chars,
+                 CAST(ln(CAST(hv + 1 AS DOUBLE) / CAST(16777217 AS DOUBLE))
+                      / n_chars AS DECIMAL(28,14)) AS key
+          FROM v),
+    r AS (SELECT doc_id, source, n_chars, key,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY key DESC, doc_id) AS rk
+          FROM k)
+    SELECT doc_id, source, n_chars, CAST(rk AS INT) AS rk,
+           CAST(round(key, 8) AS DOUBLE) AS sel_key
+    FROM r WHERE rk <= {WS_K}
+    """,
+    doc=f"Weight-proportional sampling without replacement "
+        f"(Efraimidis-Spirakis A-ES), {WS_K} docs per source weighted "
+        "by n_chars — the quality/length-weighted selection step of a "
+        "mixture builder (its uniform sibling is corpus_group_sample). "
+        "Each doc draws a deterministic md5-uniform u and competes on "
+        "the one-pass key u^(1/w), realized as ln(u)/w (monotone "
+        "equivalent, avoids pow) and quantized to DECIMAL(28,14) so "
+        "the cross-engine sort cutoff cannot sit on a libm-ulp "
+        "boundary; ties break on doc_id. Selection is the standard "
+        "A-ES top-k per group: exact, single pass, mergeable (the "
+        "same sharded two-stage top-k as the uniform sample — no "
+        "source ever streams through one task). The oracle replays "
+        "the identical key arithmetic from the same md5 hex digits.",
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws|"), F.col("doc_id").cast("string"))), 1, 6
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (hv + F.lit(1)).cast("double") / F.lit(16777217).cast("double")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.log(u) / F.col("n_chars")).cast("decimal(28,14)").alias("key"),
+    )
+    ranked = top_k_per_group_sharded(
+        keyed, ["source"], [F.col("key").desc(), F.col("doc_id")], WS_K,
+        shard_of="doc_id", rank_col="rk", shards=PACK_SHARDS,
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.col("rk").cast("int").alias("rk"),
+        F.round(F.col("key"), 8).cast("double").alias("sel_key"),
+    )

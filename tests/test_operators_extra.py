@@ -513,3 +513,19 @@ def test_stateful_counts_transform_with_state(spark, sf_dir):
         .groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert got == expect
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    """corpus_weighted_sample is weight-proportional (A-ES): the
+    selected docs' mean n_chars must exceed the corpus mean — the
+    whole point of weighting; a uniform sampler has no such bias."""
+    from pyspark.sql import functions as F
+
+    from deep_field_spark.queries import load_registry
+
+    reg = load_registry()
+    sel = reg["corpus_weighted_sample"].fn(spark, sf_dir)
+    sel_mean = sel.agg(F.avg("n_chars")).first()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    all_mean = docs.agg(F.avg("n_chars")).first()[0]
+    assert sel_mean > all_mean * 1.05, (sel_mean, all_mean)

@@ -87,7 +87,7 @@ def test_round7_window_slots():
         "join_inner_dim",
         # reference-core flagship + round-6 keeps
         "scrape_core_resolved_plays", "corpus_split_leakage",
-        "curation_dedup_report", "dedup_incremental_minhash",
+        "corpus_weighted_sample", "dedup_incremental_minhash",
         "events_resample_gapfill", "multimodal_decode_real",
         "dedup_embedding_cosine", "variant_props_events",
         "embedding_pq_codes", "decontam_embedding",
