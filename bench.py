@@ -149,6 +149,7 @@ HEADLINE = [
     "embedding_power_iteration",
     "ann_ivf_cells",
     "ann_ivf_kmeans",
+    "ann_incremental_ivf",
     "dedup_semantic",
     "embedding_quantize_int8",
     "multimodal_frame_sample",

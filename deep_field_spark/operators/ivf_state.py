@@ -1,0 +1,202 @@
+"""Persisted IVF index state: the ANN sibling of the LSH artifact
+(operators/lsh_state.py).
+
+The one-shot queries (queries/similarity.py) retrain centroids and
+re-assign the corpus per run; a production vector store trains the
+coarse quantizer once, keeps the cell-assigned vector table ON DISK
+bucketed by cell id, and serves every search + absorbs every ingest
+against that layout:
+
+- ``build``: vectors are assigned to their nearest centroid (argmax
+  cosine against the BROADCAST k-row centroid table — the corpus never
+  shuffles for assignment) and written bucketed on ``cid``; the
+  centroid table is persisted beside it. The bucket layout IS the
+  probe shuffle, paid once at build time.
+- ``ingest``: new vectors are anti-joined against the state's known
+  ids (replay-idempotent, same contract as lsh_state.ingest), assigned
+  to the FROZEN centroids — the standard production posture: the index
+  structure is stable day-to-day, data grows; retraining is a rebuild
+  — and appended to the cell table.
+- ``search``: each query picks its ``nprobe`` nearest cells from the
+  broadcast centroids, then probes the cell table with a ``cid``
+  equi-join the bucket layout serves exchange-free on the corpus side;
+  exact cosine + per-query top-k runs on the probed subset only.
+
+At 100 TB the cell table is the only corpus-sized artifact and it
+never moves: searches shuffle |queries|*nprobe probe rows, ingests
+shuffle the batch. Recall is governed by nprobe exactly as in
+FAISS-style IVF; the recall contract is hash-checked by the
+ann_recall_report pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import sinks
+from ..functions import vectors as V
+from .lsh_state import _location
+
+STATE_BUCKETS = 8
+
+
+def _tables(name: str) -> tuple[str, str]:
+    return f"{name}_cells", f"{name}_centroids"
+
+
+def assign(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, cid): nearest-centroid argmax over the broadcast
+    k-row centroid table — ties to the lowest cid, matching the
+    trainer's assignment step so the oracle replays it."""
+    cos = V.cosine(F.col(vec_col), F.col("c_emb"))
+    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), "cid")
+    return (
+        vecs.crossJoin(F.broadcast(centroids.select("cid", "c_emb")))
+        .select(id_col, vec_col, "cid", cos.alias("_cos"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("cid", id_col, vec_col)
+    )
+
+
+def build(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    name: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_buckets: int = STATE_BUCKETS,
+) -> None:
+    """Materialize the IVF state (overwrite): the cell-assigned vector
+    table bucketed on cid + the centroid table. Training the centroids
+    is the CALLER's job (e.g. queries/similarity._lloyd_centroids) —
+    this module is layout plumbing, not ML."""
+    import shutil
+
+    spark = vecs.sparkSession
+    t_cells, t_cent = _tables(name)
+    for t in (t_cells, t_cent):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(_location(spark, t), ignore_errors=True)
+    assigned = assign(vecs, centroids, id_col, vec_col)
+    sinks.write_bucketed(
+        assigned, t_cells, ["cid"], num_buckets, path=_location(spark, t_cells)
+    )
+    (
+        centroids.select("cid", "c_emb")
+        .write.mode("overwrite")
+        .option("path", _location(spark, t_cent))
+        .saveAsTable(t_cent)
+    )
+
+
+def drop(spark: SparkSession, name: str) -> None:
+    import shutil
+
+    for t in _tables(name):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(_location(spark, t), ignore_errors=True)
+
+
+def attach(
+    spark: SparkSession,
+    name: str,
+    *,
+    num_buckets: int = STATE_BUCKETS,
+) -> None:
+    """Re-register the on-disk state in a fresh session's catalog
+    (bucket spec restated for the cell table — same day-2 contract as
+    lsh_state.attach; a persistent metastore makes this a no-op)."""
+    t_cells, t_cent = _tables(name)
+    if not spark.catalog.tableExists(t_cells):
+        schema = spark.read.parquet(_location(spark, t_cells)).schema
+        cols_sql = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema
+        )
+        spark.sql(
+            f"CREATE TABLE {t_cells} ({cols_sql}) USING parquet "
+            f"CLUSTERED BY (cid) INTO {num_buckets} BUCKETS "
+            f"LOCATION '{_location(spark, t_cells)}'"
+        )
+    if not spark.catalog.tableExists(t_cent):
+        spark.sql(
+            f"CREATE TABLE {t_cent} USING parquet "
+            f"LOCATION '{_location(spark, t_cent)}'"
+        )
+
+
+def ingest(
+    spark: SparkSession,
+    name: str,
+    batch: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    append: bool = True,
+    num_buckets: int = STATE_BUCKETS,
+) -> DataFrame:
+    """Assign a batch of new vectors to the frozen centroids and
+    (optionally) absorb them. Returns one (cid, id) row per NEW
+    vector; already-absorbed ids are excluded, so a replayed ingest is
+    exactly-once."""
+    t_cells, t_cent = _tables(name)
+    known = spark.table(t_cells).select(id_col)
+    new = batch.join(known, id_col, "left_anti")
+    assigned = assign(new, spark.table(t_cent), id_col, vec_col)
+    if append:
+        # report computed OFF the pre-append state; sever lineage
+        # before mutating the table it anti-joins (lsh_state lesson)
+        assigned = assigned.localCheckpoint(eager=True)
+        assigned.write.mode("append").format("parquet").bucketBy(
+            num_buckets, "cid"
+        ).saveAsTable(t_cells)
+    return assigned.select("cid", id_col)
+
+
+def search(
+    spark: SparkSession,
+    name: str,
+    queries: DataFrame,
+    *,
+    k: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe search: queries must carry (qid, q_emb). Returns
+    (qid, rnk, neighbor_id, cos_sim) — exact cosine over the probed
+    cells only, per-query top-k, self-matches excluded."""
+    t_cells, t_cent = _tables(name)
+    cent = spark.table(t_cent)
+    pcos = V.cosine(F.col("q_emb"), F.col("c_emb"))
+    wp = Window.partitionBy("qid").orderBy(F.col("_pcos").desc(), "cid")
+    probes = (
+        queries.crossJoin(F.broadcast(cent))
+        .select("qid", "q_emb", "cid", pcos.alias("_pcos"))
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select("qid", "q_emb", "cid")
+    )
+    cells = spark.table(t_cells)
+    cos = V.cosine(F.col("q_emb"), F.col(vec_col))
+    wk = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), id_col)
+    return (
+        probes.join(cells, "cid")
+        .filter(F.col("qid") != F.col(id_col))
+        .select("qid", id_col, cos.alias("_cos"))
+        .withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "qid",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col(id_col).alias("neighbor_id"),
+            F.round("_cos", 4).alias("cos_sim"),
+        )
+    )

@@ -364,7 +364,12 @@ _PRIORITY = [
     #   stratified quotas, RRF hybrid retrieval + nDCG/MRR eval,
     #   prefix-filtered tfidf all-pairs, layered decontam report,
     #   MinHash recall calibration, dedup threshold sweep
-    "corpus_perplexity_buckets", "text_vocab_coverage",
+    # (corpus_perplexity_buckets rotated below after its green r06 row
+    # — byte-unchanged since; its 100 TB approx sibling, which shares
+    # the bigram-LM pipeline and bucket semantics, holds a window slot
+    # above. Its slot funds ann_incremental_ivf, the persisted IVF
+    # index artifact's first driver evidence)
+    "ann_incremental_ivf", "text_vocab_coverage",
     "corpus_stratified_quota", "retrieval_rrf_fusion", "retrieval_eval_ndcg",
     "dedup_tfidf_allpairs", "decontam_union_report",
     "dedup_minhash_recall_report", "dedup_threshold_sweep",

@@ -1357,3 +1357,86 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REG["retrieval_eval_ndcg"].oracle = _eval_oracle()
+
+
+# --- persisted IVF index: the day-2 ANN artifact ----------------------
+EMB_INCR_MIN = 400       # vec_id >= 400 plays the newly-arrived batch
+IVF_STATE_NPROBE = 4
+IVF_STATE_K = 5
+
+
+@register(
+    "ann_incremental_ivf",
+    oracle=f"""
+    WITH ivf_base AS (SELECT vec_id, embedding FROM embeddings
+                      WHERE vec_id < {EMB_INCR_MIN}),
+    {_kmeans_ctes("ivf_base")},
+    cent AS (SELECT cid, c FROM cent{KMEANS_ITERS}),
+    s_all AS (SELECT v.vec_id, c.cid, {_cos_vc_sql('v', 'c')} AS cos
+              FROM embeddings v, cent c),
+    asg AS (SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, cid) AS rn
+              FROM s_all) WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, embedding FROM embeddings
+          WHERE vec_id % {QUERY_MOD} = 0),
+    ps AS (SELECT q.qid, c.cid, {_cos_vc_sql('q', 'c')} AS cos
+           FROM q, cent c),
+    probes AS (SELECT qid, cid FROM (
+                 SELECT qid, cid,
+                        row_number() OVER (PARTITION BY qid
+                                           ORDER BY cos DESC, cid) AS rn
+                 FROM ps) WHERE rn <= {IVF_STATE_NPROBE}),
+    cand AS (SELECT p.qid, a.vec_id FROM probes p JOIN asg a USING (cid)
+             WHERE a.vec_id <> p.qid),
+    sc AS (SELECT cnd.qid, cnd.vec_id, {_COS_SQL} AS cos
+           FROM cand cnd
+           JOIN embeddings a ON a.vec_id = cnd.qid
+           JOIN embeddings b ON b.vec_id = cnd.vec_id),
+    r AS (SELECT qid, vec_id, cos,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos DESC, vec_id) AS rn
+          FROM sc)
+    SELECT qid, CAST(rn AS INT) AS rnk, vec_id AS neighbor_id,
+           round(cos, 4) AS cos_sim
+    FROM r WHERE rn <= {IVF_STATE_K}
+    """,
+    doc="Persisted IVF index end-to-end (operators/ivf_state — the ANN "
+        "sibling of the LSH dedup artifact): centroids train once on "
+        f"the initial corpus (vec_id < {EMB_INCR_MIN}, the same "
+        "DECIMAL-exact distributed Lloyd's as ann_ivf_kmeans), the "
+        "cell-assigned vector table persists ON DISK bucketed by cid, "
+        f"the day-2 batch (vec_id >= {EMB_INCR_MIN}) ingests against "
+        "the FROZEN centroids (anti-join replay idempotence), and "
+        f"search probes {IVF_STATE_NPROBE} of {N_CELLS} cells per "
+        "query with a cid equi-join the bucket layout serves "
+        "exchange-free on the corpus side — exact cosine + top-"
+        f"{IVF_STATE_K} on the probed subset only. State rebuilt per "
+        "run only for driver hermeticity (same posture as "
+        "dedup_incremental_minhash); day-2 ingest/search against "
+        "yesterday's state is pinned in tests/test_ivf_state.py. The "
+        "oracle replays training, frozen assignment, probe selection "
+        "and scoring.",
+)
+def ann_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from ..operators import ivf_state
+
+    emb = table(spark, sf_dir, "embeddings")
+    name = "ivf_incr_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = emb.filter(F.col("vec_id") < EMB_INCR_MIN).select("vec_id", "embedding")
+    cent = _lloyd_centroids(base)
+    ivf_state.build(base, cent, name)
+    ivf_state.ingest(
+        spark,
+        name,
+        emb.filter(F.col("vec_id") >= EMB_INCR_MIN).select("vec_id", "embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    return ivf_state.search(
+        spark, name, queries, k=IVF_STATE_K, nprobe=IVF_STATE_NPROBE
+    )

@@ -1,0 +1,115 @@
+"""Persisted IVF state (operators/ivf_state): the day-2 ANN artifact —
+build once, attach tomorrow, ingest batches against frozen centroids,
+search exchange-free on the corpus side."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from deep_field_spark.catalog import table
+from deep_field_spark.operators import ivf_state
+from deep_field_spark.queries.similarity import (
+    EMB_INCR_MIN,
+    IVF_STATE_K,
+    IVF_STATE_NPROBE,
+    _lloyd_centroids,
+)
+
+
+@pytest.fixture()
+def state_name(spark):
+    name = f"ivfst_{uuid.uuid4().hex[:8]}"
+    yield name
+    ivf_state.drop(spark, name)
+
+
+def _built(spark, sf_dir, name):
+    emb = table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < EMB_INCR_MIN).select("vec_id", "embedding")
+    ivf_state.build(base, _lloyd_centroids(base), name)
+    return emb
+
+
+def test_ingest_is_exactly_once_and_search_sees_new_vectors(
+    spark, sf_dir, state_name
+):
+    emb = _built(spark, sf_dir, state_name)
+    batch = emb.filter(
+        (F.col("vec_id") >= EMB_INCR_MIN) & (F.col("vec_id") < EMB_INCR_MIN + 50)
+    ).select("vec_id", "embedding")
+    r1 = ivf_state.ingest(spark, state_name, batch)
+    assert r1.count() == 50
+    # replay: all ids already absorbed -> empty report, no double rows
+    assert ivf_state.ingest(spark, state_name, batch).count() == 0
+    cells = spark.table(f"{state_name}_cells")
+    assert cells.count() == EMB_INCR_MIN + 50
+    assert cells.groupBy("vec_id").count().filter(F.col("count") > 1).count() == 0
+
+    # a query near an ingested vector must be able to retrieve it:
+    # query WITH the ingested vector itself (self excluded) — its
+    # top-k comes from the probed cells including batch members
+    q = emb.filter(F.col("vec_id") == EMB_INCR_MIN).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    res = ivf_state.search(
+        spark, state_name, q, k=IVF_STATE_K, nprobe=IVF_STATE_NPROBE
+    )
+    rows = res.collect()
+    assert len(rows) == IVF_STATE_K
+    assert all(r.neighbor_id != EMB_INCR_MIN for r in rows)
+
+
+def test_attach_reregisters_and_search_matches(spark, sf_dir, state_name):
+    emb = _built(spark, sf_dir, state_name)
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    expect = {
+        (r.qid, r.rnk, r.neighbor_id, r.cos_sim)
+        for r in ivf_state.search(
+            spark, state_name, q, k=IVF_STATE_K, nprobe=IVF_STATE_NPROBE
+        ).collect()
+    }
+    for t in (f"{state_name}_cells", f"{state_name}_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    ivf_state.attach(spark, state_name)
+    got = {
+        (r.qid, r.rnk, r.neighbor_id, r.cos_sim)
+        for r in ivf_state.search(
+            spark, state_name, q, k=IVF_STATE_K, nprobe=IVF_STATE_NPROBE
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_search_reads_cells_exchange_free(spark, sf_dir, state_name):
+    """The probe join's corpus side must be served by the bucket
+    layout: no Exchange directly above the cell-table scan."""
+    emb = _built(spark, sf_dir, state_name)
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            ivf_state.search(
+                spark, state_name, q, k=IVF_STATE_K, nprobe=IVF_STATE_NPROBE
+            )
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    lines = plan.splitlines()
+    scans = [
+        i for i, l in enumerate(lines)
+        if "FileScan" in l and f"{state_name}_cells" in l
+    ]
+    assert scans, plan
+    for i in scans:
+        above = "\n".join(lines[max(0, i - 2): i])
+        assert "Exchange" not in above, plan
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan

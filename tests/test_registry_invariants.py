@@ -78,6 +78,7 @@ def test_round7_window_slots():
     for q in (
         # round-7 first-evidence set
         "multimodal_audio_rms", "corpus_perplexity_buckets_approx",
+        "corpus_weighted_sample", "ann_incremental_ivf",
         # round-7 changed-semantics set
         "dedup_containment", "retrieval_eval_ndcg",
         "q18_large_volume_customer",
@@ -87,7 +88,7 @@ def test_round7_window_slots():
         "join_inner_dim",
         # reference-core flagship + round-6 keeps
         "scrape_core_resolved_plays", "corpus_split_leakage",
-        "corpus_weighted_sample", "dedup_incremental_minhash",
+        "dedup_incremental_minhash",
         "events_resample_gapfill", "multimodal_decode_real",
         "dedup_embedding_cosine", "variant_props_events",
         "embedding_pq_codes", "decontam_embedding",
