@@ -156,6 +156,7 @@ HEADLINE = [
     "multimodal_arrow_meta",
     "multimodal_decode_real",
     "multimodal_audio_rms",
+    "multimodal_video_luma",
     "udaf_grouped_pandas",
     "cogrouped_map_asof",
     "map_funcs_events",

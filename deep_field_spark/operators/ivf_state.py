@@ -200,3 +200,54 @@ def search(
             F.round("_cos", 4).alias("cos_sim"),
         )
     )
+
+
+def foreach_batch_ingest(
+    stream_df: DataFrame,
+    name: str,
+    report_path: str,
+    checkpoint: str,
+    **ingest_kwargs,
+):
+    """Streaming day-2 vector ingestion (same contract as
+    lsh_state.foreach_batch_ingest): each micro-batch of new vectors
+    is assigned to the frozen centroids and absorbed; the per-batch
+    assignment report lands in ``{report_path}/batch_id={id}`` BEFORE
+    the state append, with the empty-replay guard protecting an
+    already-committed report from a crash-replayed batch."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        dest = f"{report_path}/batch_id={batch_id}"
+        report = ingest(spark, name, batch_df, append=False, **ingest_kwargs)
+        report = report.localCheckpoint(eager=True)
+        if report.isEmpty():
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(f"{dest}/_SUCCESS")
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(p):
+                return
+            report.write.mode("overwrite").parquet(dest)
+            return
+        report.write.mode("overwrite").parquet(dest)
+        # absorb AFTER the report is durable. The absorbed rows carry
+        # the embeddings, which the read-only report dropped — re-derive
+        # them by joining the report ids back to the batch (cheap; the
+        # batch is the small side by definition)
+        id_col = ingest_kwargs.get("id_col", "vec_id")
+        vec_col = ingest_kwargs.get("vec_col", "embedding")
+        absorbed = report.join(batch_df.select(id_col, vec_col), id_col).select(
+            "cid", id_col, vec_col
+        )
+        absorbed.write.mode("append").format("parquet").bucketBy(
+            ingest_kwargs.get("num_buckets", STATE_BUCKETS), "cid"
+        ).saveAsTable(_tables(name)[0])
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -158,7 +158,12 @@ _PRIORITY = [
     # rows — Jaccard stays in-window via dedup_minhash_lsh and the
     # incremental twin; its slot funds the round-6 hash-checked REAL
     # image decode, the multimodal family's first non-rows-only row)
-    "multimodal_decode_real",
+    # (multimodal_decode_real rotated below after its green r06 row —
+    # byte-unchanged since; the round-7 audio and video siblings in
+    # the window exercise the same Arrow-batched real-decode surface
+    # on two MORE container formats. Its slot funds the Y4M video
+    # luma row, completing the codec-free decode trio's evidence)
+    "multimodal_video_luma",
     # r6: dedup_embedding_cosine now plants near-dup twins (its four
     # prior green rows were empty-vs-empty; this round's row is the
     # first non-vacuous evidence) — keep it in-window.

@@ -113,3 +113,42 @@ def test_search_reads_cells_exchange_free(spark, sf_dir, state_name):
         above = "\n".join(lines[max(0, i - 2): i])
         assert "Exchange" not in above, plan
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+
+
+def test_streaming_ingest_foreach_batch(spark, sf_dir, state_name, tmp_path):
+    """Streaming vector arrival: micro-batches assign against frozen
+    centroids and absorb; per-batch reports land batch-id-keyed; a
+    second availableNow pass over the same files ingests nothing new
+    and leaves the original reports intact."""
+    import os
+
+    emb = _built(spark, sf_dir, state_name)
+    vecs = emb.select("vec_id", "embedding")
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+    vecs.filter(
+        (F.col("vec_id") >= EMB_INCR_MIN) & (F.col("vec_id") < EMB_INCR_MIN + 60)
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f1")
+    reports = str(tmp_path / "reports")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = spark.readStream.schema(vecs.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{src}/*")
+    q = ivf_state.foreach_batch_ingest(stream, state_name, reports, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(reports)
+    assert got.count() == 60
+    cells = spark.table(f"{state_name}_cells")
+    assert cells.count() == EMB_INCR_MIN + 60
+    assert cells.groupBy("vec_id").count().filter(F.col("count") > 1).count() == 0
+
+    # replay pass over the same files: nothing new, no duplicates
+    stream2 = spark.readStream.schema(vecs.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{src}/*")
+    q2 = ivf_state.foreach_batch_ingest(stream2, state_name, reports, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(reports).count() == 60
+    assert spark.table(f"{state_name}_cells").count() == EMB_INCR_MIN + 60

@@ -79,6 +79,7 @@ def test_round7_window_slots():
         # round-7 first-evidence set
         "multimodal_audio_rms", "corpus_perplexity_buckets_approx",
         "corpus_weighted_sample", "ann_incremental_ivf",
+        "multimodal_video_luma",
         # round-7 changed-semantics set
         "dedup_containment", "retrieval_eval_ndcg",
         "q18_large_volume_customer",
@@ -89,7 +90,7 @@ def test_round7_window_slots():
         # reference-core flagship + round-6 keeps
         "scrape_core_resolved_plays", "corpus_split_leakage",
         "dedup_incremental_minhash",
-        "events_resample_gapfill", "multimodal_decode_real",
+        "events_resample_gapfill",
         "dedup_embedding_cosine", "variant_props_events",
         "embedding_pq_codes", "decontam_embedding",
         "text_countmin_freq", "join_skew_salted",
