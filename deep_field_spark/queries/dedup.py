@@ -1194,26 +1194,44 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cand = cand_band.unionAll(cand_anchor).distinct()
-    both = cand.select(
-        F.col("id_a").alias("doc_id"), F.col("id_b").alias("other_id")
-    ).unionAll(
-        cand.select(F.col("id_b").alias("doc_id"), F.col("id_a").alias("other_id"))
-    )
-    scored = (
-        both.join(sh, "doc_id")
+    # score each pair ONCE (one array_intersect, one join per side),
+    # then fan out the two asymmetric directions from the shared
+    # intersection size — same values as the oracle's per-direction
+    # CTE, half the array work and half the shingle-array join width
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    sized = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
         .join(
-            sh.select(
-                F.col("doc_id").alias("other_id"),
-                F.col("shingles").alias("sh_other"),
-            ),
-            "other_id",
+            sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
         )
-        .withColumn(
-            "containment",
-            F.size(F.array_intersect("shingles", "sh_other")).cast("double")
-            / F.size("shingles"),
+        .select(
+            "id_a",
+            "id_b",
+            (inter / F.size("sh_a")).alias("c_ab"),
+            (inter / F.size("sh_b")).alias("c_ba"),
         )
-        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+    scored = sized.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("doc_id"),
+                    F.col("id_b").alias("other_id"),
+                    F.col("c_ab").alias("containment"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("doc_id"),
+                    F.col("id_a").alias("other_id"),
+                    F.col("c_ba").alias("containment"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.doc_id", "d.other_id", "d.containment").filter(
+        F.col("containment") >= CONTAINMENT_THRESHOLD
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("containment"), F.asc("other_id"))
     return (
