@@ -152,6 +152,7 @@ HEADLINE = [
     "ann_incremental_ivf",
     "dedup_semantic",
     "embedding_quantize_int8",
+    "embedding_hard_negatives",
     "multimodal_frame_sample",
     "multimodal_arrow_meta",
     "multimodal_decode_real",

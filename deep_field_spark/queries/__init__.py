@@ -266,7 +266,12 @@ _PRIORITY = [
     # sampling stays in-window via corpus_shuffle_assign and
     # corpus_mixture_plan; its slot funds the round-6 embedding-space
     # decontamination, the paraphrase case n-gram decontam misses)
-    "decontam_embedding",
+    # (decontam_embedding rotated below after its green r06 row —
+    # decontam_union_report, in-window below, COMPOSES the embedding
+    # layer verbatim with the other two, so the machinery keeps a
+    # strict-superset slot. Its slot funds embedding_hard_negatives,
+    # the contrastive-pair miner's first driver evidence)
+    "embedding_hard_negatives",
     # (corpus_shuffle_assign, decontam_exact_substring,
     # curation_boilerplate_ngrams and text_token_entropy rotated below
     # after green r04/r05 rows each — their four slots fund tpch

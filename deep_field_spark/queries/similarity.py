@@ -1440,3 +1440,84 @@ def ann_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_state.search(
         spark, name, queries, k=IVF_STATE_K, nprobe=IVF_STATE_NPROBE
     )
+
+
+# --- contrastive pair mining ------------------------------------------
+HN_K = 3  # positives / hard negatives kept per anchor
+
+
+@register(
+    "embedding_hard_negatives",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, label, {_bucket_sql('embeddings')} AS bucket
+      FROM embeddings),
+    cand AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CASE WHEN a.label = b.label THEN 'positive'
+                  ELSE 'hard_negative' END AS role,
+             {_COS_SQL} AS cos
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      WHERE a.vec_id % {QUERY_MOD} = 0)
+    SELECT query_id, role, CAST(rn AS INT) AS rnk, neighbor_id,
+           round(cos, 4) AS cos_sim
+    FROM (SELECT query_id, role, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id, role
+                                    ORDER BY cos DESC, neighbor_id) AS rn
+          FROM cand)
+    WHERE rn <= {HN_K}
+    """,
+    doc="Contrastive-pair mining for embedding training: per anchor, "
+        f"the top-{HN_K} nearest SAME-label candidates (positives) and "
+        f"top-{HN_K} nearest DIFFERENT-label candidates (hard "
+        "negatives — near in embedding space, wrong by ground truth: "
+        "the examples a contrastive loss learns most from). Candidates "
+        "come from the hyperplane-LSH bucket join (mining negatives "
+        "from an ANN structure is the standard recipe — approximate "
+        "candidates are the point, not a compromise), so cost tracks "
+        "bucket collisions, never corpus². One window keyed "
+        "(anchor, role) ranks both lists in a single pass. At 100 TB "
+        "swap the candidate source for the persisted IVF state "
+        "(ivf_state.search) unchanged downstream.",
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding", "label"
+    )
+    bucketed = emb.withColumn(
+        "bucket", vectors.hyperplane_sign_bucket(F.col("embedding"), DIM, N_PLANES)
+    )
+    a = bucketed.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+        "bucket",
+    )
+    cand = a.join(bucketed, "bucket").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    cos = vectors.cosine(F.col("q_emb"), F.col("embedding"))
+    role = F.when(F.col("q_label") == F.col("label"), "positive").otherwise(
+        "hard_negative"
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        role.alias("role"),
+        cos.alias("_cos"),
+    )
+    w = Window.partitionBy("query_id", "role").orderBy(
+        F.col("_cos").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HN_K)
+        .select(
+            "query_id",
+            "role",
+            F.col("rn").cast("int").alias("rnk"),
+            "neighbor_id",
+            F.round("_cos", 4).alias("cos_sim"),
+        )
+    )

@@ -261,3 +261,32 @@ def test_replayed_batch_keeps_original_report(spark, sf_dir, state_name, tmp_pat
     assert replay.count() == 0
     kept = spark.read.parquet(dest)
     assert {(r.doc_id, r.dup_of, r.jaccard) for r in kept.collect()} == want
+
+
+def test_configurable_state_root(spark, sf_dir, state_name, tmp_path):
+    """spark.deepfield.lshStateRoot redirects BOTH state artifacts
+    (LSH + IVF share the resolver): the production day-2 posture where
+    the root is durable shared storage instead of the app-id temp
+    default. Files must land under the configured root and ingest must
+    work against them."""
+    from deep_field_spark.operators import lsh_state
+
+    root = str(tmp_path / "durable_state_root")
+    spark.conf.set(lsh_state.ROOT_CONF, root)
+    try:
+        docs = table(spark, sf_dir, "documents")
+        lsh_state.build(docs.filter(F.col("doc_id") < 100), state_name, **{
+            k: v for k, v in KW.items() if k != "threshold"
+        })
+        import os
+        assert os.path.isdir(f"{root}/{state_name}_bands")
+        assert os.path.isdir(f"{root}/{state_name}_shingles")
+        got = lsh_state.ingest(
+            spark, state_name,
+            docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 120)),
+            append=False, **KW,
+        )
+        assert got.count() == 20
+    finally:
+        lsh_state.drop(spark, state_name)
+        spark.conf.unset(lsh_state.ROOT_CONF)

@@ -79,7 +79,7 @@ def test_round7_window_slots():
         # round-7 first-evidence set
         "multimodal_audio_rms", "corpus_perplexity_buckets_approx",
         "corpus_weighted_sample", "ann_incremental_ivf",
-        "multimodal_video_luma",
+        "multimodal_video_luma", "embedding_hard_negatives",
         # round-7 changed-semantics set
         "dedup_containment", "retrieval_eval_ndcg",
         "q18_large_volume_customer",
@@ -92,7 +92,7 @@ def test_round7_window_slots():
         "dedup_incremental_minhash",
         "events_resample_gapfill",
         "dedup_embedding_cosine", "variant_props_events",
-        "embedding_pq_codes", "decontam_embedding",
+        "embedding_pq_codes",
         "text_countmin_freq", "join_skew_salted",
         "unpivot_part_metrics", "curation_quality_train",
         "graph_pagerank", "q4_order_priority", "q14_promo_revenue",
