@@ -115,6 +115,7 @@ HEADLINE = [
     "curation_source_profile",
     "decontam_ngram_overlap",
     "corpus_split_assign",
+    "corpus_split_dedup_aware",
     "pii_redact",
     "corpus_pack_sequences",
     "corpus_mixture_sample",

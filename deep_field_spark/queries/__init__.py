@@ -169,7 +169,12 @@ _PRIORITY = [
     # first non-vacuous evidence) — keep it in-window.
     # dedup_incremental_minhash now drives the PERSISTED bucketed
     # LSH-state path (operators/lsh_state) — keep for fresh evidence.
-    "dedup_embedding_cosine", "dedup_incremental_minhash",
+    # (dedup_embedding_cosine rotated below after its first
+    # NON-VACUOUS green row in r06 (planted twins) — byte-unchanged
+    # since; the embedding near-dup machinery stays in-window via the
+    # hard-negative miner and the IVF artifact. Its slot funds
+    # corpus_split_dedup_aware, the leakage-PROOF split assigner)
+    "corpus_split_dedup_aware", "dedup_incremental_minhash",
     # round-5: corpus-internal exact-substring dedup. The runs stage
     # (dedup_exact_substring_runs) rotated below after its green r05
     # row — dedup_dup_span_removal COMPOSES those runs into per-doc

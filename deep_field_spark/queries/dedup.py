@@ -1624,3 +1624,87 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_docs_flagged", F.lit(0)).alias("n_docs_flagged"),
         )
     )
+
+
+# --- dedup-aware split assignment --------------------------------------
+# corpus_split_assign hashes each doc independently, so two near-dup
+# docs can land on opposite sides of the train/test boundary — the
+# leakage corpus_split_leakage AUDITS, this query PREVENTS: hash the
+# near-dup CLUSTER id instead of the doc id, so a whole cluster moves
+# as one unit and cross-split near-dup leakage is zero by construction.
+
+
+@register(
+    "corpus_split_dedup_aware",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CAND_CTE},
+    {_COMPONENTS_CLOSURE},
+    g AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_key
+          FROM documents d LEFT JOIN comp c USING (doc_id)),
+    h AS (SELECT doc_id, group_key,
+                 md5(CAST(group_key AS VARCHAR)) AS h
+          FROM g),
+    b AS (SELECT doc_id, group_key, {{bucket_sql}} AS bucket FROM h)
+    SELECT doc_id, group_key, bucket,
+           CASE WHEN bucket < {{train_lt}} THEN 'train'
+                WHEN bucket < {{val_lt}} THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    doc="Leakage-proof train/val/test assignment: docs are bucketed by "
+        "the md5 of their near-dup CLUSTER id (connected components "
+        "over the MinHash pair set; singletons use their own doc_id), "
+        "so every near-dup cluster lands in one split and the "
+        "cross-split contamination corpus_split_leakage audits is "
+        "structurally impossible for pairs the candidate generation "
+        "sees. Same 0..255 bucket arithmetic and ~80/10/10 boundaries "
+        "as corpus_split_assign — a drop-in replacement whose only "
+        "extra cost is the components pass dedup already runs. The "
+        "oracle recomputes the exact recursive-CTE closure and replays "
+        "the bucket arithmetic.",
+)
+def corpus_split_dedup_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+    from .curation import TRAIN_LT, VAL_LT
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, "text", "doc_id",
+        ngram=NGRAM, num_hashes=NUM_HASHES, bands=BANDS,
+        threshold=MINHASH_THRESHOLD,
+    )
+    comp = connected_components(pairs).select(
+        F.col("v").alias("doc_id"), F.col("comp").alias("component")
+    )
+    g = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("group_key"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("group_key").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    b = g.select("doc_id", "group_key", bucket.alias("bucket"))
+    return b.select(
+        "doc_id",
+        "group_key",
+        "bucket",
+        F.when(F.col("bucket") < TRAIN_LT, "train")
+        .when(F.col("bucket") < VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def _finalize_split_dedup_aware_oracle() -> None:
+    from . import REGISTRY
+    from .curation import _BUCKET_FROM_H_SQL, TRAIN_LT, VAL_LT
+
+    REGISTRY["corpus_split_dedup_aware"].oracle = (
+        REGISTRY["corpus_split_dedup_aware"].oracle
+        .replace("{bucket_sql}", _BUCKET_FROM_H_SQL)
+        .replace("{train_lt}", str(TRAIN_LT))
+        .replace("{val_lt}", str(VAL_LT))
+    )
+
+
+_finalize_split_dedup_aware_oracle()

@@ -91,3 +91,34 @@ def test_anchor_path_is_load_bearing(spark, sf_dir):
         "every planted quote pair band-collided — twins are not "
         "sub-band-reach; lower QUOTE_TOKENS"
     )
+
+
+def test_dedup_aware_split_has_zero_candidate_leakage(spark, sf_dir):
+    """The structural guarantee: no MinHash candidate pair may straddle
+    a split boundary under corpus_split_dedup_aware (the plain
+    per-doc split has no such guarantee — that asymmetry is the
+    query's reason to exist)."""
+    from deep_field_spark.operators import dedup as D
+    from deep_field_spark.queries.dedup import (
+        BANDS,
+        MINHASH_THRESHOLD,
+        NUM_HASHES,
+        corpus_split_dedup_aware,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, "text", "doc_id",
+        ngram=NGRAM, num_hashes=NUM_HASHES, bands=BANDS,
+        threshold=MINHASH_THRESHOLD,
+    )
+    split = corpus_split_dedup_aware(spark, sf_dir).select("doc_id", "split")
+    a = split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("s_a"))
+    b = split.select(F.col("doc_id").alias("id_b"), F.col("split").alias("s_b"))
+    crossers = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .filter(F.col("s_a") != F.col("s_b"))
+        .count()
+    )
+    assert pairs.count() > 0  # non-vacuous
+    assert crossers == 0
