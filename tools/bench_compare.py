@@ -1,0 +1,67 @@
+"""Diff two bench runs: per-query regressions/improvements + totals.
+
+    python tools/bench_compare.py OLD.json NEW.json [--thresh 1.2 --abs 0.3]
+
+Accepts either a raw bench.py stdout line (the full JSON with
+"queries") or a driver BENCH_r{N}.json wrapper (falls back to
+whatever per-query timings are recoverable from its captured tail).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+
+def _timings(path: str) -> dict[str, float]:
+    raw = open(path).read()
+    try:
+        d = json.loads(raw)
+    except json.JSONDecodeError:
+        d = None
+    if isinstance(d, dict) and "queries" in d:
+        return dict(d["queries"])
+    if isinstance(d, dict) and "tail" in d:  # driver wrapper
+        out: dict[str, float] = {}
+        for k, v in re.findall(r'"([a-z0-9_.]+)": ([0-9.]+)', d["tail"]):
+            if k not in ("value", "sf", "n_queries"):
+                out[k] = float(v)
+        return out
+    # raw bench stdout: take the first line with "queries"
+    for line in raw.splitlines():
+        if '"queries"' in line:
+            return dict(json.loads(line)["queries"])
+    raise SystemExit(f"no per-query timings found in {path}")
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = dict(
+        a.lstrip("-").split("=", 1) if "=" in a else (a.lstrip("-"), True)
+        for a in sys.argv[1:] if a.startswith("--")
+    )
+    thresh = float(opts.get("thresh", 1.2))
+    abs_floor = float(opts.get("abs", 0.3))
+    old, new = _timings(args[0]), _timings(args[1])
+    common = sorted(set(old) & set(new))
+    so, sn = sum(old[k] for k in common), sum(new[k] for k in common)
+    print(f"common {len(common)} queries: {so:.1f}s -> {sn:.1f}s "
+          f"({(sn - so) / so * 100:+.1f}%)")
+    for title, pred in (
+        ("REGRESSIONS", lambda a, b: b > a * thresh and b - a > abs_floor),
+        ("IMPROVEMENTS", lambda a, b: a > b * thresh and a - b > abs_floor),
+    ):
+        rows = [(k, old[k], new[k]) for k in common if pred(old[k], new[k])]
+        rows.sort(key=lambda t: -abs(t[2] - t[1]))
+        print(f"{title}: {len(rows)}")
+        for k, a, b in rows:
+            print(f"  {a:7.2f} -> {b:7.2f}  {k}")
+    only_new = sorted(set(new) - set(old))
+    if only_new:
+        print(f"NEW ({len(only_new)}): " + ", ".join(
+            f"{k}={new[k]:.2f}" for k in only_new))
+
+
+if __name__ == "__main__":
+    main()
