@@ -837,3 +837,52 @@ def test_perplexity_approx_has_no_sort_anywhere(spark, sf_dir):
     assert "Window" not in plan, plan
     assert "ObjectHashAggregate" in plan  # the percentile_approx sketch
     assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["multimodal_audio_rms", "multimodal_video_luma"]
+)
+def test_real_decode_rows_are_arrow_batched_map_in_pandas(spark, sf_dir, name):
+    """The codec-free decode trio runs inside ONE Arrow-batched
+    MapInPandas stage — never row-at-a-time Python — and the feature
+    math after it is plain column algebra (no second Python stage)."""
+    plan = _plan(spark, sf_dir, name)
+    assert plan.count("MapInPandas") == 1, plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time worker
+
+
+def test_weighted_sample_is_two_stage_sharded_topk(spark, sf_dir):
+    """corpus_weighted_sample must keep the sharded top-k shape: a
+    per-(source, shard) pre-rank window plus the per-source merge
+    window — exactly two Windows, both partitioned — so no source ever
+    streams through one task at full width."""
+    plan = _plan(spark, sf_dir, "corpus_weighted_sample")
+    assert plan.count("Window [") == 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_candidates_are_bucket_equijoin(spark, sf_dir):
+    """embedding_hard_negatives: candidates come from the LSH bucket
+    equi-join — no cartesian, no nested-loop; one (anchor, role)
+    window ranks both lists."""
+    plan = _plan(spark, sf_dir, "embedding_hard_negatives")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window [") == 1, plan
+
+
+def test_perplexity_twins_agree_on_thirds_counts(spark, sf_dir):
+    """Cross-check the approx bucketing against its exact rank twin:
+    per (source, bucket) doc counts must match EXACTLY — the approx
+    query's n_docs is integer thirds arithmetic, and the exact twin's
+    rank split realizes the same thirds."""
+    exact = {
+        (r.source, r.bucket): r.n_docs
+        for r in REGISTRY["corpus_perplexity_buckets"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.source, r.bucket): r.n_docs
+        for r in REGISTRY["corpus_perplexity_buckets_approx"].fn(spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    assert exact == approx
