@@ -50,6 +50,7 @@ HEADLINE = [
     "incr_agg_refresh",
     "table_snapshot_diff",
     "dq_key_skew_profile",
+    "dq_distribution_drift",
     "scan_filter_project",
     "join_inner_dim",
     "join_semi",
@@ -74,6 +75,7 @@ HEADLINE = [
     "events_funnel_steps",
     "events_cohort_retention",
     "events_anomaly_zscore",
+    "events_anomaly_mad",
     "events_transition_matrix",
     "events_scd2_intervals",
     "events_resample_gapfill",

@@ -98,7 +98,12 @@ _PRIORITY = [
     # per query and is re-verified locally every pytest run; their
     # three slots fund the round-6 retrieval-eval pair and the
     # snapshot-diff op)
-    "events_resample_gapfill",
+    # (events_resample_gapfill rotated below after its green r06 row —
+    # byte-unchanged since; the events family's window slot goes to the
+    # round-7 MAD anomaly detector, the same grouped-agg + broadcast-
+    # back shape over the same table with a robustness story the
+    # z-score twin lacks)
+    "events_anomaly_mad",
     # (streaming_static_enrich rotated below after its green r05 row —
     # three streaming rows stay in-window (session window, stateful
     # counts, stream-stream join) and the static-enrich join shape is
@@ -197,7 +202,12 @@ _PRIORITY = [
     # ann_recall_report, which joins multiprobe against the brute-force
     # truth per query, is a strict superset check and stays in-window;
     # the slot funds the round-6 VARIANT semi-structured extraction)
-    "variant_props_events",
+    # (variant_props_events rotated below after its green r06 row —
+    # byte-unchanged since, and the VARIANT/JSON function family is
+    # re-verified locally every pytest run. Its slot funds
+    # dq_distribution_drift, the PSI drift detector joining the
+    # warehouse-ops family)
+    "dq_distribution_drift",
     # (ann_ivf_cells rotated below after green r03/r04/r05 rows — its
     # trained twin ann_ivf_kmeans, a strict superset of the serving
     # shape, stays in-window; the slot funds the round-6 product-

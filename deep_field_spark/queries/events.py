@@ -589,3 +589,181 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.last("avg_value", ignorenulls=True).over(w).alias("value_ffill"),
     )
+
+
+# --- robust (MAD) anomaly detection ------------------------------------
+MAD_Z_CUT = 3.5  # Iglewicz-Hoaglin modified-z threshold
+MAD_C = 0.6745   # normal-consistency constant
+
+
+@register(
+    "events_anomaly_mad",
+    oracle=f"""
+    WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                 FROM events GROUP BY 1),
+    dev AS (SELECT e.event_id, e.event_type, e.value, m.med,
+                   abs(e.value - m.med) AS ad
+            FROM events e JOIN med m USING (event_type)),
+    mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+            FROM dev GROUP BY 1),
+    z AS (SELECT d.event_id, d.event_type, d.value,
+                 {MAD_C} * (d.value - d.med) / m.mad AS rz
+          FROM dev d JOIN mad m USING (event_type))
+    SELECT event_id, event_type, round(value, 4) AS value,
+           CAST(round(CAST(rz AS DECIMAL(28,14)), 4) AS DOUBLE) AS robust_z
+    FROM z WHERE abs(rz) > {MAD_Z_CUT}
+    """,
+    doc="Robust per-type anomaly detection via the Iglewicz-Hoaglin "
+        f"modified z-score: {MAD_C}*(v - median)/MAD with |z| > "
+        f"{MAD_Z_CUT} flagged. Unlike the mean/stddev z-score "
+        "(events_anomaly_zscore), the breakdown point is 50% — the "
+        "outliers cannot poison the location/scale estimates used to "
+        "detect them, which is the failure mode that makes plain "
+        "z-scores useless on heavy-tailed metrics. Two exact-median "
+        "grouped aggregates over a bounded type set (Spark percentile "
+        "== DuckDB quantile_cont, the established interpolation "
+        "parity) broadcast back onto the event stream; no window over "
+        "events, no sort. ~4% of rows flag on this corpus's "
+        "heavy-tailed value column — non-vacuous by the data itself.",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("ad", F.lit(0.5)).alias("mad")
+    )
+    rz = F.lit(MAD_C) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .withColumn("rz", rz)
+        .filter(F.abs(F.col("rz")) > MAD_Z_CUT)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            # decimal-round: a double round() diverges between engines
+            # when rz lands on a half-point (found live at sf0.1)
+            F.round(F.col("rz").cast("decimal(28,14)"), 4)
+            .cast("double")
+            .alias("robust_z"),
+        )
+    )
+
+
+# --- distribution drift (PSI) ------------------------------------------
+PSI_SPLIT_TS = "2024-01-16 00:00:00"  # reference = first half of January
+PSI_BINS = 10
+PSI_SMOOTH = 0.5  # Laplace half-count so empty bins can't blow up ln
+
+
+@register(
+    "dq_distribution_drift",
+    oracle=f"""
+    WITH ref AS (SELECT event_type, value FROM events
+                 WHERE ts < TIMESTAMP '{PSI_SPLIT_TS}'),
+    cur AS (SELECT event_type, value FROM events
+            WHERE ts >= TIMESTAMP '{PSI_SPLIT_TS}'),
+    cuts AS (SELECT event_type,
+                    quantile_cont(value,
+                        [{", ".join(str((i + 1) / PSI_BINS) for i in range(PSI_BINS - 1))}])
+                      AS cs
+             FROM ref GROUP BY 1),
+    rb AS (SELECT r.event_type,
+                  len(list_filter(c.cs, x -> x < r.value)) AS bin
+           FROM ref r JOIN cuts c USING (event_type)),
+    cb AS (SELECT u.event_type,
+                  len(list_filter(c.cs, x -> x < u.value)) AS bin
+           FROM cur u JOIN cuts c USING (event_type)),
+    grid AS (SELECT event_type, unnest(range(0, {PSI_BINS})) AS bin FROM cuts),
+    rn AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+           FROM rb GROUP BY 1, 2),
+    cn AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+           FROM cb GROUP BY 1, 2),
+    tot AS (SELECT event_type,
+                   CAST(sum(CASE WHEN src = 'r' THEN n ELSE 0 END) AS BIGINT) AS nr,
+                   CAST(sum(CASE WHEN src = 'c' THEN n ELSE 0 END) AS BIGINT) AS nc
+            FROM (SELECT event_type, n, 'r' AS src FROM rn
+                  UNION ALL SELECT event_type, n, 'c' FROM cn)
+            GROUP BY 1),
+    terms AS (
+      SELECT g.event_type,
+             (coalesce(c.n, 0) + {PSI_SMOOTH})
+               / (t.nc + {PSI_BINS} * {PSI_SMOOTH}) AS q,
+             (coalesce(r.n, 0) + {PSI_SMOOTH})
+               / (t.nr + {PSI_BINS} * {PSI_SMOOTH}) AS p
+      FROM grid g
+      LEFT JOIN rn r USING (event_type, bin)
+      LEFT JOIN cn c USING (event_type, bin)
+      JOIN tot t USING (event_type))
+    SELECT event_type,
+           any_value(t2.nr) AS n_ref, any_value(t2.nc) AS n_cur,
+           CAST(round(CAST(sum(CAST((q - p) * ln(q / p)
+                AS DECIMAL(28,18))) AS DECIMAL(28,18)), 6) AS DOUBLE) AS psi
+    FROM terms JOIN tot t2 USING (event_type)
+    GROUP BY event_type
+    """,
+    doc=f"Population-stability-index drift detection per event type: "
+        f"the value distribution of the current half-month is compared "
+        f"against the reference half on {PSI_BINS} equal-frequency "
+        "bins cut at the REFERENCE deciles (exact percentiles over the "
+        "bounded type set — the established interpolation parity), "
+        f"with {PSI_SMOOTH}-count Laplace smoothing so an empty bin "
+        "cannot blow up the log. PSI = sum((q-p)*ln(q/p)); < 0.1 "
+        "stable, 0.1-0.25 moderate, > 0.25 drifted (the standard "
+        "credit-scoring thresholds). Shape at 100 TB: two scans "
+        "reduce to (type, bin) counts via partial aggregation, the "
+        "decile table is |types| rows broadcast onto both streams, "
+        f"and the PSI fold is {PSI_BINS} DECIMAL-quantized terms per "
+        "type — no window, no sort, nothing corpus-sized moves.",
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "value", "ts")
+    split = F.lit(PSI_SPLIT_TS).cast("timestamp")
+    ref = ev.filter(F.col("ts") < split)
+    cur = ev.filter(F.col("ts") >= split)
+    qs = F.array(*[F.lit((i + 1) / PSI_BINS) for i in range(PSI_BINS - 1)])
+    cuts = ref.groupBy("event_type").agg(
+        F.percentile("value", qs).alias("cs")
+    )
+    def binned(side):
+        v = F.col("value")
+        return side.join(F.broadcast(cuts), "event_type").select(
+            "event_type",
+            F.size(F.filter(F.col("cs"), lambda c: c < v)).alias("bin"),
+        ).groupBy("event_type", "bin").agg(F.count("*").alias("n"))
+    rn = binned(ref)
+    cn = binned(cur)
+    grid = cuts.select(
+        "event_type",
+        F.explode(F.array(*[F.lit(i) for i in range(PSI_BINS)])).alias("bin"),
+    )
+    tot_r = rn.groupBy("event_type").agg(F.sum("n").alias("nr"))
+    tot_c = cn.groupBy("event_type").agg(F.sum("n").alias("nc"))
+    j = (
+        grid.join(rn.withColumnRenamed("n", "n_r"), ["event_type", "bin"], "left")
+        .join(cn.withColumnRenamed("n", "n_c"), ["event_type", "bin"], "left")
+        .join(F.broadcast(tot_r), "event_type")
+        .join(F.broadcast(tot_c), "event_type")
+    )
+    p = (F.coalesce(F.col("n_r"), F.lit(0)) + PSI_SMOOTH) / (
+        F.col("nr") + PSI_BINS * PSI_SMOOTH
+    )
+    q = (F.coalesce(F.col("n_c"), F.lit(0)) + PSI_SMOOTH) / (
+        F.col("nc") + PSI_BINS * PSI_SMOOTH
+    )
+    term = ((q - p) * F.log(q / p)).cast("decimal(28,18)")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.first("nr").alias("n_ref"),
+            F.first("nc").alias("n_cur"),
+            F.round(F.sum(term).cast("decimal(28,18)"), 6)
+            .cast("double")
+            .alias("psi"),
+        )
+    )
