@@ -140,6 +140,7 @@ HEADLINE = [
     "decontam_embedding",
     "decontam_union_report",
     "embedding_pq_codes",
+    "ann_pq_adc_search",
     "corpus_split_leakage",
     "corpus_novelty_profile",
     "graph_pagerank",

@@ -217,7 +217,12 @@ _PRIORITY = [
     # embedding_pq_codes, the strictly harder member of the same
     # compression family; its slot funds the round-6 tfidf all-pairs
     # similarity, the dense-corpus adversarial case)
-    "embedding_pq_codes",
+    # (embedding_pq_codes rotated below after its green r06 row —
+    # ann_pq_adc_search is its STRICT superset: the oracle replays the
+    # same subspace training and code assignment and then serves ADC
+    # lookups off the codes. The compression step stays in-window
+    # through the serving step that consumes it)
+    "ann_pq_adc_search",
     # round-5: trained-cells IVF (distributed Lloyd's) + SemDeDup-style
     # per-cell semantic prune — the LLM-curation capability the round-4
     # verdict ranked top-missing

@@ -907,6 +907,80 @@ def _pq_ctes() -> str:
     return ",\n    ".join(parts)
 
 
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, sub, sv): M contiguous double-cast subvectors per vector."""
+    return emb.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(m).alias("sub"),
+                    F.transform(
+                        F.slice("embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM),
+                        lambda x: x.cast("double"),
+                    ).alias("sv"),
+                )
+                for m in range(PQ_M)
+            ])
+        ).alias("t"),
+    ).select("vec_id", "t.sub", "t.sv")
+
+
+def _pq_d():
+    # built lazily: a module-level Column would require an active
+    # SparkContext at import time (F.col asserts one in pyspark 4)
+    return F.aggregate(
+        F.zip_with(F.col("sv"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, t: a + t,
+    )
+
+
+def _pq_codebooks(sv: DataFrame) -> DataFrame:
+    """(sub, cid, c): per-subspace codebooks — fixed-PQ_ITERS Lloyd's,
+    first-K init, DECIMAL-exact mean updates (oracle-unrolled)."""
+    cent = sv.filter(F.col("vec_id") < PQ_K).select(
+        "sub", F.col("vec_id").alias("cid"), F.col("sv").alias("c")
+    )
+    for _ in range(PQ_ITERS):
+        scores = sv.join(F.broadcast(cent), "sub").select(
+            "vec_id", "sub", "sv", "cid", _pq_d().alias("d")
+        )
+        w = Window.partitionBy("vec_id", "sub").orderBy("d", "cid")
+        assign = (
+            scores.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "sub", "sv", "cid")
+        )
+        pe = assign.select("sub", "cid", F.posexplode("sv").alias("pos", "x"))
+        sums = pe.groupBy("sub", "cid", "pos").agg(
+            F.sum(F.col("x").cast("decimal(28,9)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        comp = sums.select(
+            "sub", "cid", "pos", (F.col("s").cast("double") / F.col("n")).alias("v")
+        )
+        cent = (
+            comp.groupBy("sub", "cid")
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "v"))).alias("pp"))
+            .select("sub", "cid", F.col("pp.v").alias("c"))
+        )
+    return cent
+
+
+def _pq_assign(sv: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, sub, cid): nearest code per subspace (ties to low cid)."""
+    final = sv.join(F.broadcast(cent), "sub").select(
+        "vec_id", "sub", "cid", _pq_d().alias("d")
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("d", "cid")
+    return (
+        final.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "cid")
+    )
+
+
 @register(
     "embedding_pq_codes",
     oracle=f"""
@@ -942,62 +1016,9 @@ def _pq_ctes() -> str:
 )
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
-    sv = emb.select(
-        "vec_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(m).alias("sub"),
-                    F.transform(
-                        F.slice("embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM),
-                        lambda x: x.cast("double"),
-                    ).alias("sv"),
-                )
-                for m in range(PQ_M)
-            ])
-        ).alias("t"),
-    ).select("vec_id", "t.sub", "t.sv")
-
-    cent = sv.filter(F.col("vec_id") < PQ_K).select(
-        "sub", F.col("vec_id").alias("cid"), F.col("sv").alias("c")
-    )
-    d_expr = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("c"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda a, t: a + t,
-    )
-    for _ in range(PQ_ITERS):
-        scores = sv.join(F.broadcast(cent), "sub").select(
-            "vec_id", "sub", "sv", "cid", d_expr.alias("d")
-        )
-        w = Window.partitionBy("vec_id", "sub").orderBy("d", "cid")
-        assign = (
-            scores.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "sub", "sv", "cid")
-        )
-        pe = assign.select("sub", "cid", F.posexplode("sv").alias("pos", "x"))
-        sums = pe.groupBy("sub", "cid", "pos").agg(
-            F.sum(F.col("x").cast("decimal(28,9)")).alias("s"),
-            F.count("*").alias("n"),
-        )
-        comp = sums.select(
-            "sub", "cid", "pos", (F.col("s").cast("double") / F.col("n")).alias("v")
-        )
-        cent = (
-            comp.groupBy("sub", "cid")
-            .agg(F.sort_array(F.collect_list(F.struct("pos", "v"))).alias("pp"))
-            .select("sub", "cid", F.col("pp.v").alias("c"))
-        )
-    final = sv.join(F.broadcast(cent), "sub").select(
-        "vec_id", "sub", "cid", d_expr.alias("d")
-    )
-    w = Window.partitionBy("vec_id", "sub").orderBy("d", "cid")
-    fa = (
-        final.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "sub", "cid")
-    )
+    sv = _pq_subvectors(emb)
+    cent = _pq_codebooks(sv)
+    fa = _pq_assign(sv, cent)
     return fa.groupBy("vec_id").agg(
         *[
             F.sum(F.when(F.col("sub") == m, F.col("cid")))
@@ -1519,5 +1540,96 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rnk"),
             "neighbor_id",
             F.round("_cos", 4).alias("cos_sim"),
+        )
+    )
+
+
+# --- PQ asymmetric-distance (ADC) search -------------------------------
+ADC_K = 5
+
+
+@register(
+    "ann_pq_adc_search",
+    oracle=f"""
+    WITH {_pq_ctes()},
+    fs AS (
+      SELECT v.vec_id, v.sub, c.cid, {_pq_l2_sql('v', 'c')} AS d
+      FROM sv v JOIN pc{PQ_ITERS} c ON v.sub = c.sub),
+    fa AS (
+      SELECT vec_id, sub, cid FROM (
+        SELECT vec_id, sub, cid,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d, cid) AS rn
+        FROM fs) WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, sub, sv FROM sv
+          WHERE vec_id % {QUERY_MOD} = 0),
+    lut AS (SELECT q.qid, c.sub, c.cid, {_pq_l2_sql('q', 'c')} AS d
+            FROM q JOIN pc{PQ_ITERS} c ON q.sub = c.sub),
+    adc AS (SELECT l.qid, f.vec_id,
+                   sum(CAST(l.d AS DECIMAL(28,12))) AS adc_dec
+            FROM fa f JOIN lut l ON f.sub = l.sub AND f.cid = l.cid
+            WHERE f.vec_id <> l.qid
+            GROUP BY 1, 2),
+    adcx AS (SELECT qid, vec_id, CAST(adc_dec AS DOUBLE) AS adc,
+                    CAST(round(adc_dec, 6) AS DOUBLE) AS adc_r
+             FROM adc),
+    r AS (SELECT qid, vec_id, adc_r,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY adc, vec_id) AS rn
+          FROM adcx)
+    SELECT qid, CAST(rn AS INT) AS rnk, vec_id AS neighbor_id,
+           adc_r AS adc_dist
+    FROM r WHERE rn <= {ADC_K}
+    """,
+    doc="PQ serving path — asymmetric distance computation: each query "
+        f"precomputes a {PQ_M}x{PQ_K} lookup table of exact subvector-"
+        "to-centroid distances, and every corpus vector is scored as "
+        "the SUM OF TABLE LOOKUPS over its integer codes — the vector "
+        "itself is never touched at query time, which is why PQ "
+        "compresses a serving index ~50x. The per-(query, vector) sum "
+        "runs over DECIMAL-cast LUT entries so partial-agg order "
+        "cannot move a bit, making even the distance VALUES "
+        "hash-exact. Scan shape: the code table joins the broadcast "
+        "LUT on (sub, cid) — rows carry two ints and a double, never "
+        "embeddings. At 100 TB this runs after IVF cell pruning "
+        "(ivf_state.search supplies the candidate cells); here the "
+        "linear scan over codes is the point being proven. Completes "
+        "the IVF-PQ story: train (ann_ivf_kmeans), compress "
+        "(embedding_pq_codes), serve (this).",
+)
+def ann_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    sv = _pq_subvectors(emb)
+    cent = _pq_codebooks(sv)
+    fa = _pq_assign(sv, cent)
+    q = sv.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), "sub", "sv"
+    )
+    lut = q.join(F.broadcast(cent), "sub").select(
+        "qid", "sub", "cid", _pq_d().alias("d")
+    )
+    adc = (
+        fa.join(F.broadcast(lut), ["sub", "cid"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        # keep the sum DECIMAL through the round (the half-point
+        # double-round trap), order by the exact double form
+        .agg(F.sum(F.col("d").cast("decimal(28,12)")).alias("adc_dec"))
+        .select(
+            "qid",
+            "vec_id",
+            F.col("adc_dec").cast("double").alias("adc"),
+            F.round("adc_dec", 6).cast("double").alias("adc_r"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("adc", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ADC_K)
+        .select(
+            "qid",
+            F.col("rn").cast("int").alias("rnk"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("adc_r").alias("adc_dist"),
         )
     )

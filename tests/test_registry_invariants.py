@@ -81,7 +81,7 @@ def test_round7_window_slots():
         "corpus_weighted_sample", "ann_incremental_ivf",
         "multimodal_video_luma", "embedding_hard_negatives",
         "corpus_split_dedup_aware", "events_anomaly_mad",
-        "dq_distribution_drift",
+        "dq_distribution_drift", "ann_pq_adc_search",
         # round-7 changed-semantics set
         "dedup_containment", "retrieval_eval_ndcg",
         "q18_large_volume_customer",
@@ -92,7 +92,6 @@ def test_round7_window_slots():
         # reference-core flagship + round-6 keeps
         "scrape_core_resolved_plays", "corpus_split_leakage",
         "dedup_incremental_minhash",
-        "embedding_pq_codes",
         "text_countmin_freq", "join_skew_salted",
         "unpivot_part_metrics", "curation_quality_train",
         "graph_pagerank", "q4_order_priority", "q14_promo_revenue",
