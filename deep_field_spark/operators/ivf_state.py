@@ -145,7 +145,10 @@ def ingest(
     """Assign a batch of new vectors to the frozen centroids and
     (optionally) absorb them. Returns one (cid, id) row per NEW
     vector; already-absorbed ids are excluded, so a replayed ingest is
-    exactly-once."""
+    exactly-once ACROSS batches. The batch itself must be unique on
+    ``id_col`` — the anti-join can't see duplicates arriving together,
+    and both copies would be absorbed (same contract as
+    sinks.merge_upsert's check_unique; dedupe upstream)."""
     t_cells, t_cent = _tables(name)
     known = spark.table(t_cells).select(id_col)
     new = batch.join(known, id_col, "left_anti")

@@ -184,8 +184,11 @@ def ingest(
     above ``threshold`` (ties resolve to the best Jaccard, then the
     lowest state id — the same contract as dedup_incremental_minhash).
     Docs already absorbed into the state are excluded entirely, which
-    makes a replayed ingest exactly-once: candidates are emitted the
-    first time a doc is seen and never again.
+    makes a replayed ingest exactly-once ACROSS batches: candidates
+    are emitted the first time a doc is seen and never again. Within
+    one batch the ids must be unique — the anti-join can't see
+    duplicates arriving together (dedupe upstream, the merge_upsert
+    check_unique contract).
 
     ``on_report`` (append path only): called with the materialized
     report BEFORE the state appends run. A caller that persists the
