@@ -260,7 +260,15 @@ def main() -> None:
             continue
         q = reg[name]
         t0 = time.perf_counter()
-        n = q.fn(spark, sf_dir).count()
+        try:
+            n = q.fn(spark, sf_dir).count()
+        except Exception as e:  # noqa: BLE001 — one bad query must not
+            # sink the whole artifact; time still counts, error visible
+            dt = time.perf_counter() - t0
+            timings[name] = round(dt, 3)
+            total += dt
+            print(f"# {name}: ERROR after {dt:.2f}s: {e!r}", file=sys.stderr)
+            continue
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
