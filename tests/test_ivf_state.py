@@ -152,3 +152,85 @@ def test_streaming_ingest_foreach_batch(spark, sf_dir, state_name, tmp_path):
     q2.awaitTermination(120)
     assert spark.read.parquet(reports).count() == 60
     assert spark.table(f"{state_name}_cells").count() == EMB_INCR_MIN + 60
+
+
+def test_property_search_matches_python_reference(spark, tmp_path):
+    """Property: on arbitrary small integer vector sets (ties likely by
+    construction), ivf_state build+search returns EXACTLY what a
+    literal Python reference computes — same frozen-centroid
+    assignment, same probe selection, same (cos desc, id) ranking and
+    tie-breaks, self excluded."""
+    import uuid as _uuid
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    DIMS = 4
+    K, NPROBE, NCENT = 3, 2, 3
+
+    vec = st.lists(
+        st.integers(min_value=-3, max_value=3), min_size=DIMS, max_size=DIMS
+    ).filter(lambda v: any(x != 0 for x in v))
+
+    def _cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+        na = sum(float(x) * float(x) for x in a) ** 0.5
+        nb = sum(float(x) * float(x) for x in b) ** 0.5
+        return dot / (na * nb)
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(vecs=st.lists(vec, min_size=6, max_size=16))
+    def run(vecs):
+        name = f"ivfprop_{_uuid.uuid4().hex[:8]}"
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cent_rows = rows[:NCENT]
+        cent = spark.createDataFrame(
+            [(i, v) for i, v in cent_rows], "cid long, c_emb array<double>"
+        )
+        try:
+            ivf_state.build(df, cent.selectExpr("cid", "c_emb"), name)
+            qids = [r[0] for r in rows[: min(3, len(rows))]]
+            q = spark.createDataFrame(
+                [(i, v) for i, v in rows if i in qids],
+                "qid long, q_emb array<double>",
+            )
+            got = {
+                (r.qid, r.rnk, r.neighbor_id)
+                for r in ivf_state.search(
+                    spark, name, q, k=K, nprobe=NPROBE
+                ).collect()
+            }
+        finally:
+            ivf_state.drop(spark, name)
+
+        # literal reference
+        assign = {}
+        for i, v in rows:
+            best = min(
+                range(NCENT), key=lambda c: (-_cos(v, cent_rows[c][1]), c)
+            )
+            assign[i] = best
+        want = set()
+        for qid in qids:
+            qv = dict(rows)[qid]
+            probes = sorted(
+                range(NCENT), key=lambda c: (-_cos(qv, cent_rows[c][1]), c)
+            )[:NPROBE]
+            cands = [
+                i for i, _ in rows if assign[i] in probes and i != qid
+            ]
+            ranked = sorted(
+                cands, key=lambda i: (-_cos(qv, dict(rows)[i]), i)
+            )[:K]
+            for rk, nid in enumerate(ranked, start=1):
+                want.add((qid, rk, nid))
+        assert got == want
+
+    run()
