@@ -154,6 +154,7 @@ HEADLINE = [
     "ann_ivf_cells",
     "ann_ivf_kmeans",
     "ann_incremental_ivf",
+    "ann_ivf_recall",
     "dedup_semantic",
     "embedding_quantize_int8",
     "embedding_hard_negatives",

@@ -321,7 +321,12 @@ _PRIORITY = [
     # same frequency family; text_tfidf_topk rotated after green
     # r02/r04/r05 — text_bm25_search, its strict superset, stays
     # in-window; its slot funds the salted skew join)
-    "text_countmin_freq", "join_skew_salted",
+    # (text_countmin_freq rotated below after its green r06 row —
+    # byte-unchanged since; the mergeable-sketch family keeps local
+    # hypothesis coverage via the Misra-Gries superset test and the
+    # multi-green heavy-hitters row on file. Its slot funds
+    # ann_ivf_recall, the IVF recall/nprobe contract)
+    "ann_ivf_recall", "join_skew_salted",
     # round-5: Okapi BM25 top-k retrieval and DSIR hashed-ngram
     # importance weights (slots funded by the rotated udaf_grouped_
     # pandas and multimodal_frame_sample)

@@ -1633,3 +1633,157 @@ def ann_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("adc_r").alias("adc_dist"),
         )
     )
+
+
+# --- IVF recall contract: the nprobe knob chart -------------------------
+IVF_RECALL_K = 5
+IVF_NPROBES = (1, 2, 4)
+
+
+@register(
+    "ann_ivf_recall",
+    oracle=f"""
+    WITH {_kmeans_ctes("embeddings")},
+    cent AS (SELECT cid, c FROM cent{KMEANS_ITERS}),
+    s_all AS (SELECT v.vec_id, c.cid, {_cos_vc_sql('v', 'c')} AS cos
+              FROM embeddings v, cent c),
+    asg AS (SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, cid) AS rn
+              FROM s_all) WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, embedding FROM embeddings
+          WHERE vec_id % {QUERY_MOD} = 0),
+    pc AS (SELECT q.qid, c.cid, {_cos_vc_sql('q', 'c')} AS cos
+           FROM q, cent c),
+    pr AS (SELECT qid, cid,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY cos DESC, cid) AS cell_rn
+           FROM pc),
+    np AS (SELECT unnest([{", ".join(str(n) for n in IVF_NPROBES)}]) AS nprobe),
+    probes AS (SELECT p.qid, n.nprobe, p.cid
+               FROM pr p JOIN np n ON p.cell_rn <= n.nprobe),
+    cand AS (SELECT p.qid, p.nprobe, a.vec_id
+             FROM probes p JOIN asg a USING (cid)
+             WHERE a.vec_id <> p.qid),
+    csc AS (SELECT c.qid, c.nprobe, c.vec_id, {_COS_SQL} AS cos
+            FROM cand c
+            JOIN embeddings a ON a.vec_id = c.qid
+            JOIN embeddings b ON b.vec_id = c.vec_id),
+    ivf_topk AS (SELECT qid, nprobe, vec_id FROM (
+                   SELECT qid, nprobe, vec_id,
+                          row_number() OVER (PARTITION BY qid, nprobe
+                                             ORDER BY cos DESC, vec_id) AS rn
+                   FROM csc) WHERE rn <= {IVF_RECALL_K}),
+    brute AS (SELECT qid, vec_id FROM (
+                SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+                       row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_COS_SQL} DESC, b.vec_id) AS rn
+                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+                WHERE a.vec_id % {QUERY_MOD} = 0) WHERE rn <= {IVF_RECALL_K}),
+    hits AS (SELECT i.qid, i.nprobe,
+                    CAST(count(b.vec_id) AS BIGINT) AS n_hit
+             FROM ivf_topk i LEFT JOIN brute b
+               ON b.qid = i.qid AND b.vec_id = i.vec_id
+             GROUP BY 1, 2),
+    nc AS (SELECT qid, nprobe, CAST(count(*) AS BIGINT) AS n_cand
+           FROM cand GROUP BY 1, 2),
+    per_q AS (SELECT h.qid, h.nprobe, h.n_hit, c.n_cand
+              FROM hits h JOIN nc c USING (qid, nprobe))
+    SELECT nprobe, CAST(count(*) AS BIGINT) AS n_queries,
+           round(CAST(sum(CAST(n_hit AS DECIMAL(18,6))) AS DOUBLE)
+                 / (count(*) * {IVF_RECALL_K}), 6) AS recall_at_k,
+           round(CAST(sum(CAST(n_cand AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 2) AS avg_candidates
+    FROM per_q GROUP BY nprobe
+    """,
+    doc=f"The IVF recall/nprobe contract, hash-checked (the IVF "
+        "sibling of ann_recall_report and the ANN analogue of the "
+        f"MinHash threshold sweep): for nprobe in {IVF_NPROBES}, "
+        f"recall@{IVF_RECALL_K} of frozen-centroid probe search "
+        "against the exact brute-force truth, plus the average "
+        "candidate volume — the two sides of the knob a 100 TB "
+        "deployment turns. One cell-ranking pass per query fans out "
+        "to all nprobe settings via a 3-row broadcast (the threshold-"
+        "sweep pattern: sweep on a sample, pick nprobe, serve with "
+        "ivf_state). The brute-force truth is the declared quadratic "
+        "baseline, computable exactly at calibration scale — which is "
+        "when you calibrate. Recall/candidate averages are integer "
+        "ratios DECIMAL-summed, so the chart is bit-exact.",
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    cent = _lloyd_centroids(emb)
+    cos_vc = vectors.cosine(F.col("embedding"), F.col("c_emb"))
+    w_asg = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), "cid")
+    asg = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", cos_vc.alias("_cos"))
+        .withColumn("rn", F.row_number().over(w_asg))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    qcos = vectors.cosine(F.col("q_emb"), F.col("c_emb"))
+    w_cell = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), "cid")
+    pr = (
+        q.crossJoin(F.broadcast(cent))
+        .select("qid", "cid", qcos.alias("_cos"))
+        .withColumn("cell_rn", F.row_number().over(w_cell))
+    )
+    np_df = spark.createDataFrame([(n,) for n in IVF_NPROBES], "nprobe int")
+    probes = pr.join(
+        F.broadcast(np_df), F.col("cell_rn") <= F.col("nprobe")
+    ).select("qid", "nprobe", "cid")
+    cand = probes.join(asg, "cid").filter(F.col("vec_id") != F.col("qid")).select(
+        "qid", "nprobe", "vec_id"
+    )
+    pair_cos = vectors.cosine(F.col("q_emb"), F.col("embedding"))
+    w_ivf = Window.partitionBy("qid", "nprobe").orderBy(
+        F.col("_cos").desc(), "vec_id"
+    )
+    ivf_topk = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select("qid", "nprobe", "vec_id", pair_cos.alias("_cos"))
+        .withColumn("rn", F.row_number().over(w_ivf))
+        .filter(F.col("rn") <= IVF_RECALL_K)
+        .select("qid", "nprobe", "vec_id")
+    )
+    w_b = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), "vec_id")
+    brute = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", pair_cos.alias("_cos"))
+        .withColumn("rn", F.row_number().over(w_b))
+        .filter(F.col("rn") <= IVF_RECALL_K)
+        .select("qid", F.col("vec_id").alias("b_vec"))
+    )
+    hits = (
+        ivf_topk.join(
+            brute,
+            (ivf_topk.qid == brute.qid) & (ivf_topk.vec_id == brute.b_vec),
+            "left",
+        )
+        .select(ivf_topk.qid.alias("qid"), "nprobe", "b_vec")
+        .groupBy("qid", "nprobe")
+        .agg(F.count("b_vec").alias("n_hit"))
+    )
+    nc = cand.groupBy("qid", "nprobe").agg(F.count("*").alias("n_cand"))
+    per_q = hits.join(nc, ["qid", "nprobe"])
+    return per_q.groupBy("nprobe").agg(
+        F.count("*").alias("n_queries"),
+        F.round(
+            F.sum(F.col("n_hit").cast("decimal(18,6)")).cast("double")
+            / (F.count("*") * IVF_RECALL_K),
+            6,
+        ).alias("recall_at_k"),
+        F.round(
+            F.sum(F.col("n_cand").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            2,
+        ).alias("avg_candidates"),
+    )

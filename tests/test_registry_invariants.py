@@ -82,6 +82,7 @@ def test_round7_window_slots():
         "multimodal_video_luma", "embedding_hard_negatives",
         "corpus_split_dedup_aware", "events_anomaly_mad",
         "dq_distribution_drift", "ann_pq_adc_search",
+        "ann_ivf_recall",
         # round-7 changed-semantics set
         "dedup_containment", "retrieval_eval_ndcg",
         "q18_large_volume_customer",
@@ -92,7 +93,7 @@ def test_round7_window_slots():
         # reference-core flagship + round-6 keeps
         "scrape_core_resolved_plays", "corpus_split_leakage",
         "dedup_incremental_minhash",
-        "text_countmin_freq", "join_skew_salted",
+        "join_skew_salted",
         "unpivot_part_metrics", "curation_quality_train",
         "graph_pagerank", "q4_order_priority", "q14_promo_revenue",
         "q21_waiting_supplier", "table_profile_lineitem",
