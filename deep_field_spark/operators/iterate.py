@@ -18,6 +18,15 @@ on graph_pagerank). HOW it is severed is an environment decision:
 prose: reliable checkpoint whenever the session has a checkpoint dir,
 localCheckpoint otherwise. A cluster deployment opts in with one
 setCheckpointDir call and every iterative loop upgrades.
+
+Retention caveat for the reliable path: Spark never deletes reliable
+checkpoint files on its own — each loop iteration leaves one full
+materialized state copy in the checkpoint dir, unbounded growth for a
+long-running trainer. Deployments that call setCheckpointDir MUST also
+set ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` so
+checkpoints whose RDDs go out of scope are garbage-collected (the
+final state survives as long as its DataFrame is referenced); see the
+cluster-posture notes in SCALE.md.
 """
 
 from __future__ import annotations

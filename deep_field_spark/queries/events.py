@@ -608,7 +608,8 @@ MAD_C = 0.6745   # normal-consistency constant
             FROM dev GROUP BY 1),
     z AS (SELECT d.event_id, d.event_type, d.value,
                  {MAD_C} * (d.value - d.med) / m.mad AS rz
-          FROM dev d JOIN mad m USING (event_type))
+          FROM dev d JOIN mad m USING (event_type)
+          WHERE m.mad > 0)
     SELECT event_id, event_type, round(value, 4) AS value,
            CAST(round(CAST(rz AS DECIMAL(28,14)), 4) AS DOUBLE) AS robust_z
     FROM z WHERE abs(rz) > {MAD_Z_CUT}
@@ -623,8 +624,13 @@ MAD_C = 0.6745   # normal-consistency constant
         "grouped aggregates over a bounded type set (Spark percentile "
         "== DuckDB quantile_cont, the established interpolation "
         "parity) broadcast back onto the event stream; no window over "
-        "events, no sort. ~4% of rows flag on this corpus's "
-        "heavy-tailed value column — non-vacuous by the data itself.",
+        "events, no sort. Types with MAD = 0 (>=50% of values at the "
+        "median — a degenerate distribution this score cannot rank) "
+        "are excluded EXPLICITLY in both engines; without the guard "
+        "Spark's non-ANSI divide yields NULL (silently dropped) while "
+        "DuckDB yields inf (flagged), a latent data-dependent "
+        "divergence. ~4% of rows flag on this corpus's heavy-tailed "
+        "value column — non-vacuous by the data itself.",
 )
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
@@ -639,7 +645,10 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rz = F.lit(MAD_C) * (F.col("value") - F.col("med")) / F.col("mad")
     return (
-        dev.join(F.broadcast(mad), "event_type")
+        # mad > 0 guard: matches the oracle's WHERE m.mad > 0 — without
+        # it Spark's NULL-on-divide-by-zero and DuckDB's inf disagree
+        # on degenerate (>=50%-at-median) types
+        dev.join(F.broadcast(mad.filter(F.col("mad") > 0)), "event_type")
         .withColumn("rz", rz)
         .filter(F.abs(F.col("rz")) > MAD_Z_CUT)
         .select(

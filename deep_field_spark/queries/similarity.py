@@ -1608,8 +1608,12 @@ def ann_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     lut = q.join(F.broadcast(cent), "sub").select(
         "qid", "sub", "cid", _pq_d().alias("d")
     )
+    # no forced broadcast on lut: its row count is |queries| x PQ_M x
+    # PQ_K and the query set scales with the corpus (vec_id % QUERY_MOD)
+    # — the same broadcast policy as customer/supplier/part; AQE takes
+    # the broadcast at test scale and degrades to shuffle beyond it
     adc = (
-        fa.join(F.broadcast(lut), ["sub", "cid"])
+        fa.join(lut, ["sub", "cid"])
         .filter(F.col("vec_id") != F.col("qid"))
         .groupBy("qid", "vec_id")
         # keep the sum DECIMAL through the round (the half-point

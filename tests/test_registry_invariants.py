@@ -157,14 +157,21 @@ def test_no_forced_broadcast_on_sf_scaling_tables():
     OOMs instead of degrading to shuffle. Bounded sides (nation 25
     rows, region 5, 1-row scalars, bit/stat sets) may keep hints.
     The conventional variable names for the scaling tables throughout
-    queries/ are cust / supp / part / dim(=customer in bloom)."""
+    queries/ are cust / supp / part / dim(=customer in bloom); lut
+    covers the ADC lookup table, whose row count scales with the
+    corpus through the vec_id % QUERY_MOD query set (the advisor-
+    flagged ann_pq_adc_search gap in the round-7 lint). Deliberately
+    NOT matched: F.broadcast(q/queries) — the declared brute-force /
+    eval baselines (knn_brute_force, rrf, ndcg) broadcast the query
+    set BY DESIGN ('broadcast the queries, scan the corpus once'),
+    and the calibration queries bound it to a fixed md5 sample."""
     import os
     import re
 
     qdir = os.path.join(
         os.path.dirname(os.path.dirname(__file__)), "deep_field_spark", "queries"
     )
-    pat = re.compile(r"F\.broadcast\(\s*(cust|supp|part|dim)\b")
+    pat = re.compile(r"F\.broadcast\(\s*(cust|supp|part|dim|lut)\b")
     hits = []
     for fname in sorted(os.listdir(qdir)):
         if not fname.endswith(".py"):

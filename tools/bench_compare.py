@@ -36,11 +36,28 @@ def _timings(path: str) -> dict[str, float]:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    opts = dict(
-        a.lstrip("-").split("=", 1) if "=" in a else (a.lstrip("-"), True)
-        for a in sys.argv[1:] if a.startswith("--")
-    )
+    # accept both --flag=value and --flag value (the docstring's form;
+    # the latter previously parsed as a bare boolean and float(True)
+    # silently became the threshold)
+    args: list[str] = []
+    opts: dict[str, str] = {}
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--"):
+            key = a.lstrip("-")
+            if "=" in key:
+                key, val = key.split("=", 1)
+            elif i + 1 < len(argv) and not argv[i + 1].startswith("--"):
+                i += 1
+                val = argv[i]
+            else:
+                raise SystemExit(f"--{key} needs a value")
+            opts[key] = val
+        else:
+            args.append(a)
+        i += 1
     thresh = float(opts.get("thresh", 1.2))
     abs_floor = float(opts.get("abs", 0.3))
     old, new = _timings(args[0]), _timings(args[1])
