@@ -51,17 +51,20 @@ def assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, vec, cid): nearest-centroid argmax over the broadcast
-    k-row centroid table — ties to the lowest cid, matching the
-    trainer's assignment step so the oracle replays it."""
+    """(cid, id, vec, [payload...]): nearest-centroid argmax over the
+    broadcast k-row centroid table — ties to the lowest cid, matching
+    the trainer's assignment step so the oracle replays it. Any extra
+    columns on ``vecs`` (e.g. PQ codes) ride along untouched — the
+    cell table is the natural home for per-vector serving payload."""
+    payload = [c for c in vecs.columns if c not in (id_col, vec_col)]
     cos = V.cosine(F.col(vec_col), F.col("c_emb"))
     w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), "cid")
     return (
         vecs.crossJoin(F.broadcast(centroids.select("cid", "c_emb")))
-        .select(id_col, vec_col, "cid", cos.alias("_cos"))
+        .select(id_col, vec_col, *payload, "cid", cos.alias("_cos"))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select("cid", id_col, vec_col)
+        .select("cid", id_col, vec_col, *payload)
     )
 
 
@@ -73,19 +76,32 @@ def build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_buckets: int = STATE_BUCKETS,
+    store_vec: bool = True,
+    aux_tables: dict[str, DataFrame] | None = None,
 ) -> None:
     """Materialize the IVF state (overwrite): the cell-assigned vector
     table bucketed on cid + the centroid table. Training the centroids
     is the CALLER's job (e.g. queries/similarity._lloyd_centroids) —
-    this module is layout plumbing, not ML."""
+    this module is layout plumbing, not ML.
+
+    ``store_vec=False`` drops the raw vector from the persisted cell
+    table — the IVFPQ posture, where the cell rows carry only integer
+    codes and the serving index never stores the corpus vectors (the
+    ~50x compression that makes a 100 TB vector store fit on disk).
+    ``aux_tables`` persists extra small artifacts (e.g. PQ codebooks)
+    beside the state as ``{name}_{key}``; re-register them tomorrow
+    with ``attach(..., aux=keys)``."""
     import shutil
 
     spark = vecs.sparkSession
     t_cells, t_cent = _tables(name)
-    for t in (t_cells, t_cent):
+    aux = {f"{name}_{k}": df for k, df in (aux_tables or {}).items()}
+    for t in (t_cells, t_cent, *aux):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(_location(spark, t), ignore_errors=True)
     assigned = assign(vecs, centroids, id_col, vec_col)
+    if not store_vec:
+        assigned = assigned.drop(vec_col)
     sinks.write_bucketed(
         assigned, t_cells, ["cid"], num_buckets, path=_location(spark, t_cells)
     )
@@ -95,12 +111,14 @@ def build(
         .option("path", _location(spark, t_cent))
         .saveAsTable(t_cent)
     )
+    for t, df in aux.items():
+        df.write.mode("overwrite").option("path", _location(spark, t)).saveAsTable(t)
 
 
-def drop(spark: SparkSession, name: str) -> None:
+def drop(spark: SparkSession, name: str, *, aux: tuple[str, ...] = ()) -> None:
     import shutil
 
-    for t in _tables(name):
+    for t in (*_tables(name), *(f"{name}_{k}" for k in aux)):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(_location(spark, t), ignore_errors=True)
 
@@ -110,10 +128,13 @@ def attach(
     name: str,
     *,
     num_buckets: int = STATE_BUCKETS,
+    aux: tuple[str, ...] = (),
 ) -> None:
     """Re-register the on-disk state in a fresh session's catalog
     (bucket spec restated for the cell table — same day-2 contract as
-    lsh_state.attach; a persistent metastore makes this a no-op)."""
+    lsh_state.attach; a persistent metastore makes this a no-op).
+    ``aux`` names the extra artifacts persisted by build(aux_tables=…)
+    to re-register alongside (e.g. ("pq",) for the PQ codebooks)."""
     t_cells, t_cent = _tables(name)
     if not spark.catalog.tableExists(t_cells):
         schema = spark.read.parquet(_location(spark, t_cells)).schema
@@ -125,11 +146,12 @@ def attach(
             f"CLUSTERED BY (cid) INTO {num_buckets} BUCKETS "
             f"LOCATION '{_location(spark, t_cells)}'"
         )
-    if not spark.catalog.tableExists(t_cent):
-        spark.sql(
-            f"CREATE TABLE {t_cent} USING parquet "
-            f"LOCATION '{_location(spark, t_cent)}'"
-        )
+    for t in (t_cent, *(f"{name}_{k}" for k in aux)):
+        if not spark.catalog.tableExists(t):
+            spark.sql(
+                f"CREATE TABLE {t} USING parquet "
+                f"LOCATION '{_location(spark, t)}'"
+            )
 
 
 def ingest(
@@ -148,11 +170,18 @@ def ingest(
     exactly-once ACROSS batches. The batch itself must be unique on
     ``id_col`` — the anti-join can't see duplicates arriving together,
     and both copies would be absorbed (same contract as
-    sinks.merge_upsert's check_unique; dedupe upstream)."""
+    sinks.merge_upsert's check_unique; dedupe upstream).
+
+    The absorbed rows take the CELL TABLE's schema, not the batch's:
+    a state built with ``store_vec=False`` (IVFPQ) absorbs only the
+    id + payload codes, and any payload column the table carries must
+    arrive on the batch."""
     t_cells, t_cent = _tables(name)
     known = spark.table(t_cells).select(id_col)
     new = batch.join(known, id_col, "left_anti")
-    assigned = assign(new, spark.table(t_cent), id_col, vec_col)
+    assigned = assign(new, spark.table(t_cent), id_col, vec_col).select(
+        *spark.table(t_cells).columns
+    )
     if append:
         # report computed OFF the pre-append state; sever lineage
         # before mutating the table it anti-joins (lsh_state lesson)
@@ -161,6 +190,32 @@ def ingest(
             num_buckets, "cid"
         ).saveAsTable(t_cells)
     return assigned.select("cid", id_col)
+
+
+def probe(
+    spark: SparkSession,
+    name: str,
+    queries: DataFrame,
+    *,
+    nprobe: int,
+    keep: tuple[str, ...] = ("q_emb",),
+) -> DataFrame:
+    """(qid, *keep, cid): each query's ``nprobe`` nearest cells by
+    centroid cosine (ties to the lowest cid) — the coarse-quantizer
+    step every IVF serving path (exact re-rank, ADC, filtered) starts
+    from. Queries must carry (qid, q_emb); ``keep`` names the query
+    columns to carry through to the cell join."""
+    cent = spark.table(_tables(name)[1])
+    pcos = V.cosine(F.col("q_emb"), F.col("c_emb"))
+    wp = Window.partitionBy("qid").orderBy(F.col("_pcos").desc(), "cid")
+    return (
+        queries.crossJoin(F.broadcast(cent))
+        .select("qid", *[c for c in keep if c != "qid"], "cid",
+                pcos.alias("_pcos"))
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .drop("_pcos", "_rn")
+    )
 
 
 def search(
@@ -176,17 +231,8 @@ def search(
     """IVF probe search: queries must carry (qid, q_emb). Returns
     (qid, rnk, neighbor_id, cos_sim) — exact cosine over the probed
     cells only, per-query top-k, self-matches excluded."""
-    t_cells, t_cent = _tables(name)
-    cent = spark.table(t_cent)
-    pcos = V.cosine(F.col("q_emb"), F.col("c_emb"))
-    wp = Window.partitionBy("qid").orderBy(F.col("_pcos").desc(), "cid")
-    probes = (
-        queries.crossJoin(F.broadcast(cent))
-        .select("qid", "q_emb", "cid", pcos.alias("_pcos"))
-        .withColumn("_rn", F.row_number().over(wp))
-        .filter(F.col("_rn") <= nprobe)
-        .select("qid", "q_emb", "cid")
-    )
+    t_cells, _ = _tables(name)
+    probes = probe(spark, name, queries, nprobe=nprobe)
     cells = spark.table(t_cells)
     cos = V.cosine(F.col("q_emb"), F.col(vec_col))
     wk = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), id_col)
@@ -236,13 +282,13 @@ def foreach_batch_ingest(
             return
         report.write.mode("overwrite").parquet(dest)
         # absorb AFTER the report is durable. The absorbed rows carry
-        # the embeddings, which the read-only report dropped — re-derive
-        # them by joining the report ids back to the batch (cheap; the
-        # batch is the small side by definition)
+        # the cell table's columns (vector and/or payload), which the
+        # read-only report dropped — re-derive them by joining the
+        # report ids back to the batch (cheap; the batch is the small
+        # side by definition)
         id_col = ingest_kwargs.get("id_col", "vec_id")
-        vec_col = ingest_kwargs.get("vec_col", "embedding")
-        absorbed = report.join(batch_df.select(id_col, vec_col), id_col).select(
-            "cid", id_col, vec_col
+        absorbed = report.join(batch_df, id_col).select(
+            *spark.table(_tables(name)[0]).columns
         )
         absorbed.write.mode("append").format("parquet").bucketBy(
             ingest_kwargs.get("num_buckets", STATE_BUCKETS), "cid"

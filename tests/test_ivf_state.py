@@ -154,6 +154,54 @@ def test_streaming_ingest_foreach_batch(spark, sf_dir, state_name, tmp_path):
     assert spark.table(f"{state_name}_cells").count() == EMB_INCR_MIN + 60
 
 
+def test_ivfpq_payload_state_roundtrip(spark, sf_dir, state_name):
+    """The IVFPQ posture: the cell table carries integer code payload
+    and NO raw vector (store_vec=False), the codebook persists beside
+    the state as an aux artifact, attach() re-registers both, and
+    ingest() absorbs id+codes with the schema taken from the cell
+    table (the batch's embedding is used for assignment, then
+    dropped)."""
+    emb = table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < EMB_INCR_MIN).select(
+        "vec_id", "embedding", (F.col("vec_id") % 8).cast("int").alias("code0")
+    )
+    codebook = spark.range(8).select(
+        F.col("id").cast("int").alias("cid"), (F.col("id") * 2).alias("c0")
+    )
+    ivf_state.build(
+        base,
+        _lloyd_centroids(base.select("vec_id", "embedding")),
+        state_name,
+        store_vec=False,
+        aux_tables={"pq": codebook},
+    )
+    cells = spark.table(f"{state_name}_cells")
+    assert set(cells.columns) == {"cid", "vec_id", "code0"}
+    assert spark.table(f"{state_name}_pq").count() == 8
+
+    batch = emb.filter(
+        (F.col("vec_id") >= EMB_INCR_MIN) & (F.col("vec_id") < EMB_INCR_MIN + 20)
+    ).select("vec_id", "embedding", F.lit(7).cast("int").alias("code0"))
+    assert ivf_state.ingest(spark, state_name, batch).count() == 20
+    cells = spark.table(f"{state_name}_cells")
+    assert cells.count() == EMB_INCR_MIN + 20
+    assert set(cells.columns) == {"cid", "vec_id", "code0"}
+    assert (
+        cells.filter(
+            (F.col("vec_id") >= EMB_INCR_MIN) & (F.col("code0") == 7)
+        ).count()
+        == 20
+    )
+
+    for t in (f"{state_name}_cells", f"{state_name}_centroids",
+              f"{state_name}_pq"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    ivf_state.attach(spark, state_name, aux=("pq",))
+    assert spark.table(f"{state_name}_pq").count() == 8
+    assert spark.table(f"{state_name}_cells").count() == EMB_INCR_MIN + 20
+    ivf_state.drop(spark, state_name, aux=("pq",))
+
+
 def test_property_search_matches_python_reference(spark, tmp_path):
     """Property: on arbitrary small integer vector sets (ties likely by
     construction), ivf_state build+search returns EXACTLY what a
