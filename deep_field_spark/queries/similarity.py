@@ -1642,6 +1642,11 @@ def ann_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- IVF recall contract: the nprobe knob chart -------------------------
 IVF_RECALL_K = 5
 IVF_NPROBES = (1, 2, 4)
+# calibration QUERY SAMPLE: a deterministic md5-selected fixed-size set,
+# so the brute-force truth leg costs IVF_CAL_Q linear corpus scans at
+# ANY corpus size — the sample bound lives in code, not prose (the
+# dedup_threshold_sweep "sweep on a sample, pick the knob" contract)
+IVF_CAL_Q = 8
 
 
 @register(
@@ -1657,7 +1662,8 @@ IVF_NPROBES = (1, 2, 4)
                                         ORDER BY cos DESC, cid) AS rn
               FROM s_all) WHERE rn = 1),
     q AS (SELECT vec_id AS qid, embedding FROM embeddings
-          WHERE vec_id % {QUERY_MOD} = 0),
+          ORDER BY md5('ivfcal:' || CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {IVF_CAL_Q}),
     pc AS (SELECT q.qid, c.cid, {_cos_vc_sql('q', 'c')} AS cos
            FROM q, cent c),
     pr AS (SELECT qid, cid,
@@ -1680,11 +1686,11 @@ IVF_NPROBES = (1, 2, 4)
                                              ORDER BY cos DESC, vec_id) AS rn
                    FROM csc) WHERE rn <= {IVF_RECALL_K}),
     brute AS (SELECT qid, vec_id FROM (
-                SELECT a.vec_id AS qid, b.vec_id AS vec_id,
-                       row_number() OVER (PARTITION BY a.vec_id
+                SELECT a.qid, b.vec_id AS vec_id,
+                       row_number() OVER (PARTITION BY a.qid
                                 ORDER BY {_COS_SQL} DESC, b.vec_id) AS rn
-                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-                WHERE a.vec_id % {QUERY_MOD} = 0) WHERE rn <= {IVF_RECALL_K}),
+                FROM q a JOIN embeddings b ON a.qid <> b.vec_id)
+              WHERE rn <= {IVF_RECALL_K}),
     hits AS (SELECT i.qid, i.nprobe,
                     CAST(count(b.vec_id) AS BIGINT) AS n_hit
              FROM ivf_topk i LEFT JOIN brute b
@@ -1710,10 +1716,13 @@ IVF_NPROBES = (1, 2, 4)
         "deployment turns. One cell-ranking pass per query fans out "
         "to all nprobe settings via a 3-row broadcast (the threshold-"
         "sweep pattern: sweep on a sample, pick nprobe, serve with "
-        "ivf_state). The brute-force truth is the declared quadratic "
-        "baseline, computable exactly at calibration scale — which is "
-        "when you calibrate. Recall/candidate averages are integer "
-        "ratios DECIMAL-summed, so the chart is bit-exact.",
+        f"ivf_state). The query set is a FIXED-SIZE ({IVF_CAL_Q}) "
+        "deterministic md5-selected sample — TakeOrderedAndProject, "
+        "never a global sort — so the brute-force truth leg is "
+        f"{IVF_CAL_Q} linear corpus scans at any SF: the calibration "
+        "cost bound lives in code, not prose. Recall/candidate "
+        "averages are integer ratios DECIMAL-summed, so the chart is "
+        "bit-exact.",
 )
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
@@ -1727,8 +1736,20 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "cid")
     )
-    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    # fixed-size calibration sample: md5-ranked top-N (a per-partition
+    # heap via TakeOrderedAndProject); q is bounded by a CONSTANT, so
+    # the forced broadcasts below are policy-compliant
+    q = (
+        emb.select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("q_emb"),
+            F.md5(
+                F.concat(F.lit("ivfcal:"), F.col("vec_id").cast("string"))
+            ).alias("_h"),
+        )
+        .orderBy("_h", "qid")
+        .limit(IVF_CAL_Q)
+        .drop("_h")
     )
     qcos = vectors.cosine(F.col("q_emb"), F.col("c_emb"))
     w_cell = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), "cid")
@@ -1790,4 +1811,239 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*"),
             2,
         ).alias("avg_candidates"),
+    )
+
+
+# --- the composed IVFPQ serving path ------------------------------------
+IVFPQ_NPROBE = 4
+
+
+@register(
+    "ann_ivfpq_search",
+    oracle=f"""
+    WITH {_kmeans_ctes("embeddings")},
+    cent AS (SELECT cid, c FROM cent{KMEANS_ITERS}),
+    s_all AS (SELECT v.vec_id, c.cid, {_cos_vc_sql('v', 'c')} AS cos
+              FROM embeddings v, cent c),
+    asg AS (SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, cid) AS rn
+              FROM s_all) WHERE rn = 1),
+    {_pq_ctes()},
+    fs AS (SELECT v.vec_id, v.sub, c.cid AS code, {_pq_l2_sql('v', 'c')} AS d
+           FROM sv v JOIN pc{PQ_ITERS} c ON v.sub = c.sub),
+    fa AS (SELECT vec_id, sub, code FROM (
+             SELECT vec_id, sub, code,
+                    row_number() OVER (PARTITION BY vec_id, sub
+                                       ORDER BY d, code) AS rn
+             FROM fs) WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, embedding FROM embeddings
+          WHERE vec_id % {QUERY_MOD} = 0),
+    ps AS (SELECT q.qid, c.cid, {_cos_vc_sql('q', 'c')} AS cos
+           FROM q, cent c),
+    probes AS (SELECT qid, cid FROM (
+                 SELECT qid, cid,
+                        row_number() OVER (PARTITION BY qid
+                                           ORDER BY cos DESC, cid) AS rn
+                 FROM ps) WHERE rn <= {IVFPQ_NPROBE}),
+    cand AS (SELECT p.qid, a.vec_id FROM probes p JOIN asg a USING (cid)
+             WHERE a.vec_id <> p.qid),
+    qsv AS (SELECT vec_id AS qid, sub, sv FROM sv
+            WHERE vec_id % {QUERY_MOD} = 0),
+    lut AS (SELECT s.qid, c.sub, c.cid AS code, {_pq_l2_sql('s', 'c')} AS d
+            FROM qsv s JOIN pc{PQ_ITERS} c ON s.sub = c.sub),
+    adc AS (SELECT cnd.qid, cnd.vec_id,
+                   sum(CAST(l.d AS DECIMAL(28,12))) AS adc_dec
+            FROM cand cnd
+            JOIN fa f ON f.vec_id = cnd.vec_id
+            JOIN lut l ON l.qid = cnd.qid AND l.sub = f.sub
+                      AND l.code = f.code
+            GROUP BY 1, 2),
+    adcx AS (SELECT qid, vec_id, CAST(adc_dec AS DOUBLE) AS adc,
+                    CAST(round(adc_dec, 6) AS DOUBLE) AS adc_r
+             FROM adc),
+    r AS (SELECT qid, vec_id, adc_r,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY adc, vec_id) AS rn
+          FROM adcx)
+    SELECT qid, CAST(rn AS INT) AS rnk, vec_id AS neighbor_id,
+           adc_r AS adc_dist
+    FROM r WHERE rn <= {ADC_K}
+    """,
+    doc="The composed FAISS-IVFPQ serving layout, end-to-end: coarse "
+        "centroids train once (ann_ivf_kmeans' Lloyd's), per-subspace "
+        f"PQ codebooks train once (embedding_pq_codes' fixed-"
+        f"{PQ_ITERS}-round Lloyd's), and the PERSISTED cell table "
+        "(operators/ivf_state, bucketed by cid) stores ONLY the "
+        f"{PQ_M} integer codes per vector — store_vec=False, the ~50x "
+        "compression that fits a 100 TB corpus on disk; the codebooks "
+        "persist beside it as the aux artifact. Serving: each query "
+        f"probes its {IVFPQ_NPROBE} of {N_CELLS} nearest cells "
+        "(ivf_state.probe), the bucket layout serves the cid join "
+        "exchange-free on the corpus side (pinned, tests/test_plans), "
+        f"and ADC scores ONLY the probed codes — a {PQ_M}x{PQ_K} LUT "
+        "of exact subvector distances per query, summed in DECIMAL so "
+        "the distances hash exactly. No full-code scan, no raw vector "
+        "touched at query time: this supersedes ann_pq_adc_search's "
+        "declared linear scan (rotated out of the driver window to "
+        "this strict superset). The oracle replays coarse training, "
+        "PQ training, assignment, probe selection and the ADC sums.",
+)
+def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from ..operators import ivf_state
+
+    emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    name = "ivfpq_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    coarse = _lloyd_centroids(emb)
+    sv = _pq_subvectors(emb)
+    pq = _pq_codebooks(sv)
+    codes = (
+        _pq_assign(sv, pq)
+        .groupBy("vec_id")
+        .agg(F.sort_array(F.collect_list(F.struct("sub", "cid"))).alias("sc"))
+        .select("vec_id", F.col("sc.cid").cast("array<int>").alias("codes"))
+    )
+    ivf_state.build(
+        emb.join(codes, "vec_id"),
+        coarse,
+        name,
+        store_vec=False,
+        aux_tables={"pq": pq},
+    )
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    probes = ivf_state.probe(spark, name, q, nprobe=IVFPQ_NPROBE, keep=())
+    cand = (
+        probes.join(spark.table(f"{name}_cells"), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.posexplode("codes").alias("sub", "code"))
+    )
+    qsv = _pq_subvectors(
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    ).select(F.col("vec_id").alias("qid"), "sub", "sv")
+    # the codebook aux table is PQ_M x PQ_K rows — bounded by constants
+    # at ANY corpus size, so the forced broadcast is policy-compliant
+    lut = qsv.join(F.broadcast(spark.table(f"{name}_pq")), "sub").select(
+        "qid", "sub", F.col("cid").alias("code"), _pq_d().alias("d")
+    )
+    adc = (
+        cand.join(lut, ["qid", "sub", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum(F.col("d").cast("decimal(28,12)")).alias("adc_dec"))
+        .select(
+            "qid",
+            "vec_id",
+            F.col("adc_dec").cast("double").alias("adc"),
+            F.round("adc_dec", 6).cast("double").alias("adc_r"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("adc", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ADC_K)
+        .select(
+            "qid",
+            F.col("rn").cast("int").alias("rnk"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("adc_r").alias("adc_dist"),
+        )
+    )
+
+
+# --- filtered ANN: metadata predicate inside the probed-cell scan -------
+IVF_FILT_NPROBE = 8   # 2x the unfiltered nprobe: a ~10%-selective
+                      # filter starves cells, so the probe set widens
+IVF_FILT_K = 3
+IVF_FILT_LABEL = 3
+
+
+@register(
+    "ann_ivf_filtered",
+    oracle=f"""
+    WITH {_kmeans_ctes("embeddings")},
+    cent AS (SELECT cid, c FROM cent{KMEANS_ITERS}),
+    s_all AS (SELECT v.vec_id, c.cid, {_cos_vc_sql('v', 'c')} AS cos
+              FROM embeddings v, cent c),
+    asg AS (SELECT s.vec_id, s.cid, e.label FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, cid) AS rn
+              FROM s_all) s JOIN embeddings e USING (vec_id)
+            WHERE s.rn = 1),
+    q AS (SELECT vec_id AS qid, embedding FROM embeddings
+          WHERE vec_id % {QUERY_MOD} = 0),
+    ps AS (SELECT q.qid, c.cid, {_cos_vc_sql('q', 'c')} AS cos
+           FROM q, cent c),
+    probes AS (SELECT qid, cid FROM (
+                 SELECT qid, cid,
+                        row_number() OVER (PARTITION BY qid
+                                           ORDER BY cos DESC, cid) AS rn
+                 FROM ps) WHERE rn <= {IVF_FILT_NPROBE}),
+    cand AS (SELECT p.qid, a.vec_id FROM probes p JOIN asg a USING (cid)
+             WHERE a.label = {IVF_FILT_LABEL} AND a.vec_id <> p.qid),
+    sc AS (SELECT cnd.qid, cnd.vec_id, {_COS_SQL} AS cos
+           FROM cand cnd
+           JOIN embeddings a ON a.vec_id = cnd.qid
+           JOIN embeddings b ON b.vec_id = cnd.vec_id),
+    r AS (SELECT qid, vec_id, cos,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos DESC, vec_id) AS rn
+          FROM sc)
+    SELECT qid, CAST(rn AS INT) AS rnk, vec_id AS neighbor_id,
+           round(cos, 4) AS cos_sim
+    FROM r WHERE rn <= {IVF_FILT_K}
+    """,
+    doc="Filtered ANN from the persisted IVF state — the production "
+        "need neither plain IVF nor ADC covers: top-k restricted by a "
+        f"metadata predicate (label = {IVF_FILT_LABEL}, ~10% "
+        "selective). The label rides into the bucketed cell table as "
+        "payload at build time, so at serve time the predicate is a "
+        "plain parquet pushdown INSIDE the probed-cell scan (pinned: "
+        "PushedFilters shows the EqualTo on the cells FileScan, and "
+        "the cid probe join stays exchange-free on the corpus side) — "
+        "candidates are pruned by the storage layer before a single "
+        "cosine is computed, never post-filtered after top-k (the "
+        "classic filtered-ANN recall bug). The probe set widens to "
+        f"nprobe={IVF_FILT_NPROBE} (2x the unfiltered "
+        f"{IVF_STATE_NPROBE}) because a selective filter starves "
+        "cells — the standard filtered-search compensation. The "
+        "oracle replays training, labeled assignment, probe selection "
+        "and the filtered exact re-rank.",
+)
+def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from ..operators import ivf_state
+
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding", "label"
+    )
+    name = "ivff_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    cent = _lloyd_centroids(emb.select("vec_id", "embedding"))
+    ivf_state.build(emb, cent, name)
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    probes = ivf_state.probe(spark, name, q, nprobe=IVF_FILT_NPROBE)
+    cells = spark.table(f"{name}_cells").filter(
+        F.col("label") == IVF_FILT_LABEL
+    )
+    cos = vectors.cosine(F.col("q_emb"), F.col("embedding"))
+    w = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), "vec_id")
+    return (
+        probes.join(cells, "cid")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", cos.alias("_cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVF_FILT_K)
+        .select(
+            "qid",
+            F.col("rn").cast("int").alias("rnk"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("_cos", 4).alias("cos_sim"),
+        )
     )

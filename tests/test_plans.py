@@ -886,3 +886,60 @@ def test_perplexity_twins_agree_on_thirds_counts(spark, sf_dir):
     }
     assert exact.keys() == approx.keys()
     assert exact == approx
+
+
+def test_ivfpq_serves_from_bucketed_codes_no_full_scan(spark, sf_dir):
+    """ann_ivfpq_search: the persisted serving table is read ONCE, the
+    probe join on cid is served by the bucket layout (no Exchange
+    directly above the cells scan), and the scan carries integer codes
+    — never a vector column. With the single probe-joined scan the ADC
+    aggregate can only see probed-cell rows: the full-code-scan path
+    of ann_pq_adc_search structurally cannot exist in this plan.
+    autoBroadcastJoinThreshold is disabled so the pin sees the
+    at-scale join strategy — at test SF, AQE (correctly) broadcasts
+    the small cells side instead, which a 100 TB cell table never is."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, sf_dir, "ann_ivfpq_search")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    lines = plan.splitlines()
+    scans = [
+        i for i, l in enumerate(lines)
+        if "FileScan" in l and "ivfpq_" in l and "_cells" in l
+    ]
+    assert len(scans) == 1, plan
+    above = "\n".join(lines[max(0, scans[0] - 2): scans[0]])
+    assert "Exchange" not in above, plan
+    assert "Bucketed: true" in lines[scans[0]] or "SelectedBucketsCount" in plan
+    assert "codes" in lines[scans[0]], plan
+    assert "embedding" not in lines[scans[0]], plan
+
+
+def test_filtered_ann_pushes_predicate_into_cell_scan(spark, sf_dir):
+    """ann_ivf_filtered: the metadata predicate must reach the parquet
+    scan of the probed cell table (PushedFilters EqualTo on label) —
+    candidates are pruned by the storage layer, not post-filtered —
+    and the cid probe join stays exchange-free on the corpus side."""
+    from deep_field_spark.queries.similarity import IVF_FILT_LABEL
+
+    plan = _plan(spark, sf_dir, "ann_ivf_filtered")
+    lines = plan.splitlines()
+    scans = [
+        i for i, l in enumerate(lines)
+        if "FileScan" in l and "ivff_" in l and "_cells" in l
+    ]
+    assert len(scans) == 1, plan
+    assert f"EqualTo(label,{IVF_FILT_LABEL})" in lines[scans[0]], plan
+    above = "\n".join(lines[max(0, scans[0] - 2): scans[0]])
+    assert "Exchange" not in above, plan
+
+
+def test_ivf_recall_query_sample_is_take_ordered(spark, sf_dir):
+    """ann_ivf_recall: the md5 calibration sample must plan as
+    TakeOrderedAndProject (per-partition heap), never a global Sort —
+    the in-code bound that keeps the brute-truth leg at IVF_CAL_Q
+    linear scans at any corpus size."""
+    plan = _plan(spark, sf_dir, "ann_ivf_recall")
+    assert "TakeOrderedAndProject" in plan, plan
