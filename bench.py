@@ -237,6 +237,15 @@ def main() -> None:
         return s
 
     spark.range(256, numPartitions=32).select(_warm(col("id"))).count()
+    # mapInPandas warms a DIFFERENT worker/serializer path than a
+    # scalar pandas UDF (~2.5 s cold at 32 cores, measured): without
+    # this, whichever mapInPandas query runs FIRST absorbs the cost —
+    # the r7 bench showed multimodal_frame_sample 0.54→1.11 s with no
+    # code change purely from ordering. Warm both so per-query timings
+    # are order-independent.
+    spark.range(256, numPartitions=32).selectExpr(
+        "id", "cast(string(id) as binary) as payload"
+    ).mapInPandas(lambda it: it, "id long, payload binary").count()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -1,1 +1,2 @@
+from . import drift  # noqa: F401
 from . import windows  # noqa: F401
