@@ -104,3 +104,70 @@ def test_dynamic_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
     # semantics: identical to a static IN filter on the two types
     want = ev.filter(F.col("event_type").isin("purchase", "click")).count()
     assert n == want and n > 0
+
+
+def test_aqe_skew_join_splits_hot_key(spark, sf_dir):
+    """AQE's built-in skew handling — the adaptive complement of the
+    manual salt in join_skew_salted: a sort-merge join whose fact side
+    has one hot key (amplified 20x here, 'click') must be re-planned
+    at runtime as SortMergeJoin(skew=true) with the hot reduce
+    partition split across mapper-boundary chunks (AQEShuffleRead
+    'skewed'), semantics unchanged.
+
+    Two fixture-scale adjustments, both size-not-shape: the skew
+    thresholds scale down (same move as the bloom/DPP tests above),
+    and the fact side is repartitioned to 8 mappers — AQE splits a
+    skewed reduce partition at MAPPER granularity, and the single
+    small fixture file otherwise produces one mapper, leaving nothing
+    to split (at 100 TB the fact scan has thousands of mappers and
+    this is never a constraint).
+
+    When is the manual salt still required? When the hot-key operator
+    is broadcast-ineligible and NOT this exact SMJ shape — e.g. a
+    skewed AGGREGATION (no join to split), or a join whose child isn't
+    a plain shuffle (an agg or window between shuffle and join breaks
+    the Sort(Shuffle) pattern the rule matches). SCALE.md §skew has
+    the decision table."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    fact = (
+        ev.withColumn(
+            "rep",
+            F.when(F.col("event_type") == "click", 20).otherwise(1),
+        )
+        .withColumn("i", F.explode(F.sequence(F.lit(1), F.col("rep"))))
+        .drop("rep", "i")
+        .repartition(8)
+    )
+    dim = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(
+            ["click", "view", "signup", "error", "purchase"]
+        )],
+        "event_type string, w int",
+    )
+    baseline = (
+        fact.join(F.broadcast(dim), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("w").alias("s"))
+        .collect()[0]
+    )
+    with _confs(
+        spark,
+        spark__sql__autoBroadcastJoinThreshold="-1",
+        spark__sql__adaptive__skewJoin__skewedPartitionThresholdInBytes="2KB",
+        spark__sql__adaptive__advisoryPartitionSizeInBytes="1KB",
+    ):
+        res = fact.join(dim, "event_type").agg(
+            F.count("*").alias("n"), F.sum("w").alias("s")
+        )
+        row = res.collect()[0]
+        plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin(skew=true)" in plan, plan
+    # 'skewed' or 'coalesced and skewed', depending on whether the
+    # coalesce rule also fired on the same read
+    assert any(
+        "AQEShuffleRead" in ln and "skewed" in ln
+        for ln in plan.splitlines()
+    ), plan
+    assert (row.n, row.s) == (baseline.n, baseline.s)
+    assert row.n > 0
