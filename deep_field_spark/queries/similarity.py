@@ -2047,3 +2047,203 @@ def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("_cos", 4).alias("cos_sim"),
         )
     )
+
+
+# --- filtered-ANN recall vs filter selectivity: the knob chart ----------
+# label ranges of increasing selectivity: ~10% (one label), ~50%
+# (labels 0-4), 100% (no effective filter) — the axis a deployment
+# tunes nprobe against, because a selective filter starves probed cells
+FILT_RANGES = ((3, 3), (0, 4), (0, 9))
+FILT_RECALL_K = 5
+
+
+@register(
+    "ann_filtered_recall",
+    oracle=f"""
+    WITH {_kmeans_ctes("embeddings")},
+    cent AS (SELECT cid, c FROM cent{KMEANS_ITERS}),
+    s_all AS (SELECT v.vec_id, c.cid, {_cos_vc_sql('v', 'c')} AS cos
+              FROM embeddings v, cent c),
+    asg AS (SELECT s.vec_id, s.cid, e.label FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, cid) AS rn
+              FROM s_all) s JOIN embeddings e USING (vec_id)
+            WHERE s.rn = 1),
+    q AS (SELECT vec_id AS qid, embedding FROM embeddings
+          ORDER BY md5('ivfcal:' || CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {IVF_CAL_Q}),
+    pc AS (SELECT q.qid, c.cid, {_cos_vc_sql('q', 'c')} AS cos
+           FROM q, cent c),
+    probes AS (SELECT qid, cid FROM (
+                 SELECT qid, cid,
+                        row_number() OVER (PARTITION BY qid
+                                           ORDER BY cos DESC, cid) AS rn
+                 FROM pc) WHERE rn <= {IVF_FILT_NPROBE}),
+    fr AS (SELECT * FROM (VALUES
+             {", ".join(f"({lo}, {hi})" for lo, hi in FILT_RANGES)})
+           AS t(lo, hi)),
+    cand AS (SELECT p.qid, f.lo, f.hi, a.vec_id
+             FROM probes p
+             JOIN asg a USING (cid)
+             JOIN fr f ON a.label BETWEEN f.lo AND f.hi
+             WHERE a.vec_id <> p.qid),
+    csc AS (SELECT c.qid, c.lo, c.hi, c.vec_id, {_COS_SQL} AS cos
+            FROM cand c
+            JOIN embeddings a ON a.vec_id = c.qid
+            JOIN embeddings b ON b.vec_id = c.vec_id),
+    ivf_topk AS (SELECT qid, lo, hi, vec_id FROM (
+                   SELECT qid, lo, hi, vec_id,
+                          row_number() OVER (PARTITION BY qid, lo, hi
+                                             ORDER BY cos DESC, vec_id) AS rn
+                   FROM csc) WHERE rn <= {FILT_RECALL_K}),
+    brute AS (SELECT qid, lo, hi, vec_id FROM (
+                SELECT a.qid, f.lo, f.hi, b.vec_id AS vec_id,
+                       row_number() OVER (PARTITION BY a.qid, f.lo, f.hi
+                                ORDER BY {_COS_SQL} DESC, b.vec_id) AS rn
+                FROM q a
+                JOIN embeddings b ON a.qid <> b.vec_id
+                JOIN fr f ON b.label BETWEEN f.lo AND f.hi)
+              WHERE rn <= {FILT_RECALL_K}),
+    hits AS (SELECT i.qid, i.lo, i.hi,
+                    CAST(count(b.vec_id) AS BIGINT) AS n_hit
+             FROM ivf_topk i LEFT JOIN brute b
+               ON b.qid = i.qid AND b.lo = i.lo AND b.hi = i.hi
+              AND b.vec_id = i.vec_id
+             GROUP BY 1, 2, 3),
+    nc AS (SELECT qid, lo, hi, CAST(count(*) AS BIGINT) AS n_cand
+           FROM cand GROUP BY 1, 2, 3),
+    per_q AS (SELECT h.qid, h.lo, h.hi, h.n_hit, c.n_cand
+              FROM hits h JOIN nc c USING (qid, lo, hi))
+    SELECT CAST(lo AS INT) AS label_lo, CAST(hi AS INT) AS label_hi,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           round(CAST(sum(CAST(n_hit AS DECIMAL(18,6))) AS DOUBLE)
+                 / (count(*) * {FILT_RECALL_K}), 6) AS recall_at_k,
+           round(CAST(sum(CAST(n_cand AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 2) AS avg_candidates
+    FROM per_q GROUP BY 1, 2
+    """,
+    doc="The filtered-ANN knob chart (completes ann_ivf_filtered the "
+        "way ann_ivf_recall completes ann_incremental_ivf): recall@"
+        f"{FILT_RECALL_K} of label-filtered probe search at fixed "
+        f"nprobe={IVF_FILT_NPROBE} against the FILTERED brute-force "
+        "truth, for three predicate selectivities (~10%/~50%/100%) "
+        "fanned out from ONE cell-ranking pass via a 3-row broadcast "
+        "— the chart that tells a deployment how much wider nprobe "
+        "must get as filters sharpen (a selective filter starves "
+        "probed cells, so recall decays with selectivity at fixed "
+        "nprobe). Query set is the same fixed-size md5 calibration "
+        "sample as ann_ivf_recall, so the truth leg stays "
+        f"{IVF_CAL_Q} linear scans at any SF. Averages are integer "
+        "ratios DECIMAL-summed; the chart is bit-exact.",
+)
+def ann_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding", "label"
+    )
+    vecs = emb.select("vec_id", "embedding")
+    cent = _lloyd_centroids(vecs)
+    cos_vc = vectors.cosine(F.col("embedding"), F.col("c_emb"))
+    w_asg = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), "cid")
+    asg = (
+        vecs.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", cos_vc.alias("_cos"))
+        .withColumn("rn", F.row_number().over(w_asg))
+        .filter(F.col("rn") == 1)
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .select("vec_id", "cid", "label")
+    )
+    q = (
+        emb.select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("q_emb"),
+            F.md5(
+                F.concat(F.lit("ivfcal:"), F.col("vec_id").cast("string"))
+            ).alias("_h"),
+        )
+        .orderBy("_h", "qid")
+        .limit(IVF_CAL_Q)
+        .drop("_h")
+    )
+    qcos = vectors.cosine(F.col("q_emb"), F.col("c_emb"))
+    w_cell = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), "cid")
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("qid", "cid", qcos.alias("_cos"))
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") <= IVF_FILT_NPROBE)
+        .select("qid", "cid")
+    )
+    fr = spark.createDataFrame(list(FILT_RANGES), "lo int, hi int")
+    cand = (
+        probes.join(asg, "cid")
+        .join(
+            F.broadcast(fr),
+            (F.col("label") >= F.col("lo")) & (F.col("label") <= F.col("hi")),
+        )
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "lo", "hi", "vec_id")
+    )
+    pair_cos = vectors.cosine(F.col("q_emb"), F.col("embedding"))
+    w_ivf = Window.partitionBy("qid", "lo", "hi").orderBy(
+        F.col("_cos").desc(), "vec_id"
+    )
+    ivf_topk = (
+        cand.join(vecs, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select("qid", "lo", "hi", "vec_id", pair_cos.alias("_cos"))
+        .withColumn("rn", F.row_number().over(w_ivf))
+        .filter(F.col("rn") <= FILT_RECALL_K)
+        .select("qid", "lo", "hi", "vec_id")
+    )
+    w_b = Window.partitionBy("qid", "lo", "hi").orderBy(
+        F.col("_cos").desc(), "vec_id"
+    )
+    brute = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .filter(F.col("qid") != F.col("vec_id"))
+        .join(
+            F.broadcast(fr),
+            (F.col("label") >= F.col("lo")) & (F.col("label") <= F.col("hi")),
+        )
+        .select("qid", "lo", "hi", "vec_id", pair_cos.alias("_cos"))
+        .withColumn("rn", F.row_number().over(w_b))
+        .filter(F.col("rn") <= FILT_RECALL_K)
+        .select("qid", "lo", "hi", F.col("vec_id").alias("b_vec"))
+    )
+    hits = (
+        ivf_topk.join(
+            brute,
+            (ivf_topk.qid == brute.qid)
+            & (ivf_topk.lo == brute.lo)
+            & (ivf_topk.hi == brute.hi)
+            & (ivf_topk.vec_id == brute.b_vec),
+            "left",
+        )
+        .select(ivf_topk.qid.alias("qid"), ivf_topk.lo.alias("lo"),
+                ivf_topk.hi.alias("hi"), "b_vec")
+        .groupBy("qid", "lo", "hi")
+        .agg(F.count("b_vec").alias("n_hit"))
+    )
+    nc = cand.groupBy("qid", "lo", "hi").agg(F.count("*").alias("n_cand"))
+    per_q = hits.join(nc, ["qid", "lo", "hi"])
+    return per_q.groupBy("lo", "hi").agg(
+        F.count("*").alias("n_queries"),
+        F.round(
+            F.sum(F.col("n_hit").cast("decimal(18,6)")).cast("double")
+            / (F.count("*") * FILT_RECALL_K),
+            6,
+        ).alias("recall_at_k"),
+        F.round(
+            F.sum(F.col("n_cand").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            2,
+        ).alias("avg_candidates"),
+    ).select(
+        F.col("lo").cast("int").alias("label_lo"),
+        F.col("hi").cast("int").alias("label_hi"),
+        "n_queries",
+        "recall_at_k",
+        "avg_candidates",
+    )
