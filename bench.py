@@ -155,6 +155,9 @@ HEADLINE = [
     "ann_ivf_kmeans",
     "ann_incremental_ivf",
     "ann_ivf_recall",
+    "ann_ivfpq_search",
+    "ann_ivf_filtered",
+    "ann_filtered_recall",
     "dedup_semantic",
     "embedding_quantize_int8",
     "embedding_hard_negatives",

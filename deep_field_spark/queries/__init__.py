@@ -218,11 +218,17 @@ _PRIORITY = [
     # compression family; its slot funds the round-6 tfidf all-pairs
     # similarity, the dense-corpus adversarial case)
     # (embedding_pq_codes rotated below after its green r06 row —
-    # ann_pq_adc_search is its STRICT superset: the oracle replays the
-    # same subspace training and code assignment and then serves ADC
-    # lookups off the codes. The compression step stays in-window
+    # the ADC serving step is its STRICT superset: the oracle replays
+    # the same subspace training and code assignment and then serves
+    # ADC lookups off the codes. The compression step stays in-window
     # through the serving step that consumes it)
-    "ann_pq_adc_search",
+    # (ann_pq_adc_search rotated out after its green r07 row —
+    # ann_ivfpq_search is ITS strict superset in turn: same PQ
+    # training + assignment + per-query LUT + DECIMAL ADC sums, now
+    # composed behind the persisted IVF cell layout so only probed
+    # codes are scored — the r7 verdict's #1 ask. The full-code scan
+    # stays registered below as the declared recall-ceiling baseline)
+    "ann_ivfpq_search",
     # round-5: trained-cells IVF (distributed Lloyd's) + SemDeDup-style
     # per-cell semantic prune — the LLM-curation capability the round-4
     # verdict ranked top-missing
@@ -326,7 +332,16 @@ _PRIORITY = [
     # hypothesis coverage via the Misra-Gries superset test and the
     # multi-green heavy-hitters row on file. Its slot funds
     # ann_ivf_recall, the IVF recall/nprobe contract)
-    "ann_ivf_recall", "join_skew_salted",
+    # (ann_ivf_recall KEEPS its slot for round 8 despite the green r07
+    # row: its calibration query set changed from %QUERY_MOD to the
+    # fixed-size md5 sample — changed semantics need fresh evidence)
+    "ann_ivf_recall",
+    # round-8 first-evidence: filtered ANN (label predicate pushed
+    # into the probed-cell scan) and its recall-vs-selectivity knob
+    # chart — slots funded by q4/q14 rotating out below (≥3 green rows
+    # each, byte-stable since r05)
+    "ann_ivf_filtered", "ann_filtered_recall",
+    "join_skew_salted",
     # round-5: Okapi BM25 top-k retrieval and DSIR hashed-ngram
     # importance weights (slots funded by the rotated udaf_grouped_
     # pandas and multimodal_frame_sample)
@@ -374,7 +389,10 @@ _PRIORITY = [
     #   FK orphan audit, partition-incremental aggregate maintenance)
     # - corpus_novelty_profile: per-doc n-gram novelty vs the corpus
     #   prefix (redundancy-growth audit)
-    "q4_order_priority", "q14_promo_revenue", "q18_large_volume_customer",
+    # (q4_order_priority / q14_promo_revenue rotated out for round 8:
+    # ≥3 driver-green rows each across r01-r07, byte-unchanged since —
+    # their slots fund the filtered-ANN pair above)
+    "q18_large_volume_customer",
     "q21_waiting_supplier", "table_profile_lineitem",
     "dq_referential_audit", "incr_agg_refresh", "corpus_novelty_profile",
     # round-6 late additions needing first driver evidence (19 slots

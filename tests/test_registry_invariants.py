@@ -62,32 +62,32 @@ def test_driver_window_is_all_oracle_bearing():
     )
 
 
-def test_round7_window_slots():
-    """The round-7 budget window: every query with zero prior driver
-    evidence (the two round-7 additions), every query whose SEMANTICS
-    changed this round and needs fresh evidence (containment anchor
-    path, ndcg singleton guard, q18 unrounded cutoff), the three
-    de-hinted TPC-H queries rotated back in so all 13 broadcast-policy
-    queries get a driver row on their new plans, plus the
-    reference-core flagship and the round-6 first-evidence set that
-    stays. (dedup_semantic / ann_recall_report /
-    curation_quality_classifier / text_bm25_search /
-    curation_dsir_weights rotated out: green r05+r06 each,
-    byte-unchanged since.)"""
+def test_round8_window_slots():
+    """The round-8 budget window: the three round-8 first-evidence
+    additions (the composed IVFPQ serving path and the filtered-ANN
+    pair), ann_ivf_recall kept despite its green r07 row because its
+    calibration sample CHANGED (fixed-size md5 set — changed semantics
+    need fresh evidence), plus the round-7 first-evidence set that
+    stays and the reference-core flagship. Rotated out this round:
+    ann_pq_adc_search (green r07; ann_ivfpq_search is its strict
+    superset) and q4_order_priority / q14_promo_revenue (>=3 green
+    rows each, byte-unchanged since r05)."""
     names = list(REGISTRY)[:DRIVER_WINDOW]
     for q in (
-        # round-7 first-evidence set
+        # round-8 first-evidence set
+        "ann_ivfpq_search", "ann_ivf_filtered", "ann_filtered_recall",
+        # round-8 changed-semantics set
+        "ann_ivf_recall",
+        # round-7 first-evidence keeps
         "multimodal_audio_rms", "corpus_perplexity_buckets_approx",
         "corpus_weighted_sample", "ann_incremental_ivf",
         "multimodal_video_luma", "embedding_hard_negatives",
         "corpus_split_dedup_aware", "events_anomaly_mad",
-        "dq_distribution_drift", "ann_pq_adc_search",
-        "ann_ivf_recall",
-        # round-7 changed-semantics set
+        "dq_distribution_drift",
+        # round-7 changed-semantics keeps
         "dedup_containment", "retrieval_eval_ndcg",
         "q18_large_volume_customer",
-        # de-hinted broadcast-policy queries rotated back in (the other
-        # ten of the 13 are already in-window)
+        # de-hinted broadcast-policy keeps
         "q3_shipping_priority", "q5_local_supplier_volume",
         "join_inner_dim",
         # reference-core flagship + round-6 keeps
@@ -95,7 +95,7 @@ def test_round7_window_slots():
         "dedup_incremental_minhash",
         "join_skew_salted",
         "unpivot_part_metrics", "curation_quality_train",
-        "graph_pagerank", "q4_order_priority", "q14_promo_revenue",
+        "graph_pagerank",
         "q21_waiting_supplier", "table_profile_lineitem",
         "dq_referential_audit", "incr_agg_refresh",
         "corpus_novelty_profile", "q6_forecast_revenue",
