@@ -221,6 +221,26 @@ def _bench_lsh_split(spark, sf_dir: str) -> tuple[float, float, int]:
     return build_dt, ingest_dt, n
 
 
+def _bench_ivfpq_split(spark, sf_dir: str) -> tuple[float, float, int]:
+    """Time ann_ivfpq_search's two phases separately: the one-time
+    index build (coarse k-means + PQ codebooks + persisted code-only
+    cell table) vs the recurring serve path (probe + ADC + top-k).
+    Production amortizes the build across days; serve is the day-2
+    number."""
+    from deep_field_spark.queries.similarity import (
+        _ivfpq_build,
+        _ivfpq_serve,
+    )
+
+    t0 = time.perf_counter()
+    name = _ivfpq_build(spark, sf_dir)
+    build_dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n = _ivfpq_serve(spark, sf_dir, name).count()
+    serve_dt = time.perf_counter() - t0
+    return build_dt, serve_dt, n
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -268,6 +288,21 @@ def main() -> None:
             print(
                 f"# {name}: {b + i:.2f}s ({n} rows) "
                 f"[build {b:.2f}s + ingest {i:.2f}s]",
+                file=sys.stderr,
+            )
+            continue
+        if name == "ann_ivfpq_search":
+            # same convention: the registered query is hermetic
+            # (build + serve per run); report the phases so the
+            # recurring serving cost is visible round-over-round
+            b, s, n = _bench_ivfpq_split(spark, sf_dir)
+            timings["ivfpq.build"] = round(b, 3)
+            timings["ivfpq.serve"] = round(s, 3)
+            timings[name] = round(b + s, 3)
+            total += b + s
+            print(
+                f"# {name}: {b + s:.2f}s ({n} rows) "
+                f"[build {b:.2f}s + serve {s:.2f}s]",
                 file=sys.stderr,
             )
             continue

@@ -1818,6 +1818,86 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVFPQ_NPROBE = 4
 
 
+def _ivfpq_build(spark: SparkSession, sf_dir: str) -> str:
+    """Train coarse centroids + PQ codebooks and persist the IVFPQ
+    state (code-only bucketed cell table + codebook aux). Returns the
+    state name. This is the ONE-TIME index cost a production
+    deployment amortizes across days; the bench reports it separately
+    from the recurring serve cost (ivfpq.build vs ivfpq.serve, the
+    lsh_state.build/.ingest convention)."""
+    import hashlib
+
+    from ..operators import ivf_state
+
+    emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    name = "ivfpq_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    coarse = _lloyd_centroids(emb)
+    sv = _pq_subvectors(emb)
+    pq = _pq_codebooks(sv)
+    codes = (
+        _pq_assign(sv, pq)
+        .groupBy("vec_id")
+        .agg(F.sort_array(F.collect_list(F.struct("sub", "cid"))).alias("sc"))
+        .select("vec_id", F.col("sc.cid").cast("array<int>").alias("codes"))
+    )
+    ivf_state.build(
+        emb.join(codes, "vec_id"),
+        coarse,
+        name,
+        store_vec=False,
+        aux_tables={"pq": pq},
+    )
+    return name
+
+
+def _ivfpq_serve(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The recurring query-time path: probe nprobe cells, ADC-score the
+    probed codes against the per-query LUT, top-k. Touches only the
+    persisted state tables + the query vectors."""
+    from ..operators import ivf_state
+
+    emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    probes = ivf_state.probe(spark, name, q, nprobe=IVFPQ_NPROBE, keep=())
+    cand = (
+        probes.join(spark.table(f"{name}_cells"), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.posexplode("codes").alias("sub", "code"))
+    )
+    qsv = _pq_subvectors(
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    ).select(F.col("vec_id").alias("qid"), "sub", "sv")
+    # the codebook aux table is PQ_M x PQ_K rows — bounded by constants
+    # at ANY corpus size, so the forced broadcast is policy-compliant
+    lut = qsv.join(F.broadcast(spark.table(f"{name}_pq")), "sub").select(
+        "qid", "sub", F.col("cid").alias("code"), _pq_d().alias("d")
+    )
+    adc = (
+        cand.join(lut, ["qid", "sub", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum(F.col("d").cast("decimal(28,12)")).alias("adc_dec"))
+        .select(
+            "qid",
+            "vec_id",
+            F.col("adc_dec").cast("double").alias("adc"),
+            F.round("adc_dec", 6).cast("double").alias("adc_r"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("adc", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ADC_K)
+        .select(
+            "qid",
+            F.col("rn").cast("int").alias("rnk"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("adc_r").alias("adc_dist"),
+        )
+    )
+
+
 @register(
     "ann_ivfpq_search",
     oracle=f"""
@@ -1891,67 +1971,7 @@ IVFPQ_NPROBE = 4
         "PQ training, assignment, probe selection and the ADC sums.",
 )
 def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-
-    from ..operators import ivf_state
-
-    emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
-    name = "ivfpq_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    coarse = _lloyd_centroids(emb)
-    sv = _pq_subvectors(emb)
-    pq = _pq_codebooks(sv)
-    codes = (
-        _pq_assign(sv, pq)
-        .groupBy("vec_id")
-        .agg(F.sort_array(F.collect_list(F.struct("sub", "cid"))).alias("sc"))
-        .select("vec_id", F.col("sc.cid").cast("array<int>").alias("codes"))
-    )
-    ivf_state.build(
-        emb.join(codes, "vec_id"),
-        coarse,
-        name,
-        store_vec=False,
-        aux_tables={"pq": pq},
-    )
-    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
-    )
-    probes = ivf_state.probe(spark, name, q, nprobe=IVFPQ_NPROBE, keep=())
-    cand = (
-        probes.join(spark.table(f"{name}_cells"), "cid")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", F.posexplode("codes").alias("sub", "code"))
-    )
-    qsv = _pq_subvectors(
-        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
-    ).select(F.col("vec_id").alias("qid"), "sub", "sv")
-    # the codebook aux table is PQ_M x PQ_K rows — bounded by constants
-    # at ANY corpus size, so the forced broadcast is policy-compliant
-    lut = qsv.join(F.broadcast(spark.table(f"{name}_pq")), "sub").select(
-        "qid", "sub", F.col("cid").alias("code"), _pq_d().alias("d")
-    )
-    adc = (
-        cand.join(lut, ["qid", "sub", "code"])
-        .groupBy("qid", "vec_id")
-        .agg(F.sum(F.col("d").cast("decimal(28,12)")).alias("adc_dec"))
-        .select(
-            "qid",
-            "vec_id",
-            F.col("adc_dec").cast("double").alias("adc"),
-            F.round("adc_dec", 6).cast("double").alias("adc_r"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy("adc", "vec_id")
-    return (
-        adc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= ADC_K)
-        .select(
-            "qid",
-            F.col("rn").cast("int").alias("rnk"),
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("adc_r").alias("adc_dist"),
-        )
-    )
+    return _ivfpq_serve(spark, sf_dir, _ivfpq_build(spark, sf_dir))
 
 
 # --- filtered ANN: metadata predicate inside the probed-cell scan -------
