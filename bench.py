@@ -156,6 +156,7 @@ HEADLINE = [
     "ann_incremental_ivf",
     "ann_ivf_recall",
     "ann_ivfpq_search",
+    "ann_ivfpq_recall",
     "ann_ivf_filtered",
     "ann_filtered_recall",
     "dedup_semantic",

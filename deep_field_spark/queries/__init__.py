@@ -341,6 +341,11 @@ _PRIORITY = [
     # chart — slots funded by q4/q14 rotating out below (≥3 green rows
     # each, byte-stable since r05)
     "ann_ivf_filtered", "ann_filtered_recall",
+    # round-8 first-evidence: the IVFPQ recall-attribution chart
+    # (pruning loss vs quantization loss from one probe pass) — slot
+    # funded by q21_waiting_supplier rotating out below (>=3 green
+    # rows, byte-stable)
+    "ann_ivfpq_recall",
     "join_skew_salted",
     # round-5: Okapi BM25 top-k retrieval and DSIR hashed-ngram
     # importance weights (slots funded by the rotated udaf_grouped_
@@ -393,7 +398,9 @@ _PRIORITY = [
     # ≥3 driver-green rows each across r01-r07, byte-unchanged since —
     # their slots fund the filtered-ANN pair above)
     "q18_large_volume_customer",
-    "q21_waiting_supplier", "table_profile_lineitem",
+    # (q21_waiting_supplier rotated out for round 8: >=3 green rows,
+    # byte-stable — its slot funds ann_ivfpq_recall above)
+    "table_profile_lineitem",
     "dq_referential_audit", "incr_agg_refresh", "corpus_novelty_profile",
     # round-6 late additions needing first driver evidence (19 slots
     # funded by the rotations annotated above — every oracle-bearing

@@ -936,10 +936,13 @@ def test_filtered_ann_pushes_predicate_into_cell_scan(spark, sf_dir):
     assert "Exchange" not in above, plan
 
 
-def test_ivf_recall_query_sample_is_take_ordered(spark, sf_dir):
-    """ann_ivf_recall: the md5 calibration sample must plan as
+@pytest.mark.parametrize(
+    "name", ["ann_ivf_recall", "ann_filtered_recall", "ann_ivfpq_recall"]
+)
+def test_calibration_query_sample_is_take_ordered(spark, sf_dir, name):
+    """Every calibration chart's md5 query sample must plan as
     TakeOrderedAndProject (per-partition heap), never a global Sort —
-    the in-code bound that keeps the brute-truth leg at IVF_CAL_Q
+    the in-code bound that keeps the brute-truth legs at IVF_CAL_Q
     linear scans at any corpus size."""
-    plan = _plan(spark, sf_dir, "ann_ivf_recall")
+    plan = _plan(spark, sf_dir, name)
     assert "TakeOrderedAndProject" in plan, plan
