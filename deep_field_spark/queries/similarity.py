@@ -1908,24 +1908,33 @@ def _ivfpq_build(spark: SparkSession, sf_dir: str) -> str:
     return name
 
 
-def _ivfpq_serve(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """The recurring query-time path: probe nprobe cells, ADC-score the
-    probed codes against the per-query LUT, top-k. Touches only the
-    persisted state tables + the query vectors."""
+def _ivfpq_serve_state(
+    spark: SparkSession,
+    name: str,
+    queries: DataFrame,
+    *,
+    k: int,
+    nprobe: int = IVFPQ_NPROBE,
+) -> DataFrame:
+    """Serve ADC top-k from the persisted IVFPQ state for an arbitrary
+    (qid, q_emb) query frame: probe nprobe cells, ADC-score the probed
+    codes against the per-query LUT. Touches only the state tables +
+    the query vectors (the day-2 serve path — see
+    tests/test_ivf_state.py::test_ivfpq_day2_ingest...)."""
     from ..operators import ivf_state
 
-    emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
-    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
-    )
-    probes = ivf_state.probe(spark, name, q, nprobe=IVFPQ_NPROBE, keep=())
+    probes = ivf_state.probe(spark, name, queries, nprobe=nprobe, keep=())
     cand = (
         probes.join(spark.table(f"{name}_cells"), "cid")
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", F.posexplode("codes").alias("sub", "code"))
     )
     qsv = _pq_subvectors(
-        _l2_normalized(emb.filter(F.col("vec_id") % QUERY_MOD == 0)),
+        _l2_normalized(
+            queries.select(
+                F.col("qid").alias("vec_id"), F.col("q_emb").alias("embedding")
+            )
+        ),
         m=IVFPQ_M,
     ).select(F.col("vec_id").alias("qid"), "sub", "sv")
     # the codebook aux table is PQ_M x PQ_K rows — bounded by constants
@@ -1947,7 +1956,7 @@ def _ivfpq_serve(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy("adc", "vec_id")
     return (
         adc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= ADC_K)
+        .filter(F.col("rn") <= k)
         .select(
             "qid",
             F.col("rn").cast("int").alias("rnk"),
@@ -1955,6 +1964,16 @@ def _ivfpq_serve(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             F.col("adc_r").alias("adc_dist"),
         )
     )
+
+
+def _ivfpq_serve(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The registered query's serve leg: the standard query sample
+    against the state ``_ivfpq_build`` wrote."""
+    emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    return _ivfpq_serve_state(spark, name, q, k=ADC_K)
 
 
 @register(

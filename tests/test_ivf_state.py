@@ -282,3 +282,84 @@ def test_property_search_matches_python_reference(spark, tmp_path):
         assert got == want
 
     run()
+
+
+def test_ivfpq_day2_ingest_with_frozen_codebooks(spark, sf_dir, state_name):
+    """The day-2 IVFPQ posture end-to-end: the code-only state built on
+    the base corpus absorbs a NEW batch encoded against the FROZEN PQ
+    codebooks (read back from the aux artifact) and assigned to the
+    FROZEN coarse centroids; a query near an ingested vector retrieves
+    it through the ADC serving path — codes only, no raw vectors in
+    the state."""
+    from deep_field_spark.queries.similarity import (
+        ADC_K,
+        IVFPQ_K,
+        IVFPQ_M,
+        IVFPQ_NPROBE,
+        _ivfpq_serve_state,
+        _l2_normalized,
+        _lloyd_centroids,
+        _pq_assign,
+        _pq_codebooks,
+        _pq_subvectors,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < EMB_INCR_MIN)
+    coarse = _lloyd_centroids(base)
+    sv = _pq_subvectors(_l2_normalized(base), m=IVFPQ_M)
+    pq = _pq_codebooks(sv, k=IVFPQ_K)
+
+    def encode(vecs):
+        s = _pq_subvectors(_l2_normalized(vecs), m=IVFPQ_M)
+        return (
+            _pq_assign(s, pq)
+            .groupBy("vec_id")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("sub", "cid"))).alias("sc")
+            )
+            .select(
+                "vec_id", F.col("sc.cid").cast("array<int>").alias("codes")
+            )
+        )
+
+    ivf_state.build(
+        base.join(encode(base), "vec_id"),
+        coarse,
+        state_name,
+        store_vec=False,
+        aux_tables={"pq": pq},
+    )
+
+    batch = emb.filter(
+        (F.col("vec_id") >= EMB_INCR_MIN) & (F.col("vec_id") < EMB_INCR_MIN + 30)
+    )
+    # encode against the PERSISTED (frozen) codebooks, not the local pq
+    frozen_pq = spark.table(f"{state_name}_pq")
+    s2 = _pq_subvectors(_l2_normalized(batch), m=IVFPQ_M)
+    codes2 = (
+        _pq_assign(s2, frozen_pq)
+        .groupBy("vec_id")
+        .agg(F.sort_array(F.collect_list(F.struct("sub", "cid"))).alias("sc"))
+        .select("vec_id", F.col("sc.cid").cast("array<int>").alias("codes"))
+    )
+    report = ivf_state.ingest(
+        spark, state_name, batch.join(codes2, "vec_id")
+    )
+    assert report.count() == 30
+    cells = spark.table(f"{state_name}_cells")
+    assert set(cells.columns) == {"cid", "vec_id", "codes"}
+    assert cells.count() == EMB_INCR_MIN + 30
+
+    # a query vector IDENTICAL to an ingested one must retrieve it via
+    # ADC: same codes => ADC distance 0, rank 1 (self not excluded —
+    # the query id is synthetic and differs from every corpus id)
+    target = EMB_INCR_MIN + 7
+    q = batch.filter(F.col("vec_id") == target).select(
+        F.lit(10_000_000).cast("long").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+    )
+    res = _ivfpq_serve_state(spark, state_name, q, k=ADC_K)
+    rows = res.collect()
+    assert rows, "ADC serve returned nothing"
+    assert rows[0].neighbor_id == target, rows[:3]
