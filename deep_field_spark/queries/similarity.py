@@ -1637,11 +1637,11 @@ ADC_K = 5
         "cannot move a bit, making even the distance VALUES "
         "hash-exact. Scan shape: the code table joins the broadcast "
         "LUT on (sub, cid) — rows carry two ints and a double, never "
-        "embeddings. At 100 TB this runs after IVF cell pruning "
-        "(ivf_state.search supplies the candidate cells); here the "
-        "linear scan over codes is the point being proven. Completes "
-        "the IVF-PQ story: train (ann_ivf_kmeans), compress "
-        "(embedding_pq_codes), serve (this).",
+        "embeddings. This full-code scan is the declared RECALL "
+        "CEILING / oracle baseline; the composed production form — "
+        "ADC over nprobe-probed cells of the persisted bucketed "
+        "index only — is ann_ivfpq_search, which supersedes this "
+        "query in the driver window.",
 )
 def ann_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
