@@ -140,13 +140,23 @@ HEADLINE = [
     "decontam_embedding",
     "decontam_union_report",
     "embedding_pq_codes",
-    "ann_pq_adc_search",
+    # ann_pq_adc_search is EXCLUDED from the headline (r7 verdict
+    # pattern): its query set scales with the corpus (vec_id %
+    # QUERY_MOD) and it scans ALL codes per query — the declared
+    # O(n^2/50) recall-ceiling baseline. The composed production form,
+    # ann_ivfpq_search (probed cells only), is benched below with a
+    # build/serve phase split. The baseline stays oracle-gated at
+    # sf0.01 in every pytest run.
     "corpus_split_leakage",
     "corpus_novelty_profile",
     "graph_pagerank",
     "dedup_exact_substring_runs",
     "dedup_dup_span_removal",
-    "knn_brute_force",
+    # knn_brute_force is EXCLUDED: the deliberately-quadratic exact-kNN
+    # correctness baseline (SCALE.md declares it excluded — the bench
+    # now agrees). Its scale-path twins ann_lsh_bucket /
+    # ann_incremental_ivf / ann_ivfpq_search are all benched; the
+    # baseline stays oracle-gated at sf0.01 in every pytest run.
     "ann_lsh_bucket",
     "ann_lsh_multiprobe",
     "ann_recall_report",

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from deep_field_spark.catalog import table
 from deep_field_spark.operators import ivf_state, lsh_state
 from deep_field_spark.queries.similarity import (
+    EMB_INCR_MIN,
     IVF_STATE_K,
     IVF_STATE_NPROBE,
     _lloyd_centroids,
@@ -73,12 +74,22 @@ rows = sorted(
     (r.qid, r.rnk, r.neighbor_id, r.cos_sim) for r in res.collect()
 )
 
+# day-2 WRITE from the fresh application: ingest a new batch against
+# the frozen centroids through the attached catalog entries
+batch = emb.filter(
+    (F.col("vec_id") >= 400) & (F.col("vec_id") < 410)
+).select("vec_id", "embedding")
+ing = ivf_state.ingest(spark, name, batch).count()
+n_cells = spark.table(name + "_cells").count()
+
 # the LSH artifact attaches in the same fresh catalog too
 lsh_state.attach(spark, name + "_lsh")
 n_bands = spark.table(name + "_lsh_bands").count()
 n_shingles = spark.table(name + "_lsh_shingles").count()
 
-print(json.dumps({"rows": rows, "bands": n_bands, "shingles": n_shingles}))
+print(json.dumps({"rows": rows, "bands": n_bands,
+                  "shingles": n_shingles, "ingested": ing,
+                  "cells_after": n_cells}))
 """
 
 
@@ -89,7 +100,8 @@ def test_state_attaches_in_fresh_process(spark, sf_dir, tmp_path):
     spark.conf.set(ROOT_CONF, root)
     try:
         emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-        ivf_state.build(emb, _lloyd_centroids(emb), name)
+        base = emb.filter(F.col("vec_id") < EMB_INCR_MIN)
+        ivf_state.build(base, _lloyd_centroids(base), name)
         q = emb.filter(F.col("vec_id") % 100 == 0).select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
         )
@@ -129,6 +141,13 @@ def test_state_attaches_in_fresh_process(spark, sf_dir, tmp_path):
         assert got["rows"] == want_rows
         assert got["bands"] == want_bands
         assert got["shingles"] == want_shingles
+        # the child's day-2 ingest (vec_id 400-409, absent from the
+        # parent's base build) absorbed exactly once, and the parent
+        # session sees the child's append through the shared root
+        assert got["ingested"] == 10
+        assert got["cells_after"] == EMB_INCR_MIN + 10
+        spark.catalog.refreshTable(f"{name}_cells")
+        assert spark.table(f"{name}_cells").count() == EMB_INCR_MIN + 10
     finally:
         ivf_state.drop(spark, name)
         lsh_state.drop(spark, f"{name}_lsh")
