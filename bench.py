@@ -51,6 +51,7 @@ HEADLINE = [
     "table_snapshot_diff",
     "dq_key_skew_profile",
     "dq_distribution_drift",
+    "streaming_drift_psi",
     "scan_filter_project",
     "join_inner_dim",
     "join_semi",

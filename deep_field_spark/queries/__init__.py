@@ -346,6 +346,12 @@ _PRIORITY = [
     # funded by q21_waiting_supplier rotating out below (>=3 green
     # rows, byte-stable)
     "ann_ivfpq_recall",
+    # round-8 first-evidence: the streaming PSI drift monitor (frozen
+    # reference artifact + foreachBatch per-batch reports; single-batch
+    # run == the batch audit, shared oracle) — slot funded by
+    # table_profile_lineitem rotating out below (>=3 green rows,
+    # byte-stable)
+    "streaming_drift_psi",
     "join_skew_salted",
     # round-5: Okapi BM25 top-k retrieval and DSIR hashed-ngram
     # importance weights (slots funded by the rotated udaf_grouped_
@@ -399,8 +405,9 @@ _PRIORITY = [
     # their slots fund the filtered-ANN pair above)
     "q18_large_volume_customer",
     # (q21_waiting_supplier rotated out for round 8: >=3 green rows,
-    # byte-stable — its slot funds ann_ivfpq_recall above)
-    "table_profile_lineitem",
+    # byte-stable — its slot funds ann_ivfpq_recall above.
+    # table_profile_lineitem likewise: >=3 green rows, byte-stable —
+    # its slot funds streaming_drift_psi above)
     "dq_referential_audit", "incr_agg_refresh", "corpus_novelty_profile",
     # round-6 late additions needing first driver evidence (19 slots
     # funded by the rotations annotated above — every oracle-bearing

@@ -670,9 +670,7 @@ PSI_BINS = 10
 PSI_SMOOTH = 0.5  # Laplace half-count so empty bins can't blow up ln
 
 
-@register(
-    "dq_distribution_drift",
-    oracle=f"""
+_PSI_ORACLE = f"""
     WITH ref AS (SELECT event_type, value FROM events
                  WHERE ts < TIMESTAMP '{PSI_SPLIT_TS}'),
     cur AS (SELECT event_type, value FROM events
@@ -715,7 +713,12 @@ PSI_SMOOTH = 0.5  # Laplace half-count so empty bins can't blow up ln
                 AS DECIMAL(28,18))) AS DECIMAL(28,18)), 6) AS DOUBLE) AS psi
     FROM terms JOIN tot t2 USING (event_type)
     GROUP BY event_type
-    """,
+    """
+
+
+@register(
+    "dq_distribution_drift",
+    oracle=_PSI_ORACLE,
     doc=f"Population-stability-index drift detection per event type: "
         f"the value distribution of the current half-month is compared "
         f"against the reference half on {PSI_BINS} equal-frequency "
@@ -775,4 +778,48 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("psi"),
         )
+    )
+
+
+@register(
+    "streaming_drift_psi",
+    oracle=_PSI_ORACLE,
+    doc="Structured Streaming twin of dq_distribution_drift — the day-2 "
+        "monitoring posture (streaming/drift.py): the reference "
+        "deciles + per-bin counts FREEZE once into a |types|-row "
+        "artifact, the 'current' half arrives as a stream, and each "
+        "micro-batch lands a PSI report batch-id-keyed via "
+        "foreachBatch (overwrite-per-batch: crash replays rewrite the "
+        "identical report). Driven availableNow over the static "
+        "parquet, the whole half is ONE micro-batch, so the report "
+        "set equals the batch audit exactly — same oracle (the "
+        "multi-batch partitioning + replay idempotence are pinned in "
+        "tests/test_streaming_drift.py). Per batch, nothing "
+        "corpus-sized moves: a broadcast of the frozen artifact, "
+        "partial-agg (type, bin) counts, a 10-term DECIMAL fold.",
+)
+def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from ..streaming import drift
+
+    ev = table(spark, sf_dir, "events").select("event_type", "value", "ts")
+    split = F.lit(PSI_SPLIT_TS).cast("timestamp")
+    ref = ev.filter(F.col("ts") < split).select("event_type", "value")
+    cur = ev.filter(F.col("ts") >= split).select("event_type", "value")
+    root = "{}/dfs_drift/{}/{}".format(
+        tempfile.gettempdir(),
+        spark.sparkContext.applicationId,
+        uuid.uuid4().hex[:10],
+    )
+    drift.freeze_reference(ref, f"{root}/ref")
+    cur.write.mode("overwrite").parquet(f"{root}/cur")
+    stream = spark.readStream.schema(cur.schema).parquet(f"{root}/cur")
+    q = drift.foreach_batch_psi(
+        stream, f"{root}/ref", f"{root}/reports", f"{root}/ckpt"
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(f"{root}/reports").select(
+        "event_type", "n_ref", "n_cur", "psi"
     )

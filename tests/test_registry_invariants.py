@@ -71,13 +71,13 @@ def test_round8_window_slots():
     stays and the reference-core flagship. Rotated out this round:
     ann_pq_adc_search (green r07; ann_ivfpq_search is its strict
     superset) and q4_order_priority / q14_promo_revenue /
-    q21_waiting_supplier (>=3 green rows each, byte-unchanged since
-    r05)."""
+    q21_waiting_supplier / table_profile_lineitem (>=3 green rows
+    each, byte-unchanged since r05)."""
     names = list(REGISTRY)[:DRIVER_WINDOW]
     for q in (
         # round-8 first-evidence set
         "ann_ivfpq_search", "ann_ivf_filtered", "ann_filtered_recall",
-        "ann_ivfpq_recall",
+        "ann_ivfpq_recall", "streaming_drift_psi",
         # round-8 changed-semantics set
         "ann_ivf_recall",
         # round-7 first-evidence keeps
@@ -98,7 +98,6 @@ def test_round8_window_slots():
         "join_skew_salted",
         "unpivot_part_metrics", "curation_quality_train",
         "graph_pagerank",
-        "table_profile_lineitem",
         "dq_referential_audit", "incr_agg_refresh",
         "corpus_novelty_profile", "q6_forecast_revenue",
         "q8_market_share",
