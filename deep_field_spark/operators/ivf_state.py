@@ -300,3 +300,17 @@ def foreach_batch_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact(
+    spark: SparkSession, name: str, *, num_buckets: int = STATE_BUCKETS
+) -> dict[str, int]:
+    """Rewrite the cell table to one file per bucket — day-N hygiene
+    after streaming/batch ingests (each append writes up to
+    ``num_buckets`` small files). Same bucket spec after the rewrite,
+    so probe search stays exchange-free; search results are unchanged
+    (both pinned in tests/test_state_compaction.py)."""
+    t_cells, _ = _tables(name)
+    return sinks.compact_bucketed(
+        spark, t_cells, ["cid"], num_buckets, _location(spark, t_cells)
+    )

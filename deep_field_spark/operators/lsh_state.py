@@ -327,3 +327,24 @@ def foreach_batch_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact(
+    spark: SparkSession, name: str, *, num_buckets: int = STATE_BUCKETS
+) -> dict[str, dict[str, int]]:
+    """Rewrite both state tables to one file per bucket — the LSH twin
+    of ivf_state.compact (every ingest appends per-bucket files to the
+    shingle AND band tables)."""
+    from .. import sinks
+
+    t_bands, t_shingles = _tables(name)
+    return {
+        "shingles": sinks.compact_bucketed(
+            spark, t_shingles, ["doc_id"], num_buckets,
+            _location(spark, t_shingles),
+        ),
+        "bands": sinks.compact_bucketed(
+            spark, t_bands, ["band", "key"], num_buckets,
+            _location(spark, t_bands),
+        ),
+    }

@@ -588,3 +588,85 @@ def foreach_batch_merge_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_bucketed(
+    spark,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    location: str,
+    sort_cols: list[str] | None = None,
+) -> dict[str, int]:
+    """Small-file compaction for a BUCKETED external table — the day-N
+    hygiene step the persisted-state ingests create a need for: every
+    ``ivf_state.ingest`` / ``lsh_state.ingest`` append writes up to
+    ``num_buckets`` new files, so a year of hourly micro-batches is
+    ~9k x buckets KB-sized files and the probe scan goes footer-bound
+    long before it goes byte-bound.
+
+    The rewrite repartitions on the bucket columns into ``num_buckets``
+    tasks — Spark's bucket id and its shuffle hash are the same
+    Murmur3-based function with the same modulus, so each task holds
+    exactly one bucket's rows and ``bucketBy`` emits ONE file per
+    bucket. Data lands in a staging directory first; the catalog entry
+    is dropped, the directory swapped (atomic rename on a filesystem;
+    an object store makes this a copy — run it per-bucket-subset
+    there), and the table re-registered with the SAME bucket spec, so
+    the exchange-free join contract is preserved (pinned in
+    tests/test_state_compaction.py). Readers of the old snapshot are
+    unaffected: the old files are immutable until the swap.
+
+    Returns {"files_before": n, "files_after": m}.
+    """
+    import os
+    import shutil
+
+    def _count(root: str) -> int:
+        return sum(
+            1
+            for dirpath, _d, files in os.walk(root)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    before = _count(location)
+    staging = f"{location}__compact"
+    shutil.rmtree(staging, ignore_errors=True)
+    # read the raw FILES, not the catalog table: the bucketed table's
+    # scan advertises HashPartitioning(bucket_cols, num_buckets), so
+    # Catalyst would eliminate the repartition below as redundant —
+    # while the runtime scan (auto-bucketed-scan disabled for a plain
+    # read) actually produces file-split partitions, yielding one file
+    # per (task, bucket) instead of one per bucket
+    df = spark.read.parquet(location).repartition(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    tmp_table = f"{table}__compact_tmp"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+    write_bucketed(
+        df, tmp_table, bucket_cols, num_buckets,
+        sort_cols=sort_cols, path=staging,
+    )
+    # swap: catalog entries first (metadata only), then the bytes
+    schema = spark.table(tmp_table).schema
+    spark.sql(f"DROP TABLE {tmp_table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(location, ignore_errors=True)
+    os.rename(staging, location)
+    cols_sql = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema
+    )
+    sort_sql = (
+        f"SORTED BY ({', '.join(sort_cols)}) " if sort_cols else ""
+    )
+    spark.sql(
+        f"CREATE TABLE {table} ({cols_sql}) USING parquet "
+        f"CLUSTERED BY ({', '.join(bucket_cols)}) {sort_sql}"
+        f"INTO {num_buckets} BUCKETS "
+        f"LOCATION '{location}'"
+    )
+    spark.catalog.refreshTable(table)
+    return {"files_before": before, "files_after": _count(location)}

@@ -1,0 +1,131 @@
+"""Bucketed-state compaction (sinks.compact_bucketed via
+ivf_state.compact / lsh_state.compact): every ingest appends up to
+num_buckets small files, so day-N state accumulates the classic
+small-file problem. Compaction must (a) shrink to one file per
+bucket, (b) leave results identical, (c) preserve the bucket spec so
+the probe join stays exchange-free, and (d) keep the state
+ingestable afterwards."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from deep_field_spark.catalog import table
+from deep_field_spark.operators import ivf_state, lsh_state
+from deep_field_spark.operators.ivf_state import STATE_BUCKETS
+from deep_field_spark.queries.dedup import BANDS, NGRAM, NUM_HASHES
+from deep_field_spark.queries.similarity import (
+    EMB_INCR_MIN,
+    IVF_STATE_K,
+    IVF_STATE_NPROBE,
+    _lloyd_centroids,
+)
+
+
+@pytest.fixture()
+def state_name(spark):
+    name = f"cmpst_{uuid.uuid4().hex[:8]}"
+    yield name
+    ivf_state.drop(spark, name)
+    lsh_state.drop(spark, f"{name}_lsh")
+
+
+def test_ivf_compact_one_file_per_bucket_same_answers(
+    spark, sf_dir, state_name
+):
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < EMB_INCR_MIN)
+    ivf_state.build(base, _lloyd_centroids(base), state_name)
+    # five ingests -> up to 5*num_buckets extra files
+    for lo in range(EMB_INCR_MIN, EMB_INCR_MIN + 50, 10):
+        ivf_state.ingest(
+            spark,
+            state_name,
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 10)),
+        )
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+
+    def run():
+        return {
+            (r.qid, r.rnk, r.neighbor_id, r.cos_sim)
+            for r in ivf_state.search(
+                spark, state_name, q, k=IVF_STATE_K, nprobe=IVF_STATE_NPROBE
+            ).collect()
+        }
+
+    before = run()
+    stats = ivf_state.compact(spark, state_name)
+    assert stats["files_before"] > STATE_BUCKETS, stats
+    assert stats["files_after"] <= STATE_BUCKETS, stats
+    assert run() == before
+
+    # the bucket contract survives the rewrite: exchange-free probe
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            ivf_state.search(
+                spark, state_name, q, k=IVF_STATE_K, nprobe=IVF_STATE_NPROBE
+            )
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    lines = plan.splitlines()
+    scans = [
+        i for i, l in enumerate(lines)
+        if "FileScan" in l and f"{state_name}_cells" in l
+    ]
+    assert scans, plan
+    for i in scans:
+        above = "\n".join(lines[max(0, i - 2): i])
+        assert "Exchange" not in above, plan
+
+    # still ingestable: the anti-join sees the compacted rows
+    post = ivf_state.ingest(
+        spark,
+        state_name,
+        emb.filter(
+            (F.col("vec_id") >= EMB_INCR_MIN)
+            & (F.col("vec_id") < EMB_INCR_MIN + 60)
+        ),
+    )
+    assert post.count() == 10  # only 450-459 are new
+    assert (
+        spark.table(f"{state_name}_cells").count() == EMB_INCR_MIN + 60
+    )
+
+
+def test_lsh_compact_both_tables(spark, sf_dir, state_name):
+    docs = table(spark, sf_dir, "documents")
+    name = f"{state_name}_lsh"
+    lsh_state.build(
+        docs.filter(F.col("doc_id") < 200),
+        name,
+        ngram=NGRAM,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+    )
+    for lo in (200, 250):
+        lsh_state.ingest(
+            spark,
+            name,
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 50)),
+            ngram=NGRAM,
+            num_hashes=NUM_HASHES,
+            bands=BANDS,
+            threshold=0.6,
+        )
+    n_sh = spark.table(f"{name}_shingles").count()
+    n_bd = spark.table(f"{name}_bands").count()
+    stats = lsh_state.compact(spark, name)
+    for t in ("shingles", "bands"):
+        assert stats[t]["files_after"] <= STATE_BUCKETS, stats
+        assert stats[t]["files_after"] < stats[t]["files_before"], stats
+    assert spark.table(f"{name}_shingles").count() == n_sh
+    assert spark.table(f"{name}_bands").count() == n_bd
