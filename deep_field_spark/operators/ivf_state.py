@@ -21,6 +21,9 @@ against that layout:
   broadcast centroids, then probes the cell table with a ``cid``
   equi-join the bucket layout serves exchange-free on the corpus side;
   exact cosine + per-query top-k runs on the probed subset only.
+- ``compact``: day-N hygiene — ingests append per-bucket files, so the
+  cell table is periodically rewritten to one file per bucket
+  (sinks.compact_bucketed), same bucket spec, answers unchanged.
 
 At 100 TB the cell table is the only corpus-sized artifact and it
 never moves: searches shuffle |queries|*nprobe probe rows, ingests
