@@ -330,17 +330,21 @@ def foreach_batch_ingest(
 
 
 def compact(
-    spark: SparkSession, name: str, *, num_buckets: int = STATE_BUCKETS
+    spark: SparkSession,
+    name: str,
+    *,
+    id_col: str = "doc_id",
+    num_buckets: int = STATE_BUCKETS,
 ) -> dict[str, dict[str, int]]:
     """Rewrite both state tables to one file per bucket — the LSH twin
     of ivf_state.compact (every ingest appends per-bucket files to the
-    shingle AND band tables)."""
+    shingle AND band tables). ``id_col`` must match the build()."""
     from .. import sinks
 
     t_bands, t_shingles = _tables(name)
     return {
         "shingles": sinks.compact_bucketed(
-            spark, t_shingles, ["doc_id"], num_buckets,
+            spark, t_shingles, [id_col], num_buckets,
             _location(spark, t_shingles),
         ),
         "bands": sinks.compact_bucketed(

@@ -799,6 +799,7 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partial-agg (type, bin) counts, a 10-term DECIMAL fold.",
 )
 def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
     import uuid
 
@@ -819,7 +820,18 @@ def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = drift.foreach_batch_psi(
         stream, f"{root}/ref", f"{root}/reports", f"{root}/ckpt"
     )
-    q.awaitTermination(120)
-    return spark.read.parquet(f"{root}/reports").select(
-        "event_type", "n_ref", "n_cur", "psi"
+    if not q.awaitTermination(300):
+        # a still-running stream must not fall through to a read of a
+        # reports dir it has not finished writing
+        q.stop()
+        raise TimeoutError("streaming_drift_psi: stream did not drain")
+    out = (
+        spark.read.parquet(f"{root}/reports")
+        .select("event_type", "n_ref", "n_cur", "psi")
+        # sever lineage so the scratch dir can be removed before the
+        # caller collects (the query is re-run per invocation; leaving
+        # a full copy of the events half per run leaks /tmp unbounded)
+        .localCheckpoint(eager=True)
     )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

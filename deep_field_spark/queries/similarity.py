@@ -895,7 +895,9 @@ def _pq_ctes(
                sqrt(list_aggregate(list_transform(embedding,
                  y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')))
                AS embedding
-      FROM embeddings)""")
+      FROM embeddings
+      WHERE list_aggregate(list_transform(embedding,
+              y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum') > 0)""")
     parts.append(
         f"""sv AS (
       SELECT vec_id, sub,
@@ -934,7 +936,12 @@ def _l2_normalized(emb: DataFrame) -> DataFrame:
     """(vec_id, embedding): each vector divided by its L2 norm —
     index-ordered double fold on both engines (the established
     bit-identical accumulation), so the oracle's nemb CTE replays it
-    exactly."""
+    exactly. Zero-norm vectors are FILTERED in both engines (they are
+    cosine-undefined and unsearchable): without the guard, Spark's
+    non-ANSI divide yields NULL components while DuckDB yields
+    inf/nan — the exact engine divergence the MAD detector's zero
+    guard fixed (events_anomaly_mad), made identical and intentional
+    here."""
     norm = F.sqrt(
         F.aggregate(
             F.transform(
@@ -944,11 +951,15 @@ def _l2_normalized(emb: DataFrame) -> DataFrame:
             lambda a, t: a + t,
         )
     )
-    return emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double") / norm).alias(
-            "embedding"
-        ),
+    return (
+        emb.withColumn("_n", norm)
+        .filter(F.col("_n") > 0)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: x.cast("double") / F.col("_n")
+            ).alias("embedding"),
+        )
     )
 
 
@@ -1695,6 +1706,26 @@ IVF_NPROBES = (1, 2, 4)
 IVF_CAL_Q = 8
 
 
+def _calibration_queries(emb: DataFrame) -> DataFrame:
+    """(qid, q_emb): the fixed-size md5-ranked calibration sample every
+    recall chart shares — ONE definition so the three charts and their
+    oracles' shared `q` CTE can never desynchronize. Plans as
+    TakeOrderedAndProject (pinned), so the sample costs a per-partition
+    heap at any corpus size."""
+    return (
+        emb.select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("q_emb"),
+            F.md5(
+                F.concat(F.lit("ivfcal:"), F.col("vec_id").cast("string"))
+            ).alias("_h"),
+        )
+        .orderBy("_h", "qid")
+        .limit(IVF_CAL_Q)
+        .drop("_h")
+    )
+
+
 @register(
     "ann_ivf_recall",
     oracle=f"""
@@ -1785,18 +1816,7 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed-size calibration sample: md5-ranked top-N (a per-partition
     # heap via TakeOrderedAndProject); q is bounded by a CONSTANT, so
     # the forced broadcasts below are policy-compliant
-    q = (
-        emb.select(
-            F.col("vec_id").alias("qid"),
-            F.col("embedding").alias("q_emb"),
-            F.md5(
-                F.concat(F.lit("ivfcal:"), F.col("vec_id").cast("string"))
-            ).alias("_h"),
-        )
-        .orderBy("_h", "qid")
-        .limit(IVF_CAL_Q)
-        .drop("_h")
-    )
+    q = _calibration_queries(emb)
     qcos = vectors.cosine(F.col("q_emb"), F.col("c_emb"))
     w_cell = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), "cid")
     pr = (
@@ -1937,8 +1957,9 @@ def _ivfpq_serve_state(
         ),
         m=IVFPQ_M,
     ).select(F.col("vec_id").alias("qid"), "sub", "sv")
-    # the codebook aux table is PQ_M x PQ_K rows — bounded by constants
-    # at ANY corpus size, so the forced broadcast is policy-compliant
+    # the codebook aux table is IVFPQ_M x IVFPQ_K rows — bounded by
+    # constants at ANY corpus size, so the forced broadcast is
+    # policy-compliant
     lut = qsv.join(F.broadcast(spark.table(f"{name}_pq")), "sub").select(
         "qid", "sub", F.col("cid").alias("code"), _pq_d().alias("d")
     )
@@ -2254,18 +2275,7 @@ def ann_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(emb.select("vec_id", "label"), "vec_id")
         .select("vec_id", "cid", "label")
     )
-    q = (
-        emb.select(
-            F.col("vec_id").alias("qid"),
-            F.col("embedding").alias("q_emb"),
-            F.md5(
-                F.concat(F.lit("ivfcal:"), F.col("vec_id").cast("string"))
-            ).alias("_h"),
-        )
-        .orderBy("_h", "qid")
-        .limit(IVF_CAL_Q)
-        .drop("_h")
-    )
+    q = _calibration_queries(emb)
     qcos = vectors.cosine(F.col("q_emb"), F.col("c_emb"))
     w_cell = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), "cid")
     probes = (
@@ -2460,18 +2470,7 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "cid")
     )
-    q = (
-        emb.select(
-            F.col("vec_id").alias("qid"),
-            F.col("embedding").alias("q_emb"),
-            F.md5(
-                F.concat(F.lit("ivfcal:"), F.col("vec_id").cast("string"))
-            ).alias("_h"),
-        )
-        .orderBy("_h", "qid")
-        .limit(IVF_CAL_Q)
-        .drop("_h")
-    )
+    q = _calibration_queries(emb)
     qcos = vectors.cosine(F.col("q_emb"), F.col("c_emb"))
     w_cell = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), "cid")
     probes = (

@@ -609,13 +609,18 @@ def compact_bucketed(
     tasks — Spark's bucket id and its shuffle hash are the same
     Murmur3-based function with the same modulus, so each task holds
     exactly one bucket's rows and ``bucketBy`` emits ONE file per
-    bucket. Data lands in a staging directory first; the catalog entry
-    is dropped, the directory swapped (atomic rename on a filesystem;
-    an object store makes this a copy — run it per-bucket-subset
-    there), and the table re-registered with the SAME bucket spec, so
+    bucket. Data lands in a staging directory first, then the swap is
+    two renames (live -> ``__old``, staging -> live — the
+    compact_partitioned pattern): a crash at ANY point leaves a full
+    copy of the data recoverable by directory name (``__old`` before
+    the second rename, live after), never an rmtree'd sole copy. On an
+    object store the renames are copies — run it per-bucket-subset
+    there. The table is re-registered with the SAME bucket spec, so
     the exchange-free join contract is preserved (pinned in
-    tests/test_state_compaction.py). Readers of the old snapshot are
-    unaffected: the old files are immutable until the swap.
+    tests/test_state_compaction.py). This is a single-writer
+    maintenance step: run it in the ingest job's quiet window —
+    queries started BEFORE the swap may lose their file handles when
+    ``__old`` is removed at the end.
 
     Returns {"files_before": n, "files_after": m}.
     """
@@ -630,9 +635,20 @@ def compact_bucketed(
             if f.endswith(".parquet")
         )
 
-    before = _count(location)
     staging = f"{location}__compact"
+    old_dir = f"{location}__old"
+    if not os.path.exists(location):
+        # a prior run crashed mid-swap: the data survives under one of
+        # the side directories — recover it instead of destroying it
+        for candidate in (staging, old_dir):
+            if os.path.exists(candidate):
+                os.rename(candidate, location)
+                break
+        else:
+            raise FileNotFoundError(location)
+    before = _count(location)
     shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(old_dir, ignore_errors=True)
     # read the raw FILES, not the catalog table: the bucketed table's
     # scan advertises HashPartitioning(bucket_cols, num_buckets), so
     # Catalyst would eliminate the repartition below as redundant —
@@ -650,12 +666,16 @@ def compact_bucketed(
         df, tmp_table, bucket_cols, num_buckets,
         sort_cols=sort_cols, path=staging,
     )
-    # swap: catalog entries first (metadata only), then the bytes
+    # swap: catalog entries first (metadata only), then two renames —
+    # a full data copy exists on disk at every instant (crash between
+    # the renames leaves it under __old; the recovery block above
+    # restores either side directory on the next run)
     schema = spark.table(tmp_table).schema
     spark.sql(f"DROP TABLE {tmp_table}")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    shutil.rmtree(location, ignore_errors=True)
+    os.rename(location, old_dir)
     os.rename(staging, location)
+    shutil.rmtree(old_dir, ignore_errors=True)
     cols_sql = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in schema
     )

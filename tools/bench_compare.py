@@ -61,6 +61,12 @@ def main() -> None:
     thresh = float(opts.get("thresh", 1.2))
     abs_floor = float(opts.get("abs", 0.3))
     old, new = _timings(args[0]), _timings(args[1])
+    # phase-split rows (ivfpq.build / lsh_state.ingest — always dotted,
+    # query names never are) coexist with their sum keys
+    # (ann_ivfpq_search / dedup_incremental_minhash); keep them out of
+    # totals and regression rows or that time double-counts
+    old = {k: v for k, v in old.items() if "." not in k}
+    new = {k: v for k, v in new.items() if "." not in k}
     common = sorted(set(old) & set(new))
     so, sn = sum(old[k] for k in common), sum(new[k] for k in common)
     print(f"common {len(common)} queries: {so:.1f}s -> {sn:.1f}s "
