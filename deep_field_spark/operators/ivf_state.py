@@ -139,7 +139,10 @@ def attach(
     ``aux`` names the extra artifacts persisted by build(aux_tables=…)
     to re-register alongside (e.g. ("pq",) for the PQ codebooks)."""
     t_cells, t_cent = _tables(name)
+    # heal a compact() crash first: the cell dir may sit under a swap
+    # side name (sinks.recover_swapped_location is a no-op otherwise)
     if not spark.catalog.tableExists(t_cells):
+        sinks.recover_swapped_location(_location(spark, t_cells))
         schema = spark.read.parquet(_location(spark, t_cells)).schema
         cols_sql = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in schema

@@ -153,6 +153,7 @@ def attach(
     for t, cols in specs.items():
         if spark.catalog.tableExists(t):
             continue
+        sinks.recover_swapped_location(_location(spark, t))
         schema = spark.read.parquet(_location(spark, t)).schema
         cols_sql = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
         spark.sql(

@@ -817,21 +817,23 @@ def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift.freeze_reference(ref, f"{root}/ref")
     cur.write.mode("overwrite").parquet(f"{root}/cur")
     stream = spark.readStream.schema(cur.schema).parquet(f"{root}/cur")
-    q = drift.foreach_batch_psi(
-        stream, f"{root}/ref", f"{root}/reports", f"{root}/ckpt"
-    )
-    if not q.awaitTermination(300):
-        # a still-running stream must not fall through to a read of a
-        # reports dir it has not finished writing
-        q.stop()
-        raise TimeoutError("streaming_drift_psi: stream did not drain")
-    out = (
-        spark.read.parquet(f"{root}/reports")
-        .select("event_type", "n_ref", "n_cur", "psi")
-        # sever lineage so the scratch dir can be removed before the
-        # caller collects (the query is re-run per invocation; leaving
-        # a full copy of the events half per run leaks /tmp unbounded)
-        .localCheckpoint(eager=True)
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    return out
+    try:
+        q = drift.foreach_batch_psi(
+            stream, f"{root}/ref", f"{root}/reports", f"{root}/ckpt"
+        )
+        if not q.awaitTermination(300):
+            # a still-running stream must not fall through to a read
+            # of a reports dir it has not finished writing
+            q.stop()
+            raise TimeoutError("streaming_drift_psi: stream did not drain")
+        return (
+            spark.read.parquet(f"{root}/reports")
+            .select("event_type", "n_ref", "n_cur", "psi")
+            # sever lineage so the scratch dir can be removed before
+            # the caller collects
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        # the scratch dir holds a full copy of the events half — clean
+        # it on EVERY path (a retried timeout must not re-leak /tmp)
+        shutil.rmtree(root, ignore_errors=True)

@@ -590,6 +590,26 @@ def foreach_batch_merge_upsert(
     )
 
 
+def recover_swapped_location(location: str) -> bool:
+    """Restore a state directory left mid-swap by a crashed
+    compact_bucketed run: if ``location`` is missing, rename back the
+    surviving side directory (``__compact`` is preferred — it is always
+    COMPLETE before the swap begins; ``__old`` is the pre-compaction
+    copy). Returns True when a recovery happened. Called by
+    compact_bucketed itself AND by the state attach() paths, so a
+    crashed maintenance job heals on the next attach instead of
+    erroring until someone thinks to re-run compact."""
+    import os
+
+    if os.path.exists(location):
+        return False
+    for candidate in (f"{location}__compact", f"{location}__old"):
+        if os.path.exists(candidate):
+            os.rename(candidate, location)
+            return True
+    raise FileNotFoundError(location)
+
+
 def compact_bucketed(
     spark,
     table: str,
@@ -637,15 +657,7 @@ def compact_bucketed(
 
     staging = f"{location}__compact"
     old_dir = f"{location}__old"
-    if not os.path.exists(location):
-        # a prior run crashed mid-swap: the data survives under one of
-        # the side directories — recover it instead of destroying it
-        for candidate in (staging, old_dir):
-            if os.path.exists(candidate):
-                os.rename(candidate, location)
-                break
-        else:
-            raise FileNotFoundError(location)
+    recovered = recover_swapped_location(location)
     before = _count(location)
     shutil.rmtree(staging, ignore_errors=True)
     shutil.rmtree(old_dir, ignore_errors=True)
@@ -689,4 +701,11 @@ def compact_bucketed(
         f"LOCATION '{location}'"
     )
     spark.catalog.refreshTable(table)
-    return {"files_before": before, "files_after": _count(location)}
+    # "recovered" marks a run that first restored a crashed swap: its
+    # files_before counts the already-compacted survivor, so progress
+    # gates (files_after < files_before) must not read it as a no-op
+    return {
+        "files_before": before,
+        "files_after": _count(location),
+        "recovered": recovered,
+    }

@@ -129,3 +129,39 @@ def test_lsh_compact_both_tables(spark, sf_dir, state_name):
         assert stats[t]["files_after"] < stats[t]["files_before"], stats
     assert spark.table(f"{name}_shingles").count() == n_sh
     assert spark.table(f"{name}_bands").count() == n_bd
+
+
+def test_attach_heals_a_crashed_compact_swap(spark, sf_dir, state_name):
+    """A compact() killed mid-swap leaves the cell directory under a
+    side name and the catalog entry dropped; the next attach() must
+    restore the directory (sinks.recover_swapped_location) and
+    re-register the table — serving heals on attach, not only on a
+    compact re-run. A recovery-path compact reports recovered=True so
+    progress gates don't misread it as a no-op."""
+    import os
+
+    from deep_field_spark.operators.lsh_state import _location
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < EMB_INCR_MIN)
+    ivf_state.build(base, _lloyd_centroids(base), state_name)
+    loc = _location(spark, f"{state_name}_cells")
+
+    # simulate the crash window: table dropped, live dir renamed away
+    spark.sql(f"DROP TABLE IF EXISTS {state_name}_cells")
+    os.rename(loc, f"{loc}__compact")
+
+    ivf_state.attach(spark, state_name)
+    assert spark.table(f"{state_name}_cells").count() == EMB_INCR_MIN
+
+    # a compact over the healed state reports honestly
+    stats = ivf_state.compact(spark, state_name)
+    assert stats["recovered"] is False
+    assert spark.table(f"{state_name}_cells").count() == EMB_INCR_MIN
+
+    # and a compact that itself performs the recovery flags it
+    spark.sql(f"DROP TABLE IF EXISTS {state_name}_cells")
+    os.rename(loc, f"{loc}__old")
+    stats = ivf_state.compact(spark, state_name)
+    assert stats["recovered"] is True
+    assert spark.table(f"{state_name}_cells").count() == EMB_INCR_MIN

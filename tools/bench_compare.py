@@ -65,6 +65,15 @@ def main() -> None:
     # query names never are) coexist with their sum keys
     # (ann_ivfpq_search / dedup_incremental_minhash); keep them out of
     # totals and regression rows or that time double-counts
+    dropped = sorted(
+        k for k in set(old) | set(new) if "." in k
+    )
+    if dropped:
+        # never silent: a truncated driver tail can carry a phase row
+        # without its sum key, and silently dropping it would hide a
+        # regression in that phase
+        print(f"phase rows excluded from totals ({len(dropped)}): "
+              + ", ".join(dropped))
     old = {k: v for k, v in old.items() if "." not in k}
     new = {k: v for k, v in new.items() if "." not in k}
     common = sorted(set(old) & set(new))
