@@ -130,27 +130,33 @@ def attach(
     spark: SparkSession,
     name: str,
     *,
-    num_buckets: int = STATE_BUCKETS,
+    num_buckets: int | None = None,
     aux: tuple[str, ...] = (),
 ) -> None:
     """Re-register the on-disk state in a fresh session's catalog
-    (bucket spec restated for the cell table — same day-2 contract as
-    lsh_state.attach; a persistent metastore makes this a no-op).
-    ``aux`` names the extra artifacts persisted by build(aux_tables=…)
-    to re-register alongside (e.g. ("pq",) for the PQ codebooks)."""
+    (bucket spec read back from the ``_bucket_spec.json`` the build
+    wrote beside the data — restating a WRONG count would register a
+    layout that lies about the files and silently corrupt the
+    exchange-free joins; an explicit ``num_buckets`` that contradicts
+    the spec raises). Same day-2 contract as lsh_state.attach; a
+    persistent metastore makes this a no-op. ``aux`` names the extra
+    artifacts persisted by build(aux_tables=…) to re-register
+    alongside (e.g. ("pq",) for the PQ codebooks)."""
     t_cells, t_cent = _tables(name)
     # heal a compact() crash first: the cell dir may sit under a swap
     # side name (sinks.recover_swapped_location is a no-op otherwise)
     if not spark.catalog.tableExists(t_cells):
-        sinks.recover_swapped_location(_location(spark, t_cells))
-        schema = spark.read.parquet(_location(spark, t_cells)).schema
+        loc = _location(spark, t_cells)
+        sinks.recover_swapped_location(loc)
+        nb = sinks.resolve_num_buckets(loc, num_buckets, STATE_BUCKETS)
+        schema = spark.read.parquet(loc).schema
         cols_sql = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in schema
         )
         spark.sql(
             f"CREATE TABLE {t_cells} ({cols_sql}) USING parquet "
-            f"CLUSTERED BY (cid) INTO {num_buckets} BUCKETS "
-            f"LOCATION '{_location(spark, t_cells)}'"
+            f"CLUSTERED BY (cid) INTO {nb} BUCKETS "
+            f"LOCATION '{loc}'"
         )
     for t in (t_cent, *(f"{name}_{k}" for k in aux)):
         if not spark.catalog.tableExists(t):
@@ -309,14 +315,16 @@ def foreach_batch_ingest(
 
 
 def compact(
-    spark: SparkSession, name: str, *, num_buckets: int = STATE_BUCKETS
+    spark: SparkSession, name: str, *, num_buckets: int | None = None
 ) -> dict[str, int]:
     """Rewrite the cell table to one file per bucket — day-N hygiene
     after streaming/batch ingests (each append writes up to
-    ``num_buckets`` small files). Same bucket spec after the rewrite,
-    so probe search stays exchange-free; search results are unchanged
-    (both pinned in tests/test_state_compaction.py)."""
+    num_buckets small files). The bucket count comes from the state's
+    own ``_bucket_spec.json`` (an explicit argument that contradicts
+    it raises — see sinks.resolve_num_buckets). Same bucket spec after
+    the rewrite, so probe search stays exchange-free; search results
+    are unchanged (both pinned in tests/test_state_compaction.py)."""
     t_cells, _ = _tables(name)
-    return sinks.compact_bucketed(
-        spark, t_cells, ["cid"], num_buckets, _location(spark, t_cells)
-    )
+    loc = _location(spark, t_cells)
+    nb = sinks.resolve_num_buckets(loc, num_buckets, STATE_BUCKETS)
+    return sinks.compact_bucketed(spark, t_cells, ["cid"], nb, loc)

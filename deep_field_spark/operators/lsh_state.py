@@ -134,16 +134,18 @@ def attach(
     name: str,
     *,
     id_col: str = "doc_id",
-    num_buckets: int = STATE_BUCKETS,
+    num_buckets: int | None = None,
 ) -> None:
     """Re-register on-disk state in a FRESH session's catalog.
 
     An in-memory catalog dies with its session while the state bytes
     don't — the real day-2 flow is build today, ingest tomorrow. This
     recreates the two bucketed-table entries (schema inferred from the
-    parquet footers, bucket spec restated — it must match the layout
-    the build wrote) so ``ingest`` works against yesterday's state.
-    On a cluster with a persistent metastore this is a no-op.
+    parquet footers, bucket count read back from each table's own
+    ``_bucket_spec.json`` — an explicit argument that contradicts it
+    raises, see sinks.resolve_num_buckets) so ``ingest`` works against
+    yesterday's state. On a cluster with a persistent metastore this
+    is a no-op.
     """
     t_bands, t_shingles = _tables(name)
     specs = {
@@ -153,13 +155,15 @@ def attach(
     for t, cols in specs.items():
         if spark.catalog.tableExists(t):
             continue
-        sinks.recover_swapped_location(_location(spark, t))
-        schema = spark.read.parquet(_location(spark, t)).schema
+        loc = _location(spark, t)
+        sinks.recover_swapped_location(loc)
+        nb = sinks.resolve_num_buckets(loc, num_buckets, STATE_BUCKETS)
+        schema = spark.read.parquet(loc).schema
         cols_sql = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
         spark.sql(
             f"CREATE TABLE {t} ({cols_sql}) USING parquet "
-            f"CLUSTERED BY ({', '.join(cols)}) INTO {num_buckets} BUCKETS "
-            f"LOCATION '{_location(spark, t)}'"
+            f"CLUSTERED BY ({', '.join(cols)}) INTO {nb} BUCKETS "
+            f"LOCATION '{loc}'"
         )
 
 
@@ -335,21 +339,22 @@ def compact(
     name: str,
     *,
     id_col: str = "doc_id",
-    num_buckets: int = STATE_BUCKETS,
+    num_buckets: int | None = None,
 ) -> dict[str, dict[str, int]]:
     """Rewrite both state tables to one file per bucket — the LSH twin
     of ivf_state.compact (every ingest appends per-bucket files to the
-    shingle AND band tables). ``id_col`` must match the build()."""
+    shingle AND band tables). ``id_col`` must match the build(); the
+    bucket count comes from each table's persisted spec (an explicit
+    contradictory argument raises, see sinks.resolve_num_buckets)."""
     from .. import sinks
 
     t_bands, t_shingles = _tables(name)
-    return {
-        "shingles": sinks.compact_bucketed(
-            spark, t_shingles, [id_col], num_buckets,
-            _location(spark, t_shingles),
-        ),
-        "bands": sinks.compact_bucketed(
-            spark, t_bands, ["band", "key"], num_buckets,
-            _location(spark, t_bands),
-        ),
-    }
+    out: dict[str, dict[str, int]] = {}
+    for key, t, cols in (
+        ("shingles", t_shingles, [id_col]),
+        ("bands", t_bands, ["band", "key"]),
+    ):
+        loc = _location(spark, t)
+        nb = sinks.resolve_num_buckets(loc, num_buckets, STATE_BUCKETS)
+        out[key] = sinks.compact_bucketed(spark, t, cols, nb, loc)
+    return out

@@ -217,6 +217,66 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table, format="parquet")
+    if path is not None:
+        # persist the bucket spec beside the data (underscore-prefixed,
+        # so parquet readers ignore it): attach()/compact() validate
+        # their num_buckets argument against it instead of trusting the
+        # caller — a restated spec that lies about the files silently
+        # corrupts exchange-free join results
+        write_bucket_spec(path, bucket_cols, num_buckets)
+
+
+def write_bucket_spec(
+    location: str, bucket_cols: list[str], num_buckets: int
+) -> None:
+    import json
+    import os
+
+    with open(os.path.join(location, "_bucket_spec.json"), "w") as fh:
+        json.dump(
+            {"bucket_cols": list(bucket_cols), "num_buckets": num_buckets},
+            fh,
+        )
+
+
+def read_bucket_spec(location: str) -> dict | None:
+    """The bucket spec persisted by write_bucketed(path=...), or None
+    for states written before the spec existed (or managed tables).
+    A state left mid-swap by a crashed compaction is readable too
+    (the side directories carry the same spec), so callers can
+    resolve the bucket count BEFORE deciding to recover."""
+    import json
+    import os
+
+    for root in (location, f"{location}__compact", f"{location}__old"):
+        p = os.path.join(root, "_bucket_spec.json")
+        if os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)
+    return None
+
+
+def resolve_num_buckets(
+    location: str, requested: int | None, default: int
+) -> int:
+    """Reconcile a caller-supplied bucket count with the on-disk spec.
+
+    None → the spec's value (or ``default`` for pre-spec states); an
+    explicit value that CONTRADICTS the spec raises instead of
+    re-registering a layout that lies about the files (advisor r8:
+    compact with non-default buckets then attach with the default
+    silently corrupted exchange-free joins)."""
+    spec = read_bucket_spec(location)
+    on_disk = spec["num_buckets"] if spec else None
+    if requested is None:
+        return on_disk if on_disk is not None else default
+    if on_disk is not None and on_disk != requested:
+        raise ValueError(
+            f"bucket-count mismatch at {location}: on-disk spec says "
+            f"{on_disk} buckets, caller asked for {requested} — pass "
+            "num_buckets=None to use the persisted spec"
+        )
+    return requested
 
 
 def foreach_batch_idempotent(
@@ -603,11 +663,17 @@ def recover_swapped_location(location: str) -> bool:
 
     if os.path.exists(location):
         return False
-    for candidate in (f"{location}__compact", f"{location}__old"):
+    candidates = (f"{location}__compact", f"{location}__old")
+    for candidate in candidates:
         if os.path.exists(candidate):
             os.rename(candidate, location)
             return True
-    raise FileNotFoundError(location)
+    raise FileNotFoundError(
+        f"state directory {location} does not exist and neither "
+        f"crashed-swap side does ({candidates[0]}, {candidates[1]}): "
+        "either this state was never built (build it first) or all "
+        "copies of its data are gone"
+    )
 
 
 def compact_bucketed(
@@ -640,16 +706,24 @@ def compact_bucketed(
     tests/test_state_compaction.py). This is a single-writer
     maintenance step: run it in the ingest job's quiet window —
     queries started BEFORE the swap may lose their file handles when
-    ``__old`` is removed at the end.
+    ``__old`` is removed at the end. A concurrent WRITER is detected,
+    not silently lost: the live directory's parquet file listing is
+    snapshotted before the staging read and re-checked immediately
+    before the swap; if an ingest appended in between, the compaction
+    aborts (staging discarded, live directory untouched) and raises —
+    re-run it in an actual quiet window.
 
     Returns {"files_before": n, "files_after": m}.
     """
     import os
     import shutil
 
-    def _count(root: str) -> int:
-        return sum(
-            1
+    def _listing(root: str) -> frozenset[tuple[str, int]]:
+        return frozenset(
+            (
+                os.path.relpath(os.path.join(dirpath, f), root),
+                os.path.getsize(os.path.join(dirpath, f)),
+            )
             for dirpath, _d, files in os.walk(root)
             for f in files
             if f.endswith(".parquet")
@@ -658,7 +732,8 @@ def compact_bucketed(
     staging = f"{location}__compact"
     old_dir = f"{location}__old"
     recovered = recover_swapped_location(location)
-    before = _count(location)
+    snapshot = _listing(location)
+    before = len(snapshot)
     shutil.rmtree(staging, ignore_errors=True)
     shutil.rmtree(old_dir, ignore_errors=True)
     # read the raw FILES, not the catalog table: the bucketed table's
@@ -683,6 +758,18 @@ def compact_bucketed(
     # the renames leaves it under __old; the recovery block above
     # restores either side directory on the next run)
     schema = spark.table(tmp_table).schema
+    # concurrent-writer guard: abort (live dir untouched) if any file
+    # appeared/changed since the staging read — those rows are NOT in
+    # staging and the swap would silently drop them
+    if _listing(location) != snapshot:
+        spark.sql(f"DROP TABLE {tmp_table}")
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            f"compact_bucketed aborted: {location} was written to "
+            "during compaction (a concurrent ingest?) — the staged "
+            "rewrite no longer covers the live data. Nothing was "
+            "changed; re-run in a quiet window."
+        )
     spark.sql(f"DROP TABLE {tmp_table}")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     os.rename(location, old_dir)
@@ -706,6 +793,6 @@ def compact_bucketed(
     # gates (files_after < files_before) must not read it as a no-op
     return {
         "files_before": before,
-        "files_after": _count(location),
+        "files_after": len(_listing(location)),
         "recovered": recovered,
     }

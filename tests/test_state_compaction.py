@@ -165,3 +165,108 @@ def test_attach_heals_a_crashed_compact_swap(spark, sf_dir, state_name):
     stats = ivf_state.compact(spark, state_name)
     assert stats["recovered"] is True
     assert spark.table(f"{state_name}_cells").count() == EMB_INCR_MIN
+
+
+def test_compact_aborts_on_concurrent_append(spark, sf_dir, state_name):
+    """A writer that appends between compaction's staging read and the
+    directory swap must ABORT the compaction (live dir untouched,
+    appended rows kept), not silently lose the appended files with the
+    __old rmtree (advisor r8). Simulated by appending via a monkey-
+    patched write_bucketed hook that fires after staging is written."""
+    import os
+    import shutil
+
+    from deep_field_spark import sinks
+    from deep_field_spark.operators.lsh_state import _location
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < EMB_INCR_MIN)
+    ivf_state.build(base, _lloyd_centroids(base), state_name)
+    loc = _location(spark, f"{state_name}_cells")
+
+    orig = sinks.write_bucketed
+    appended = {}
+
+    def hooked(df, tbl, cols, nb, **kw):
+        orig(df, tbl, cols, nb, **kw)
+        if tbl.endswith("__compact_tmp") and not appended:
+            # the concurrent ingest lands AFTER staging is complete
+            appended["report"] = ivf_state.ingest(
+                spark,
+                state_name,
+                emb.filter(
+                    (F.col("vec_id") >= EMB_INCR_MIN)
+                    & (F.col("vec_id") < EMB_INCR_MIN + 10)
+                ),
+            )
+
+    sinks.write_bucketed = hooked
+    try:
+        with pytest.raises(RuntimeError, match="concurrent"):
+            ivf_state.compact(spark, state_name)
+    finally:
+        sinks.write_bucketed = orig
+
+    # live state intact: base rows + the concurrently-ingested batch
+    assert spark.table(f"{state_name}_cells").count() == EMB_INCR_MIN + 10
+    # staging discarded, no swap-side leftovers
+    assert not os.path.exists(f"{loc}__compact")
+    assert not os.path.exists(f"{loc}__old")
+    # and a quiet-window re-run succeeds
+    stats = ivf_state.compact(spark, state_name)
+    assert stats["files_after"] <= STATE_BUCKETS
+    assert spark.table(f"{state_name}_cells").count() == EMB_INCR_MIN + 10
+    shutil.rmtree(f"{loc}__old", ignore_errors=True)
+
+
+def test_bucket_spec_persisted_and_validated(spark, sf_dir, state_name):
+    """The build persists _bucket_spec.json beside the cell table; a
+    fresh-catalog attach() with no argument re-registers the TRUE
+    bucket count even when it isn't the default, and an explicit
+    contradictory count raises instead of registering a layout that
+    lies about the files (advisor r8)."""
+    from deep_field_spark import sinks
+    from deep_field_spark.operators.lsh_state import _location
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < EMB_INCR_MIN)
+    ivf_state.build(
+        base, _lloyd_centroids(base), state_name, num_buckets=4
+    )
+    loc = _location(spark, f"{state_name}_cells")
+    assert sinks.read_bucket_spec(loc) == {
+        "bucket_cols": ["cid"],
+        "num_buckets": 4,
+    }
+
+    # compact with the (wrong) default must refuse, not corrupt
+    with pytest.raises(ValueError, match="bucket-count mismatch"):
+        ivf_state.compact(spark, state_name, num_buckets=STATE_BUCKETS)
+
+    # fresh-catalog attach with no argument picks up the real count
+    spark.sql(f"DROP TABLE {state_name}_cells")
+    ivf_state.attach(spark, state_name)
+    ddl = spark.sql(
+        f"SHOW CREATE TABLE {state_name}_cells"
+    ).first()[0]
+    assert "INTO 4 BUCKETS" in ddl, ddl
+
+    # spec-default compact keeps the true layout and survives the swap
+    stats = ivf_state.compact(spark, state_name)
+    assert stats["files_after"] <= 4
+    assert sinks.read_bucket_spec(loc)["num_buckets"] == 4
+
+    # attach with an explicit contradictory count raises too
+    spark.sql(f"DROP TABLE {state_name}_cells")
+    with pytest.raises(ValueError, match="bucket-count mismatch"):
+        ivf_state.attach(spark, state_name, num_buckets=STATE_BUCKETS)
+    ivf_state.attach(spark, state_name)
+
+
+def test_never_built_state_attach_message(spark, state_name):
+    """attach() of a state that was never built names both the missing
+    location and the swap-side candidates it checked (advisor r8: the
+    bare FileNotFoundError(location) hid 'never built' vs 'lost both
+    swap sides')."""
+    with pytest.raises(FileNotFoundError, match="never built"):
+        ivf_state.attach(spark, f"{state_name}_nonexistent")

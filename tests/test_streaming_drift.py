@@ -41,7 +41,7 @@ def test_single_batch_stream_reproduces_batch_audit(spark, sf_dir, tmp_path):
     q = drift.foreach_batch_psi(
         stream, ref_path, str(tmp_path / "reports"), str(tmp_path / "ckpt")
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream did not drain'
 
     got = {
         r.event_type: (r.n_ref, r.n_cur, r.psi)
@@ -79,7 +79,7 @@ def test_multi_batch_reports_and_replay_idempotence(spark, sf_dir, tmp_path):
         "maxFilesPerTrigger", "1"
     ).parquet(f"{src}/*")
     q = drift.foreach_batch_psi(stream, ref_path, reports, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream did not drain'
 
     got = spark.read.option("basePath", reports).parquet(reports)
     batch_ids = {r.batch_id for r in got.select("batch_id").distinct().collect()}
@@ -98,6 +98,6 @@ def test_multi_batch_reports_and_replay_idempotence(spark, sf_dir, tmp_path):
         "maxFilesPerTrigger", "1"
     ).parquet(f"{src}/*")
     q2 = drift.foreach_batch_psi(stream2, ref_path, reports, ckpt)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), 'stream did not drain'
     got2 = spark.read.option("basePath", reports).parquet(reports)
     assert got2.count() == got.count()
