@@ -271,17 +271,40 @@ def test_full_outer_preaggregates_both_sides(spark, sf_dir):
 
 
 def test_ivf_kmeans_broadcasts_centroids_every_iteration(spark, sf_dir):
-    """ann_ivf_kmeans: every Lloyd iteration + the final assignment
-    scores against a BROADCAST centroid table (BNLJ BuildRight Cross,
-    one per crossJoin — the corpus never shuffles for assignment), and
-    the centroid update is a partial/final hash agg (map-side combine
-    below the exchange). Never a corpus×corpus product."""
-    plan = _plan(spark, sf_dir, "ann_ivf_kmeans")
+    """Every Lloyd iteration scores against a BROADCAST centroid table
+    (BNLJ BuildRight Cross, one per crossJoin — the corpus never
+    shuffles for assignment), and the centroid update is a partial/
+    final hash agg (map-side combine below the exchange). Never a
+    corpus×corpus product. Pinned on the raw trainer: the registered
+    queries consume it through the session-scoped training memo, whose
+    checkpoint truncates the training subtree out of THEIR plans."""
+    from deep_field_spark.catalog import spread, table
+    from deep_field_spark.queries.similarity import _lloyd_centroids
+
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    plan = (
+        _lloyd_centroids(emb)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     bnlj = plan.count("BroadcastNestedLoopJoin")
-    assert bnlj >= 3, plan  # 2 iterations + final assignment
+    assert bnlj >= 2, plan  # one broadcast scoring per iteration
     assert plan.count("BuildRight, Cross") == bnlj
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan[plan.index("Exchange"):]
+
+
+def test_ivf_kmeans_query_serves_from_memoized_centroids(spark, sf_dir):
+    """ann_ivf_kmeans (the registered query): the final assignment is
+    ONE broadcast scoring pass over the corpus — the training subtree
+    sits behind the memo's checkpoint leaf, so the query plan carries
+    exactly one BNLJ and no cartesian."""
+    plan = _plan(spark, sf_dir, "ann_ivf_kmeans")
+    bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert bnlj == 1, plan
+    assert plan.count("BuildRight, Cross") == bnlj
+    assert "CartesianProduct" not in plan
 
 
 def test_semantic_dedup_pairs_are_cell_equijoin(spark, sf_dir):
