@@ -282,7 +282,34 @@ def main() -> None:
         "id", "cast(string(id) as binary) as payload"
     ).mapInPandas(lambda it: it, "id long, payload binary").count()
 
-    timings: dict[str, float] = {}
+    # Host-calibration pair (r8 verdict: the driver host ran the SAME
+    # SHA 22% slower than the builder's run, and without a speed
+    # anchor that read as a fake regression on byte-unchanged
+    # queries). Two FIXED workloads timed after warm-up: a pure-CPU
+    # hash pass (C-speed, no Spark) and a tiny fixed Spark job with
+    # one shuffle (JVM + scheduler + exchange path). They ride in the
+    # timings map under dotted keys — the phase-row convention, so
+    # tools/bench_compare.py keeps them out of totals — and
+    # bench_compare uses them to separate host drift from code drift.
+    import hashlib
+
+    buf = bytes(64 * 1024 * 1024)
+    t0 = time.perf_counter()
+    for _ in range(4):
+        hashlib.sha256(buf).digest()
+    cal_cpu = time.perf_counter() - t0
+    cal_spark = float("inf")
+    for _ in range(2):  # min-of-2: first run can pay residual JIT
+        t0 = time.perf_counter()
+        spark.range(0, 8_000_000, 1, 32).selectExpr(
+            "id % 97 AS k", "id AS v"
+        ).groupBy("k").sum("v").count()
+        cal_spark = min(cal_spark, time.perf_counter() - t0)
+
+    timings: dict[str, float] = {
+        "cal.cpu": round(cal_cpu, 3),
+        "cal.spark": round(cal_spark, 3),
+    }
     total = 0.0
     for name in HEADLINE:
         if name == "dedup_incremental_minhash":
@@ -330,6 +357,14 @@ def main() -> None:
             print(f"# {name}: ERROR after {dt:.2f}s: {e!r}", file=sys.stderr)
             continue
         dt = time.perf_counter() - t0
+        if dt < 2.0:
+            # min-of-2 for short queries (r8 verdict): sub-2 s timings
+            # are scheduler/GC-noise-dominated and drove phantom 22-47%
+            # "regressions" on byte-unchanged code; the rerun is cheap
+            # by definition (< 2 s each) and min is the code cost
+            t1 = time.perf_counter()
+            q.fn(spark, sf_dir).count()
+            dt = min(dt, time.perf_counter() - t1)
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)

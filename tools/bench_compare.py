@@ -74,12 +74,29 @@ def main() -> None:
         # regression in that phase
         print(f"phase rows excluded from totals ({len(dropped)}): "
               + ", ".join(dropped))
+    # host-calibration pair (bench.py emits cal.cpu / cal.spark after
+    # warm-up): when both runs carry it, report the host-speed ratio
+    # and a normalized total so host drift is separable from code
+    # drift (r8: a slow driver host read as a fake 24% regression)
+    cal_ratio = None
+    if "cal.spark" in old and "cal.spark" in new:
+        cal_ratio = new["cal.spark"] / old["cal.spark"]
+        print(
+            f"host calibration: spark {old['cal.spark']:.2f}s -> "
+            f"{new['cal.spark']:.2f}s (x{cal_ratio:.2f}), "
+            f"cpu {old.get('cal.cpu', float('nan')):.2f}s -> "
+            f"{new.get('cal.cpu', float('nan')):.2f}s"
+        )
     old = {k: v for k, v in old.items() if "." not in k}
     new = {k: v for k, v in new.items() if "." not in k}
     common = sorted(set(old) & set(new))
     so, sn = sum(old[k] for k in common), sum(new[k] for k in common)
     print(f"common {len(common)} queries: {so:.1f}s -> {sn:.1f}s "
           f"({(sn - so) / so * 100:+.1f}%)")
+    if cal_ratio:
+        print(f"host-normalized: {so:.1f}s -> {sn / cal_ratio:.1f}s "
+              f"({(sn / cal_ratio - so) / so * 100:+.1f}% after dividing "
+              f"new times by the x{cal_ratio:.2f} host ratio)")
     for title, pred in (
         ("REGRESSIONS", lambda a, b: b > a * thresh and b - a > abs_floor),
         ("IMPROVEMENTS", lambda a, b: a > b * thresh and a - b > abs_floor),
