@@ -908,7 +908,10 @@ def _pq_l2_sql(v: str, c: str, subdim: int = PQ_SUBDIM) -> str:
 
 
 def _pq_ctes(
-    normalized: bool = False, m: int = PQ_M, k: int = PQ_K
+    normalized: bool = False,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    train_filter: str = "",
 ) -> str:
     """CTE chain: subvectors sv, codebooks pc0..pc{PQ_ITERS}.
     ``normalized=True`` L2-normalizes each vector before the subvector
@@ -918,7 +921,10 @@ def _pq_ctes(
     form at recall 0.05 vs 0.48 for the same candidates — an honest
     metric mismatch, fixed here). The compression-demo queries
     (embedding_pq_codes, ann_pq_adc_search) keep the raw form their
-    green rows pinned."""
+    green rows pinned. ``train_filter`` (a predicate on vec_id)
+    restricts codebook TRAINING to a subset — the incremental posture,
+    where codebooks freeze on the initial corpus and later batches only
+    encode — while ``sv`` still covers every vector for assignment."""
     subdim = DIM // m
     src = "embeddings"
     if normalized:
@@ -944,10 +950,11 @@ def _pq_ctes(
     pc0 AS (
       SELECT sub, vec_id AS cid, sv AS c FROM sv WHERE vec_id < {k})"""
     )
+    tf = f" WHERE v.{train_filter}" if train_filter else ""
     for it in range(1, PQ_ITERS + 1):
         parts.append(f"""ps{it} AS (
       SELECT v.vec_id, v.sub, c.cid, {_pq_l2_sql('v', 'c', subdim)} AS d
-      FROM sv v JOIN pc{it - 1} c ON v.sub = c.sub),
+      FROM sv v JOIN pc{it - 1} c ON v.sub = c.sub{tf}),
     pa{it} AS (
       SELECT vec_id, sub, cid FROM (
         SELECT vec_id, sub, cid,
@@ -1958,20 +1965,15 @@ def _ivfpq_build(spark: SparkSession, sf_dir: str) -> str:
     # PQ encodes L2-NORMALIZED vectors: on the unit sphere ADC-L2
     # ranking IS the cosine ranking (see _pq_ctes docstring); the
     # coarse quantizer is cosine and therefore norm-invariant already
-    sv = _pq_subvectors(_l2_normalized(emb), m=IVFPQ_M)
     pq = _memo_train(
         spark,
         ("pq_norm", sf_dir, IVFPQ_M, IVFPQ_K),
-        lambda: _pq_codebooks(sv, k=IVFPQ_K),
-    )
-    codes = (
-        _pq_assign(sv, pq)
-        .groupBy("vec_id")
-        .agg(F.sort_array(F.collect_list(F.struct("sub", "cid"))).alias("sc"))
-        .select("vec_id", F.col("sc.cid").cast("array<int>").alias("codes"))
+        lambda: _pq_codebooks(
+            _pq_subvectors(_l2_normalized(emb), m=IVFPQ_M), k=IVFPQ_K
+        ),
     )
     ivf_state.build(
-        emb.join(codes, "vec_id"),
+        emb.join(_ivfpq_codes(emb, pq), "vec_id"),
         coarse,
         name,
         store_vec=False,
@@ -2126,6 +2128,137 @@ def _ivfpq_serve(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 )
 def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_serve(spark, sf_dir, _ivfpq_build(spark, sf_dir))
+
+
+def _ivfpq_codes(vecs: DataFrame, pq: DataFrame) -> DataFrame:
+    """(vec_id, codes): each vector encoded against FROZEN codebooks —
+    the build-time and day-2 encode step share this (the batch never
+    retrains anything). Zero-norm vectors drop with the normalization
+    filter (cosine-undefined, unsearchable — same both engines)."""
+    sv = _pq_subvectors(_l2_normalized(vecs), m=IVFPQ_M)
+    return (
+        _pq_assign(sv, pq)
+        .groupBy("vec_id")
+        .agg(F.sort_array(F.collect_list(F.struct("sub", "cid"))).alias("sc"))
+        .select("vec_id", F.col("sc.cid").cast("array<int>").alias("codes"))
+    )
+
+
+@register(
+    "ann_ivfpq_incremental",
+    oracle=f"""
+    WITH ivfpq_base AS (SELECT vec_id, embedding FROM embeddings
+                        WHERE vec_id < {EMB_INCR_MIN}),
+    {_kmeans_ctes("ivfpq_base")},
+    cent AS (SELECT cid, c FROM cent{KMEANS_ITERS}),
+    s_all AS (SELECT v.vec_id, c.cid, {_cos_vc_sql('v', 'c')} AS cos
+              FROM embeddings v, cent c),
+    asg AS (SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, cid) AS rn
+              FROM s_all) WHERE rn = 1),
+    {_pq_ctes(normalized=True, m=IVFPQ_M, k=IVFPQ_K,
+              train_filter=f"vec_id < {EMB_INCR_MIN}")},
+    fs AS (SELECT v.vec_id, v.sub, c.cid AS code, {_pq_l2_sql('v', 'c', IVFPQ_SUBDIM)} AS d
+           FROM sv v JOIN pc{PQ_ITERS} c ON v.sub = c.sub),
+    fa AS (SELECT vec_id, sub, code FROM (
+             SELECT vec_id, sub, code,
+                    row_number() OVER (PARTITION BY vec_id, sub
+                                       ORDER BY d, code) AS rn
+             FROM fs) WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, embedding FROM embeddings
+          WHERE vec_id % {QUERY_MOD} = 0),
+    ps AS (SELECT q.qid, c.cid, {_cos_vc_sql('q', 'c')} AS cos
+           FROM q, cent c),
+    probes AS (SELECT qid, cid FROM (
+                 SELECT qid, cid,
+                        row_number() OVER (PARTITION BY qid
+                                           ORDER BY cos DESC, cid) AS rn
+                 FROM ps) WHERE rn <= {IVFPQ_NPROBE}),
+    cand AS (SELECT p.qid, a.vec_id FROM probes p JOIN asg a USING (cid)
+             WHERE a.vec_id <> p.qid),
+    qsv AS (SELECT vec_id AS qid, sub, sv FROM sv
+            WHERE vec_id % {QUERY_MOD} = 0),
+    lut AS (SELECT s.qid, c.sub, c.cid AS code, {_pq_l2_sql('s', 'c', IVFPQ_SUBDIM)} AS d
+            FROM qsv s JOIN pc{PQ_ITERS} c ON s.sub = c.sub),
+    adc AS (SELECT cnd.qid, cnd.vec_id,
+                   sum(CAST(l.d AS DECIMAL(28,12))) AS adc_dec
+            FROM cand cnd
+            JOIN fa f ON f.vec_id = cnd.vec_id
+            JOIN lut l ON l.qid = cnd.qid AND l.sub = f.sub
+                      AND l.code = f.code
+            GROUP BY 1, 2),
+    adcx AS (SELECT qid, vec_id, CAST(adc_dec AS DOUBLE) AS adc,
+                    CAST(round(adc_dec, 6) AS DOUBLE) AS adc_r
+             FROM adc),
+    r AS (SELECT qid, vec_id, adc_r,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY adc, vec_id) AS rn
+          FROM adcx)
+    SELECT qid, CAST(rn AS INT) AS rnk, vec_id AS neighbor_id,
+           adc_r AS adc_dist
+    FROM r WHERE rn <= {ADC_K}
+    """,
+    doc="The IVFPQ index on day 2 — the lifecycle ann_ivfpq_search "
+        "builds once and production then LIVES in: coarse centroids "
+        f"AND PQ codebooks train only on the initial corpus (vec_id < "
+        f"{EMB_INCR_MIN}), the code-only bucketed cell table persists, "
+        f"and the day-2 batch (vec_id >= {EMB_INCR_MIN}) is ENCODED "
+        "with the frozen codebooks and absorbed by ivf_state.ingest "
+        "(anti-join replay idempotence) — nothing retrains, the "
+        "standard FAISS add-after-train posture. Between ingest and "
+        "serve the cell table is COMPACTED (ivf_state.compact: the "
+        "ingest appended per-bucket small files; the crash-safe "
+        "two-rename rewrite leaves one file per bucket, same bucket "
+        "spec) so the serve probes the post-compaction layout "
+        "exchange-free — compaction's first driver-level evidence. "
+        "Serving is byte-identical to ann_ivfpq_search's path: probe "
+        f"{IVFPQ_NPROBE} cells, ADC over probed codes only against "
+        "the per-query LUT, DECIMAL-exact sums. The oracle replays "
+        "prefix-training, frozen assignment + encoding of BOTH "
+        "phases, probe selection and the ADC sums — ingest-then-serve "
+        "and build-on-everything converge to the same state, which is "
+        "exactly the idempotence the day-2 contract promises.",
+)
+def ann_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from ..operators import ivf_state
+
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    name = "ivfpqi_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = emb.filter(F.col("vec_id") < EMB_INCR_MIN)
+    batch = emb.filter(F.col("vec_id") >= EMB_INCR_MIN)
+    coarse = _memo_train(
+        spark,
+        ("lloyd_prefix", sf_dir, EMB_INCR_MIN),
+        lambda: _lloyd_centroids(base),
+    )
+    pq = _memo_train(
+        spark,
+        ("pq_norm_prefix", sf_dir, IVFPQ_M, IVFPQ_K, EMB_INCR_MIN),
+        lambda: _pq_codebooks(
+            _pq_subvectors(_l2_normalized(base), m=IVFPQ_M), k=IVFPQ_K
+        ),
+    )
+    ivf_state.build(
+        base.join(_ivfpq_codes(base, pq), "vec_id"),
+        coarse,
+        name,
+        store_vec=False,
+        aux_tables={"pq": pq},
+    )
+    ivf_state.ingest(
+        spark, name, batch.join(_ivfpq_codes(batch, pq), "vec_id")
+    )
+    ivf_state.compact(spark, name)
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    return _ivfpq_serve_state(spark, name, q, k=ADC_K)
 
 
 # --- filtered ANN: metadata predicate inside the probed-cell scan -------

@@ -940,6 +940,33 @@ def test_ivfpq_serves_from_bucketed_codes_no_full_scan(spark, sf_dir):
     assert "embedding" not in lines[scans[0]], plan
 
 
+def test_ivfpq_incremental_serves_post_compaction_exchange_free(
+    spark, sf_dir
+):
+    """ann_ivfpq_incremental: after build + frozen-codebook ingest +
+    compact(), the serve leg still reads the cell table ONCE with the
+    cid probe join served by the (rewritten) bucket layout — the
+    compaction preserved the exchange-free contract on the exact table
+    the driver-evidenced query serves from."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, sf_dir, "ann_ivfpq_incremental")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    lines = plan.splitlines()
+    scans = [
+        i for i, l in enumerate(lines)
+        if "FileScan" in l and "ivfpqi_" in l and "_cells" in l
+    ]
+    assert len(scans) == 1, plan
+    above = "\n".join(lines[max(0, scans[0] - 2): scans[0]])
+    assert "Exchange" not in above, plan
+    assert "Bucketed: true" in lines[scans[0]] or "SelectedBucketsCount" in plan
+    assert "codes" in lines[scans[0]], plan
+    assert "embedding" not in lines[scans[0]], plan
+
+
 def test_filtered_ann_pushes_predicate_into_cell_scan(spark, sf_dir):
     """ann_ivf_filtered: the metadata predicate must reach the parquet
     scan of the probed cell table (PushedFilters EqualTo on label) —
