@@ -2261,6 +2261,70 @@ def ann_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_serve_state(spark, name, q, k=ADC_K)
 
 
+@register(
+    "streaming_ann_serve",
+    oracle=None,  # patched below: shares ann_ivfpq_search's oracle
+    doc="Structured Streaming twin of ann_ivfpq_search's serve leg — "
+        "the retrieval sibling of streaming_drift_psi "
+        "(streaming/ann_serve.py): the IVFPQ state builds once, then "
+        "QUERIES arrive as a stream and every micro-batch is answered "
+        "from the persisted state via foreachBatch (probe nprobe "
+        "cells, exchange-free cid join onto the code-only bucketed "
+        "cell table, ADC against the per-query LUT), each top-k "
+        "report landing batch-id-keyed with the overwrite-per-batch "
+        "replay-idempotence contract — serving is read-only against "
+        "the state, so a crash-replayed batch rewrites the identical "
+        "report. Driven availableNow over the staged query sample, "
+        "the whole sample is ONE micro-batch, so the report set "
+        "equals the batch serve exactly — same oracle (per-query "
+        "top-k is independent of batch membership, so this holds at "
+        "ANY batch partitioning — pinned along with checkpoint replay "
+        "in tests/test_streaming_ann.py). Per batch, only |batch| x "
+        "nprobe probe rows and the probed codes move; the corpus-"
+        "sized cell table never does.",
+)
+def streaming_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import ann_serve
+
+    name = _ivfpq_build(spark, sf_dir)
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    root = "{}/dfs_annserve/{}/{}".format(
+        tempfile.gettempdir(),
+        spark.sparkContext.applicationId,
+        uuid.uuid4().hex[:10],
+    )
+    q.write.mode("overwrite").parquet(f"{root}/queries")
+    stream = spark.readStream.schema(q.schema).parquet(f"{root}/queries")
+    try:
+        sq = ann_serve.foreach_batch_ann_serve(
+            stream, name, f"{root}/reports", f"{root}/ckpt", k=ADC_K
+        )
+        if not sq.awaitTermination(300):
+            sq.stop()
+            raise TimeoutError("streaming_ann_serve: stream did not drain")
+        return (
+            spark.read.parquet(f"{root}/reports")
+            .select("qid", "rnk", "neighbor_id", "adc_dist")
+            # sever lineage so the scratch dir can be removed before
+            # the caller collects
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_REG["streaming_ann_serve"].oracle = _REG["ann_ivfpq_search"].oracle
+
+
 # --- filtered ANN: metadata predicate inside the probed-cell scan -------
 IVF_FILT_NPROBE = 8   # 2x the unfiltered nprobe: a ~10%-selective
                       # filter starves cells, so the probe set widens
