@@ -41,13 +41,29 @@ def _psi_conf() -> tuple[int, float]:
     return PSI_BINS, PSI_SMOOTH
 
 
-def freeze_reference(ref: DataFrame, path: str) -> None:
+def freeze_reference(
+    ref: DataFrame, path: str, *, approx: bool = False
+) -> None:
     """Persist the frozen reference artifact: (event_type, cs, rns, nr)
     — decile cutpoints, per-bin counts (index = bin), and the total.
-    One row per event type; the entire day-2 monitor reads only this."""
+    One row per event type; the entire day-2 monitor reads only this.
+
+    ``approx=True`` cuts at percentile_approx instead of the exact
+    percentile — the 100 TB posture: the exact form is a sort-based
+    aggregate whose per-type group is corpus-sized at scale, while the
+    GK sketch is a mergeable partial aggregation with bounded memory.
+    Day-2 PSI values shift by at most the calibrated tolerance
+    (queries/events.dq_distribution_drift_approx measures the exact/
+    approx flanks side by side and asserts the gap in-row)."""
     PSI_BINS, PSI_SMOOTH = _psi_conf()
     qs = F.array(*[F.lit((i + 1) / PSI_BINS) for i in range(PSI_BINS - 1)])
-    cuts = ref.groupBy("event_type").agg(F.percentile("value", qs).alias("cs"))
+    if approx:
+        from ..queries.events import PSI_APPROX_ACC
+
+        cut_expr = F.percentile_approx("value", qs, F.lit(PSI_APPROX_ACC))
+    else:
+        cut_expr = F.percentile("value", qs)
+    cuts = ref.groupBy("event_type").agg(cut_expr.alias("cs"))
     v = F.col("value")
     rb = (
         ref.join(F.broadcast(cuts), "event_type")

@@ -260,6 +260,19 @@ def test_approx_percentiles_single_agg_pass(spark, sf_dir):
     assert plan.count("Exchange") <= 2  # one shuffle for the groupBy (+AQE read)
 
 
+def test_drift_approx_no_sort_no_window(spark, sf_dir):
+    """dq_distribution_drift_approx: the whole audit — approx cuts,
+    exact flank, binning, PSI folds — is hash aggregations and
+    broadcast joins; no Sort, no Window, no nested-loop join anywhere
+    (the 100 TB property the approx swap buys)."""
+    plan = _plan(spark, sf_dir, "dq_distribution_drift_approx")
+    assert "percentile_approx" in plan, plan
+    assert "Sort " not in plan and "Sort\n" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_full_outer_preaggregates_both_sides(spark, sf_dir):
     """join_full_outer: both sides reach the join pre-aggregated (the
     map-side combine bounds the exchange; full outer cannot

@@ -101,3 +101,41 @@ def test_multi_batch_reports_and_replay_idempotence(spark, sf_dir, tmp_path):
     assert q2.awaitTermination(120), 'stream did not drain'
     got2 = spark.read.option("basePath", reports).parquet(reports)
     assert got2.count() == got.count()
+
+
+def test_approx_frozen_reference_monitor_within_tolerance(
+    spark, sf_dir, tmp_path
+):
+    """freeze_reference(approx=True) — the 100 TB artifact — must
+    produce per-type PSI within PSI_APPROX_TOL of the exact-cut batch
+    audit (the calibrated contract of dq_distribution_drift_approx),
+    with identical n_ref / n_cur (counts don't depend on cuts)."""
+    from deep_field_spark.queries.events import PSI_APPROX_TOL
+
+    ref, cur = _halves(spark, sf_dir)
+    ref_path = str(tmp_path / "ref_approx")
+    drift.freeze_reference(ref, ref_path, approx=True)
+
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+    cur.coalesce(1).write.mode("overwrite").parquet(f"{src}/all")
+    stream = spark.readStream.schema(cur.schema).parquet(f"{src}/*")
+    q = drift.foreach_batch_psi(
+        stream, ref_path, str(tmp_path / "reports"), str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(120), 'stream did not drain'
+
+    got = {
+        r.event_type: (r.n_ref, r.n_cur, r.psi)
+        for r in spark.read.parquet(str(tmp_path / "reports")).collect()
+    }
+    want = {
+        r.event_type: (r.n_ref, r.n_cur, r.psi)
+        for r in REGISTRY["dq_distribution_drift"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t][:2] == want[t][:2], (t, got[t], want[t])
+        assert abs(got[t][2] - want[t][2]) <= PSI_APPROX_TOL, (
+            t, got[t][2], want[t][2],
+        )
