@@ -352,6 +352,20 @@ _PRIORITY = [
     # table_profile_lineitem rotating out below (>=3 green rows,
     # byte-stable)
     "streaming_drift_psi",
+    # round-9 first-evidence (slots funded by q6_forecast_revenue /
+    # q10_returned_items / table_snapshot_diff rotating out below —
+    # each >=3 driver-green rows across r06-r08, byte-unchanged since
+    # they landed; every TPC-H plan shape keeps in-window cousins):
+    # - ann_ivfpq_incremental: day-2 IVFPQ — frozen-codebook batch
+    #   ingest + compact() between ingest and serve (compaction's
+    #   first driver-level evidence, r8 verdict #4)
+    # - streaming_ann_serve: micro-batch query serving from the
+    #   persisted IVFPQ state (the retrieval sibling of
+    #   streaming_drift_psi, r8 verdict #8)
+    # - dq_distribution_drift_approx: sketch-cut PSI with the exact
+    #   calibration flank (the 100 TB percentile swap, r8 verdict #6)
+    "ann_ivfpq_incremental", "streaming_ann_serve",
+    "dq_distribution_drift_approx",
     "join_skew_salted",
     # round-5: Okapi BM25 top-k retrieval and DSIR hashed-ngram
     # importance weights (slots funded by the rotated udaf_grouped_
@@ -417,16 +431,26 @@ _PRIORITY = [
     #   q13 outer-join distribution, q7 volume shipping, q10 returned
     #   items, q17 small-quantity avg-correlated scan, q19 disjunctive
     #   pushdown, q15 top-supplier view, q22 dormant customers)
+    # (q10_returned_items rotated out for round 9: green r06/r07/r08,
+    # byte-stable — the outer/agg-join TPC-H shapes keep five
+    # in-window cousins (q13/q7/q17/q19/q15/q22). Its slot funds
+    # ann_ivfpq_incremental above)
     "join_bloom_pruned", "q13_customer_distribution", "q7_volume_shipping",
-    "q10_returned_items", "q17_small_quantity", "q19_disjunctive_predicates",
+    "q17_small_quantity", "q19_disjunctive_predicates",
     "q15_top_supplier", "q22_dormant_customers",
-    # - q6 pure-pushdown forecast-revenue aggregate and q8 7-table
-    #   market share (slots funded by the ann_ivf_kmeans and
-    #   text_bpe_train rotations above)
-    "q6_forecast_revenue", "q8_market_share",
-    # - warehouse ops: partition-level snapshot diff, join-key skew
-    #   audit
-    "table_snapshot_diff", "dq_key_skew_profile",
+    # - q8 7-table market share (slot funded by the text_bpe_train
+    #   rotation above)
+    # (q6_forecast_revenue rotated out for round 9: green r06/r07/r08,
+    # byte-stable — the pure-pushdown scan shape is also pinned by
+    # scan_filter_project's plan test every pytest run. Its slot funds
+    # streaming_ann_serve above)
+    "q8_market_share",
+    # - warehouse ops: join-key skew audit
+    # (table_snapshot_diff rotated out for round 9: green r06/r07/r08,
+    # byte-stable — the warehouse-ops family keeps dq_key_skew_profile
+    # + dq_referential_audit + incr_agg_refresh in-window. Its slot
+    # funds dq_distribution_drift_approx above)
+    "dq_key_skew_profile",
     # - LLM-pipeline round-6 wave: perplexity buckets, vocab coverage,
     #   stratified quotas, RRF hybrid retrieval + nDCG/MRR eval,
     #   prefix-filtered tfidf all-pairs, layered decontam report,

@@ -62,24 +62,24 @@ def test_driver_window_is_all_oracle_bearing():
     )
 
 
-def test_round8_window_slots():
-    """The round-8 budget window: the three round-8 first-evidence
-    additions (the composed IVFPQ serving path and the filtered-ANN
-    pair), ann_ivf_recall kept despite its green r07 row because its
-    calibration sample CHANGED (fixed-size md5 set — changed semantics
-    need fresh evidence), plus the round-7 first-evidence set that
-    stays and the reference-core flagship. Rotated out this round:
-    ann_pq_adc_search (green r07; ann_ivfpq_search is its strict
-    superset) and q4_order_priority / q14_promo_revenue /
-    q21_waiting_supplier / table_profile_lineitem (>=3 green rows
-    each, byte-unchanged since r05)."""
+def test_round9_window_slots():
+    """The round-9 budget window: three first-evidence additions
+    (ann_ivfpq_incremental — day-2 frozen-codebook ingest + compact;
+    streaming_ann_serve — micro-batch serving from the persisted IVFPQ
+    state; dq_distribution_drift_approx — sketch-cut PSI with the
+    exact calibration flank), the round-8 first-evidence set that
+    stays (single-green each), and the reference-core flagship.
+    Rotated out this round: q6_forecast_revenue / q10_returned_items /
+    table_snapshot_diff (>=3 green rows each across r06-r08,
+    byte-unchanged since they landed)."""
     names = list(REGISTRY)[:DRIVER_WINDOW]
     for q in (
-        # round-8 first-evidence set
+        # round-9 first-evidence set
+        "ann_ivfpq_incremental", "streaming_ann_serve",
+        "dq_distribution_drift_approx",
+        # round-8 first-evidence keeps (single-green each)
         "ann_ivfpq_search", "ann_ivf_filtered", "ann_filtered_recall",
-        "ann_ivfpq_recall", "streaming_drift_psi",
-        # round-8 changed-semantics set
-        "ann_ivf_recall",
+        "ann_ivfpq_recall", "streaming_drift_psi", "ann_ivf_recall",
         # round-7 first-evidence keeps
         "multimodal_audio_rms", "corpus_perplexity_buckets_approx",
         "corpus_weighted_sample", "ann_incremental_ivf",
@@ -99,7 +99,7 @@ def test_round8_window_slots():
         "unpivot_part_metrics", "curation_quality_train",
         "graph_pagerank",
         "dq_referential_audit", "incr_agg_refresh",
-        "corpus_novelty_profile", "q6_forecast_revenue",
+        "corpus_novelty_profile",
         "q8_market_share",
     ):
         assert q in names, q
