@@ -51,6 +51,7 @@ HEADLINE = [
     "table_snapshot_diff",
     "dq_key_skew_profile",
     "dq_distribution_drift",
+    "dq_distribution_drift_approx",
     "streaming_drift_psi",
     "scan_filter_project",
     "join_inner_dim",
@@ -167,6 +168,11 @@ HEADLINE = [
     "ann_incremental_ivf",
     "ann_ivf_recall",
     "ann_ivfpq_search",
+    # day-2 lifecycle: frozen-codebook ingest + compact + serve, then the
+    # streaming serving twin (single availableNow batch over the same
+    # query sample; includes its own hermetic state build)
+    "ann_ivfpq_incremental",
+    "streaming_ann_serve",
     "ann_ivfpq_recall",
     "ann_ivf_filtered",
     "ann_filtered_recall",
