@@ -288,6 +288,23 @@ def main() -> None:
         "id", "cast(string(id) as binary) as payload"
     ).mapInPandas(lambda it: it, "id long, payload binary").count()
 
+    # Train the memoized deterministic artifacts (coarse centroids, PQ
+    # codebooks) ONCE up front, timed per family as train.* tail rows
+    # that COUNT toward the headline total: production builds an index
+    # once and serves it for days, and the session memo
+    # (queries/similarity._memo_train) is that amortization — without
+    # this explicit warm, whichever query first needed a family would
+    # absorb its training cost, making per-query timings depend on
+    # suite order (and flicker across the min-of-2 threshold).
+    from deep_field_spark.queries.similarity import warm_training_memo
+
+    train_rows = warm_training_memo(spark, sf_dir)
+    print(
+        "# training memo: "
+        + ", ".join(f"{k} {v:.2f}s" for k, v in train_rows.items()),
+        file=sys.stderr,
+    )
+
     # Host-calibration pair (r8 verdict: the driver host ran the SAME
     # SHA 22% slower than the builder's run, and without a speed
     # anchor that read as a fake regression on byte-unchanged
@@ -305,9 +322,12 @@ def main() -> None:
         hashlib.sha256(buf).digest()
     cal_cpu = time.perf_counter() - t0
     cal_spark = float("inf")
-    for _ in range(2):  # min-of-2: first run can pay residual JIT
+    for _ in range(3):  # min-of-3: residual JIT + GC noise (~15%
+        # spread was measured on min-of-2 with an 8M-row job; the
+        # bigger job + extra rep tighten the anchor that cross-host
+        # normalization divides by)
         t0 = time.perf_counter()
-        spark.range(0, 8_000_000, 1, 32).selectExpr(
+        spark.range(0, 16_000_000, 1, 32).selectExpr(
             "id % 97 AS k", "id AS v"
         ).groupBy("k").sum("v").count()
         cal_spark = min(cal_spark, time.perf_counter() - t0)
@@ -315,8 +335,9 @@ def main() -> None:
     timings: dict[str, float] = {
         "cal.cpu": round(cal_cpu, 3),
         "cal.spark": round(cal_spark, 3),
+        **train_rows,
     }
-    total = 0.0
+    total = sum(train_rows.values())  # one-time training IS suite wall
     for name in HEADLINE:
         if name == "dedup_incremental_minhash":
             # split the phases: the hermetic registry query rebuilds the
@@ -367,7 +388,15 @@ def main() -> None:
             # min-of-2 for short queries (r8 verdict): sub-2 s timings
             # are scheduler/GC-noise-dominated and drove phantom 22-47%
             # "regressions" on byte-unchanged code; the rerun is cheap
-            # by definition (< 2 s each) and min is the code cost
+            # by definition (< 2 s each) and min is the code cost.
+            # clearCache first: queries that persist() intermediates
+            # would otherwise rerun warm off the CacheManager's
+            # logical-plan matching (text_bpe_train measured 0.35 s on
+            # a 2 s query) — the rerun must repeat the same cold work.
+            # The training memo survives (localCheckpoint is RDD-level
+            # storage, not a CacheManager entry): its amortization is
+            # the deliberate production analogy, a leaked persist isn't.
+            spark.catalog.clearCache()
             t1 = time.perf_counter()
             q.fn(spark, sf_dir).count()
             dt = min(dt, time.perf_counter() - t1)

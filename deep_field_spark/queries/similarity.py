@@ -439,6 +439,59 @@ def _memo_train(spark: SparkSession, key: tuple, build) -> DataFrame:
     return df
 
 
+def warm_training_memo(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Train every memoized artifact family up front and return its
+    wall seconds per family ({"train.lloyd_full": s, ...}) — the bench
+    calls this once per session so EVERY query's own timing is a
+    deterministic warm-training serve cost (no query's number depends
+    on whether an earlier query happened to train first), while the
+    one-time training cost stays visible as its own tail rows. The
+    keys and builders here must stay identical to the query call
+    sites — each block is the single other user of its key."""
+    import time
+
+    emb_s = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    base = emb_s.filter(F.col("vec_id") < EMB_INCR_MIN)
+    families = {
+        "lloyd_full": (
+            ("lloyd_full", sf_dir),
+            lambda: _lloyd_centroids(emb_s),
+        ),
+        "lloyd_prefix": (
+            ("lloyd_prefix", sf_dir, EMB_INCR_MIN),
+            lambda: _lloyd_centroids(base),
+        ),
+        "lloyd_sem_aug": (
+            ("lloyd_sem_aug", sf_dir),
+            lambda: _lloyd_centroids(_sem_augmented(emb_s)),
+        ),
+        "pq_raw": (
+            ("pq_raw", sf_dir, PQ_M, PQ_K),
+            lambda: _pq_codebooks(_pq_subvectors(emb_s)),
+        ),
+        "pq_norm": (
+            ("pq_norm", sf_dir, IVFPQ_M, IVFPQ_K),
+            lambda: _pq_codebooks(
+                _pq_subvectors(_l2_normalized(emb_s), m=IVFPQ_M), k=IVFPQ_K
+            ),
+        ),
+        "pq_norm_prefix": (
+            ("pq_norm_prefix", sf_dir, IVFPQ_M, IVFPQ_K, EMB_INCR_MIN),
+            lambda: _pq_codebooks(
+                _pq_subvectors(_l2_normalized(base), m=IVFPQ_M), k=IVFPQ_K
+            ),
+        ),
+    }
+    out: dict[str, float] = {}
+    for fam, (key, build) in families.items():
+        t0 = time.perf_counter()
+        _memo_train(spark, key, build)
+        out[f"train.{fam}"] = round(time.perf_counter() - t0, 3)
+    return out
+
+
 def _lloyd_centroids(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
     """Distributed Lloyd's k-means, the 100 TB way: per iteration, (1)
     every vector scores against the BROADCAST centroid table (k rows)
@@ -593,6 +646,22 @@ SEM_OFFSET = 1_000_000
 SEM_THRESHOLD = 0.85  # planted twins ≥ 0.899; organic pairs ≤ 0.52
 
 
+def _sem_augmented(emb: DataFrame) -> DataFrame:
+    """The SemDeDup corpus: every vector double-cast, plus the
+    deterministically planted near-dup twins (vec_id % SEM_PLANT_MOD
+    scaled 0.9 + 0.05, offset ids)."""
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    twins = emb.filter(F.col("vec_id") % SEM_PLANT_MOD == 0).select(
+        (F.col("vec_id") + SEM_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") * 0.9 + 0.05
+        ).alias("embedding"),
+    )
+    return base.unionByName(twins)
+
+
 @register(
     "dedup_semantic",
     oracle=f"""
@@ -644,16 +713,7 @@ SEM_THRESHOLD = 0.85  # planted twins ≥ 0.899; organic pairs ≤ 0.52
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
-    base = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
-    )
-    twins = emb.filter(F.col("vec_id") % SEM_PLANT_MOD == 0).select(
-        (F.col("vec_id") + SEM_OFFSET).alias("vec_id"),
-        F.transform(
-            "embedding", lambda x: x.cast("double") * 0.9 + 0.05
-        ).alias("embedding"),
-    )
-    aug = base.unionByName(twins)
+    aug = _sem_augmented(emb)
     cent = _memo_train(
         spark, ("lloyd_sem_aug", sf_dir), lambda: _lloyd_centroids(aug)
     )
@@ -1235,7 +1295,19 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents")
-    shf = D.shingled(docs, "text", "doc_id", 3).filter(F.size("shingles") > 0)
+    # shingling feeds THREE consumers (the query-side postings, the
+    # corpus-side postings, the per-doc sizes) and ReuseExchange does
+    # not dedupe the subtrees — uncached, the scan+split+shingle pass
+    # runs three times (the text_tfidf_topk lifecycle pattern: the
+    # driver entry clears the session cache per query, so accumulation
+    # is bounded to one query's working set)
+    from pyspark import StorageLevel
+
+    shf = (
+        D.shingled(docs, "text", "doc_id", 3)
+        .filter(F.size("shingles") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     shx = shf.select("doc_id", F.explode("shingles").alias("s"))
     nsh = shf.select("doc_id", F.size("shingles").cast("long").alias("nsh"))
     qset = queries.select("qid")
