@@ -398,8 +398,15 @@ def main() -> None:
             # the deliberate production analogy, a leaked persist isn't.
             spark.catalog.clearCache()
             t1 = time.perf_counter()
-            q.fn(spark, sf_dir).count()
-            dt = min(dt, time.perf_counter() - t1)
+            try:
+                q.fn(spark, sf_dir).count()
+            except Exception as e:  # noqa: BLE001 — same containment
+                # as the first run: a flaky rerun must not sink the
+                # whole artifact; keep the successful first timing
+                print(f"# {name}: rerun ERROR, keeping first timing: "
+                      f"{e!r}", file=sys.stderr)
+            else:
+                dt = min(dt, time.perf_counter() - t1)
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)

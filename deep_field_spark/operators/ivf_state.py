@@ -174,7 +174,7 @@ def ingest(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     append: bool = True,
-    num_buckets: int = STATE_BUCKETS,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Assign a batch of new vectors to the frozen centroids and
     (optionally) absorb them. Returns one (cid, id) row per NEW
@@ -196,10 +196,16 @@ def ingest(
     )
     if append:
         # report computed OFF the pre-append state; sever lineage
-        # before mutating the table it anti-joins (lsh_state lesson)
+        # before mutating the table it anti-joins (lsh_state lesson).
+        # Bucket count resolves from the state's own persisted spec
+        # (same contract as attach/compact — a hardcoded default would
+        # break, or worse silently corrupt, a non-default-bucket state)
+        nb = sinks.resolve_num_buckets(
+            _location(spark, t_cells), num_buckets, STATE_BUCKETS
+        )
         assigned = assigned.localCheckpoint(eager=True)
         assigned.write.mode("append").format("parquet").bucketBy(
-            num_buckets, "cid"
+            nb, "cid"
         ).saveAsTable(t_cells)
     return assigned.select("cid", id_col)
 
@@ -302,8 +308,13 @@ def foreach_batch_ingest(
         absorbed = report.join(batch_df, id_col).select(
             *spark.table(_tables(name)[0]).columns
         )
+        nb = sinks.resolve_num_buckets(
+            _location(spark, _tables(name)[0]),
+            ingest_kwargs.get("num_buckets"),
+            STATE_BUCKETS,
+        )
         absorbed.write.mode("append").format("parquet").bucketBy(
-            ingest_kwargs.get("num_buckets", STATE_BUCKETS), "cid"
+            nb, "cid"
         ).saveAsTable(_tables(name)[0])
 
     return (

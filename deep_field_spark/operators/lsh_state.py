@@ -179,7 +179,7 @@ def ingest(
     bands: int,
     threshold: float,
     append: bool = True,
-    num_buckets: int = STATE_BUCKETS,
+    num_buckets: int | None = None,
     on_report=None,
 ) -> DataFrame:
     """Dedup a batch against the persisted state; optionally absorb it.
@@ -267,11 +267,20 @@ def ingest(
         # benign, the candidate join is .distinct() on id pairs. The
         # reverse order would leave docs known-but-bandless: absorbed,
         # never again findable as dup sources. Permanent recall loss.
+        # bucket counts resolve from each table's own persisted spec
+        # (same contract as attach/compact — a hardcoded default would
+        # break, or silently corrupt, a non-default-bucket state)
+        nb_bands = sinks.resolve_num_buckets(
+            _location(spark, t_bands), num_buckets, STATE_BUCKETS
+        )
+        nb_sh = sinks.resolve_num_buckets(
+            _location(spark, t_shingles), num_buckets, STATE_BUCKETS
+        )
         new_banded.write.mode("append").format("parquet").bucketBy(
-            num_buckets, "band", "key"
+            nb_bands, "band", "key"
         ).saveAsTable(t_bands)
         new_sh.write.mode("append").format("parquet").bucketBy(
-            num_buckets, id_col
+            nb_sh, id_col
         ).saveAsTable(t_shingles)
         new_sh.unpersist()
     # append=False leaves new_sh cached for the caller's consumption

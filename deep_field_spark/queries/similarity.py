@@ -1298,9 +1298,13 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingling feeds THREE consumers (the query-side postings, the
     # corpus-side postings, the per-doc sizes) and ReuseExchange does
     # not dedupe the subtrees — uncached, the scan+split+shingle pass
-    # runs three times (the text_tfidf_topk lifecycle pattern: the
-    # driver entry clears the session cache per query, so accumulation
-    # is bounded to one query's working set)
+    # runs three times. Lifecycle (the text_tfidf_topk pattern): the
+    # cache must outlive this lazy builder, so there is no in-function
+    # unpersist; the driver entry AND the bench's min-of-2 rerun clear
+    # the session cache per query, and in a pytest session the
+    # superseded entries of repeated calls are unpersisted by the
+    # ContextCleaner once the old DataFrame is GC'd — accumulation is
+    # bounded, not zero
     from pyspark import StorageLevel
 
     shf = (

@@ -706,12 +706,16 @@ def compact_bucketed(
     tests/test_state_compaction.py). This is a single-writer
     maintenance step: run it in the ingest job's quiet window —
     queries started BEFORE the swap may lose their file handles when
-    ``__old`` is removed at the end. A concurrent WRITER is detected,
-    not silently lost: the live directory's parquet file listing is
-    snapshotted before the staging read and re-checked immediately
-    before the swap; if an ingest appended in between, the compaction
-    aborts (staging discarded, live directory untouched) and raises —
-    re-run it in an actual quiet window.
+    ``__old`` is removed at the end. A concurrent-writer GUARD narrows
+    (but cannot close) the silent-loss window: the live directory's
+    parquet listing is snapshotted before the staging read and
+    re-checked immediately before the swap — an ingest that landed in
+    between aborts the compaction (staging discarded, live directory
+    untouched) with an error. A writer racing the milliseconds between
+    that re-check and the renames can still lose rows into ``__old``,
+    so the quiet-window discipline stands; the guard converts the
+    common failure (a whole ingest running during the minutes-long
+    staging rewrite) from silent loss into a loud abort.
 
     Returns {"files_before": n, "files_after": m}.
     """

@@ -262,6 +262,19 @@ def test_bucket_spec_persisted_and_validated(spark, sf_dir, state_name):
         ivf_state.attach(spark, state_name, num_buckets=STATE_BUCKETS)
     ivf_state.attach(spark, state_name)
 
+    # and the day-2 INGEST resolves the true count from the spec too —
+    # a hardcoded default would either fail Spark's append validation
+    # or silently land 8-bucket files under the 4-bucket spec
+    ivf_state.ingest(
+        spark,
+        state_name,
+        emb.filter(
+            (F.col("vec_id") >= EMB_INCR_MIN)
+            & (F.col("vec_id") < EMB_INCR_MIN + 10)
+        ),
+    )
+    assert spark.table(f"{state_name}_cells").count() == EMB_INCR_MIN + 10
+
 
 def test_never_built_state_attach_message(spark, state_name):
     """attach() of a state that was never built names both the missing

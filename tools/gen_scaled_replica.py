@@ -85,7 +85,11 @@ def main() -> None:
                 c = c.withColumn(pk, F.col(pk) + i * strides[t])
             for col, ref in fks.items():
                 c = c.withColumn(col, F.col(col) + i * strides[ref])
-            if t == "documents":
+            if t == "documents" and i > 0:
+                # copy 0 stays byte-identical to the source (a x1
+                # replica must reproduce it exactly); later copies get
+                # a suffix token so near-dup density stays the template
+                # soup instead of FACTOR-way exact duplicates
                 c = c.withColumn(
                     "text", F.concat(F.col("text"), F.lit(f" c{i}"))
                 ).withColumn("n_chars", F.length("text"))
@@ -94,7 +98,10 @@ def main() -> None:
         for c in copies[1:]:
             out = out.unionByName(c)
         out.write.mode("overwrite").parquet(f"{dest}/{t}.parquet")
-        print(f"{t}: {out.count()} rows", file=sys.stderr)
+        # count from the written footers — recomputing the union for a
+        # stderr log would double the generation cost
+        n = spark.read.parquet(f"{dest}/{t}.parquet").count()
+        print(f"{t}: {n} rows", file=sys.stderr)
 
 
 if __name__ == "__main__":
