@@ -363,3 +363,109 @@ def test_ivfpq_day2_ingest_with_frozen_codebooks(spark, sf_dir, state_name):
     rows = res.collect()
     assert rows, "ADC serve returned nothing"
     assert rows[0].neighbor_id == target, rows[:3]
+
+
+def test_streaming_lifecycle_ingest_compact_serve(
+    spark, sf_dir, state_name, tmp_path
+):
+    """The FULL day-2 streaming lifecycle on ONE IVFPQ state: vectors
+    arrive as a stream (foreach_batch_ingest, frozen-codebook codes as
+    payload), the cell table is compacted, and a QUERY stream is then
+    served from the compacted state (foreach_batch_ann_serve) — the
+    composition none of the per-piece tests exercises. The served
+    top-k must equal the batch serve over the same state, and an
+    ingested vector must be retrievable by a nearby query."""
+    from deep_field_spark.queries.similarity import (
+        ADC_K,
+        IVFPQ_K,
+        IVFPQ_M,
+        IVFPQ_NPROBE,
+        _ivfpq_codes,
+        _ivfpq_serve_state,
+        _l2_normalized,
+        _pq_codebooks,
+        _pq_subvectors,
+    )
+    from deep_field_spark.streaming import ann_serve
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < EMB_INCR_MIN)
+    coarse = _lloyd_centroids(base)
+    pq = _pq_codebooks(_pq_subvectors(_l2_normalized(base), m=IVFPQ_M),
+                       k=IVFPQ_K)
+    ivf_state.build(
+        base.join(_ivfpq_codes(base, pq), "vec_id"),
+        coarse,
+        state_name,
+        store_vec=False,
+        aux_tables={"pq": pq},
+    )
+
+    # --- vectors arrive as a 2-file stream, encoded with frozen codes
+    frozen_pq = spark.table(f"{state_name}_pq")
+    batch = emb.filter(
+        (F.col("vec_id") >= EMB_INCR_MIN)
+        & (F.col("vec_id") < EMB_INCR_MIN + 40)
+    ).join(_ivfpq_codes(
+        emb.filter(
+            (F.col("vec_id") >= EMB_INCR_MIN)
+            & (F.col("vec_id") < EMB_INCR_MIN + 40)
+        ),
+        frozen_pq,
+    ), "vec_id")
+    vsrc = str(tmp_path / "vec_arrivals")
+    batch.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{vsrc}/f1"
+    )
+    batch.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(
+        f"{vsrc}/f2"
+    )
+    vstream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{vsrc}/*")
+    q = ivf_state.foreach_batch_ingest(
+        vstream, state_name,
+        str(tmp_path / "ingest_reports"), str(tmp_path / "ingest_ckpt"),
+    )
+    assert q.awaitTermination(120), "ingest stream did not drain"
+    assert (
+        spark.table(f"{state_name}_cells").count() == EMB_INCR_MIN + 40
+    )
+
+    # --- compact the appended state (spec-resolved bucket count)
+    stats = ivf_state.compact(spark, state_name)
+    assert stats["files_after"] < stats["files_before"]
+
+    # --- queries arrive as a stream, served from the compacted state
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    want = {
+        (r.qid, r.rnk, r.neighbor_id, r.adc_dist)
+        for r in _ivfpq_serve_state(
+            spark, state_name, queries, k=ADC_K, nprobe=IVFPQ_NPROBE
+        ).collect()
+    }
+    qsrc = str(tmp_path / "query_arrivals")
+    queries.coalesce(1).write.parquet(f"{qsrc}/all")
+    qstream = spark.readStream.schema(queries.schema).parquet(f"{qsrc}/*")
+    sq = ann_serve.foreach_batch_ann_serve(
+        qstream, state_name,
+        str(tmp_path / "serve_reports"), str(tmp_path / "serve_ckpt"),
+        k=ADC_K,
+    )
+    assert sq.awaitTermination(120), "serve stream did not drain"
+    got = {
+        (r.qid, r.rnk, r.neighbor_id, r.adc_dist)
+        for r in spark.read.option(
+            "basePath", str(tmp_path / "serve_reports")
+        ).parquet(str(tmp_path / "serve_reports")).select(
+            "qid", "rnk", "neighbor_id", "adc_dist"
+        ).collect()
+    }
+    assert got == want
+    # the streamed-in vectors are live in the serving index
+    served_ids = {r[2] for r in got}
+    assert served_ids & set(range(EMB_INCR_MIN, EMB_INCR_MIN + 40)), (
+        "no ingested vector ever retrieved — lifecycle broken"
+    )
