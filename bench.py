@@ -87,6 +87,7 @@ HEADLINE = [
     "curation_dedup_report",
     "dedup_minhash_lsh",
     "dedup_minhash_recall_report",
+    "dedup_minhash_recall_sample",
     "dedup_threshold_sweep",
     "dedup_containment",
     # dedup_tfidf_allpairs is EXCLUDED: the synthetic template corpus

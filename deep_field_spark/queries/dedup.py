@@ -1548,6 +1548,159 @@ def dedup_minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# sampled recall calibration: a FIXED-SIZE md5-selected anchor set, so
+# the exact-truth leg costs |anchors| bounded inverted-index probes at
+# any corpus size (the IVF_CAL_Q discipline applied to the MinHash
+# family — the full-corpus report above is the sf1-spot-run's biggest
+# absolute row at ~46 s, its truth leg being all-pairs on the dense
+# template corpus)
+MH_CAL_DOCS = 64
+
+
+@register(
+    "dedup_minhash_recall_sample",
+    oracle=f"""
+    WITH {_MINHASH_CAND_CTE},
+    anchors AS (SELECT doc_id FROM shf
+                ORDER BY md5('mhcal:' || CAST(doc_id AS VARCHAR)), doc_id
+                LIMIT {MH_CAL_DOCS}),
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shf),
+    ainv AS (SELECT i.doc_id AS id_a, i.shingle
+             FROM inv i JOIN anchors q ON i.doc_id = q.doc_id),
+    inter AS (SELECT a.id_a, b.doc_id AS id_b,
+                     CAST(count(*) AS BIGINT) AS n_int
+              FROM ainv a JOIN inv b
+                ON a.shingle = b.shingle AND a.id_a <> b.doc_id
+              GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM shf),
+    truth AS (SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = inter.id_a
+              JOIN sizes sb ON sb.doc_id = inter.id_b
+              WHERE CAST(n_int AS DOUBLE) / (sa.n + sb.n - n_int)
+                    >= {JACCARD_THRESHOLD}),
+    cda AS (SELECT c.id_a, c.id_b FROM cand c
+            JOIN anchors q ON c.id_a = q.doc_id
+            UNION
+            SELECT c.id_b AS id_a, c.id_a AS id_b FROM cand c
+            JOIN anchors q ON c.id_b = q.doc_id),
+    hit AS (SELECT t.id_a FROM truth t
+            JOIN cda c ON t.id_a = c.id_a AND t.id_b = c.id_b),
+    tp AS (SELECT c.id_a FROM cda c
+           JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b)
+    SELECT CAST((SELECT count(*) FROM anchors) AS BIGINT) AS n_anchors,
+           CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true_pairs,
+           CAST((SELECT count(*) FROM cda) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+           round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                 / nullif((SELECT count(*) FROM truth), 0), 6) AS recall,
+           round(CAST((SELECT count(*) FROM tp) AS DOUBLE)
+                 / nullif((SELECT count(*) FROM cda), 0), 6) AS precision
+    """,
+    doc=f"The 100 TB form of dedup_minhash_recall_report: recall/"
+        "precision of the banded-LSH candidate set estimated on a "
+        f"FIXED-SIZE ({MH_CAL_DOCS}) md5-selected anchor sample "
+        "instead of the all-pairs truth — the exact-Jaccard truth leg "
+        "joins only the ANCHORS' postings against the inverted index, "
+        "so calibration costs |anchors| bounded probes at any corpus "
+        "size (the IVF_CAL_Q pattern; the full report's truth leg is "
+        "inherently pair-bound on the dense template corpus and is "
+        "the sf1 spot-run's biggest row). Anchor-oriented candidates "
+        "come from BOTH orientations of the banded pair set, so a "
+        "sampled anchor's miss/hit accounting is direction-free. The "
+        "oracle replays sampling, truth, banding and the hit joins "
+        "exactly; counts are integers, ratios are round-6 doubles.",
+)
+def dedup_minhash_recall_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    docs = table(spark, sf_dir, "documents")
+    shf = D.shingled(docs, "text", "doc_id", NGRAM).filter(
+        F.size("shingles") > 0
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    anchors = (
+        shf.select(
+            "doc_id",
+            F.md5(
+                F.concat(F.lit("mhcal:"), F.col("doc_id").cast("string"))
+            ).alias("_h"),
+        )
+        .orderBy("_h", "doc_id")
+        .limit(MH_CAL_DOCS)
+        .select("doc_id")
+    )
+    inv = shf.select("doc_id", F.explode("shingles").alias("shingle"))
+    a_inv = inv.join(F.broadcast(anchors), "doc_id").select(
+        F.col("doc_id").alias("id_a"), "shingle"
+    )
+    inter = (
+        a_inv.join(inv.select(F.col("doc_id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_int"))
+    )
+    sizes = shf.select("doc_id", F.size("shingles").alias("n"))
+    truth = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")),
+            "id_b",
+        )
+        .filter(
+            F.col("n_int").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_int"))
+            >= JACCARD_THRESHOLD
+        )
+        .select("id_a", "id_b")
+    )
+    sig = D.minhash_signatures(inv, "doc_id", num_hashes=NUM_HASHES)
+    banded = D.band_keyed(sig, "doc_id", bands=BANDS, rows=NUM_HASHES // BANDS)
+    cd = D.bucket_pairs(banded, "doc_id").select("id_a", "id_b")
+    # anchor-oriented candidates: both orientations of the a<b pair set
+    cda = (
+        cd.join(
+            F.broadcast(anchors.select(F.col("doc_id").alias("id_a"))), "id_a"
+        )
+        .select("id_a", "id_b")
+        .unionByName(
+            cd.join(
+                F.broadcast(anchors.select(F.col("doc_id").alias("id_b"))),
+                "id_b",
+            ).select(
+                F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+            )
+        )
+        .distinct()
+    )
+    hit = truth.join(cda, ["id_a", "id_b"], "left_semi")
+    tp = cda.join(truth, ["id_a", "id_b"], "left_semi")
+    summary = (
+        anchors.agg(F.count("*").alias("n_anchors"))
+        .crossJoin(truth.agg(F.count("*").alias("n_true_pairs")))
+        .crossJoin(cda.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+        .crossJoin(tp.agg(F.count("*").alias("n_tp")))
+    )
+    return summary.select(
+        "n_anchors",
+        "n_true_pairs",
+        "n_candidates",
+        "n_hit",
+        F.round(
+            F.col("n_hit").cast("double")
+            / F.nullif(F.col("n_true_pairs").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.col("n_tp").cast("double")
+            / F.nullif(F.col("n_candidates").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("precision"),
+    )
+
+
 # --------------------------------------------- dedup threshold sweep
 SWEEP_THRESHOLDS = (0.3, 0.5, 0.7, 0.9)
 
