@@ -175,6 +175,7 @@ HEADLINE = [
     "ann_ivfpq_incremental",
     "streaming_ann_serve",
     "ann_ivfpq_recall",
+    "ann_ivfpq_residual_recall",
     "ann_ivf_filtered",
     "ann_filtered_recall",
     "dedup_semantic",

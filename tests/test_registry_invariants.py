@@ -70,13 +70,16 @@ def test_round9_window_slots():
     exact calibration flank), the round-8 first-evidence set that
     stays (single-green each), and the reference-core flagship.
     Rotated out this round: q6_forecast_revenue / q10_returned_items /
-    table_snapshot_diff (>=3 green rows each across r06-r08,
-    byte-unchanged since they landed)."""
+    table_snapshot_diff / q17_small_quantity /
+    q19_disjunctive_predicates (>=3 green rows each across r06-r08,
+    byte-unchanged since they landed; the late pair funds the
+    residual-PQ chart and the bounded-anchor MinHash calibration)."""
     names = list(REGISTRY)[:DRIVER_WINDOW]
     for q in (
         # round-9 first-evidence set
         "ann_ivfpq_incremental", "streaming_ann_serve",
         "dq_distribution_drift_approx",
+        "ann_ivfpq_residual_recall", "dedup_minhash_recall_sample",
         # round-8 first-evidence keeps (single-green each)
         "ann_ivfpq_search", "ann_ivf_filtered", "ann_filtered_recall",
         "ann_ivfpq_recall", "streaming_drift_psi", "ann_ivf_recall",

@@ -24,6 +24,7 @@ def test_warm_covers_every_training_family(spark, sf_dir):
     assert set(rows) == {
         "train.lloyd_full", "train.lloyd_prefix", "train.lloyd_sem_aug",
         "train.pq_raw", "train.pq_norm", "train.pq_norm_prefix",
+        "train.rcent", "train.pq_resid",
     }
     warmed = set(S._TRAIN_MEMO)
     consumers = [
@@ -31,6 +32,7 @@ def test_warm_covers_every_training_family(spark, sf_dir):
         "ann_filtered_recall", "ann_ivfpq_recall", "ann_ivfpq_search",
         "ann_incremental_ivf", "ann_ivfpq_incremental", "dedup_semantic",
         "embedding_pq_codes", "ann_pq_adc_search",
+        "ann_ivfpq_residual_recall",
     ]
     for name in consumers:
         REGISTRY[name].fn(spark, sf_dir).count()
