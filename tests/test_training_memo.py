@@ -24,7 +24,7 @@ def test_warm_covers_every_training_family(spark, sf_dir):
     assert set(rows) == {
         "train.lloyd_full", "train.lloyd_prefix", "train.lloyd_sem_aug",
         "train.pq_raw", "train.pq_norm", "train.pq_norm_prefix",
-        "train.rcent", "train.pq_resid",
+        "train.cell_asg", "train.rcent", "train.pq_resid",
     }
     warmed = set(S._TRAIN_MEMO)
     consumers = [
