@@ -401,14 +401,23 @@ def main() -> None:
             spark.catalog.clearCache()
             t1 = time.perf_counter()
             try:
-                q.fn(spark, sf_dir).count()
+                n2 = q.fn(spark, sf_dir).count()
             except Exception as e:  # noqa: BLE001 — same containment
                 # as the first run: a flaky rerun must not sink the
                 # whole artifact; keep the successful first timing
                 print(f"# {name}: rerun ERROR, keeping first timing: "
                       f"{e!r}", file=sys.stderr)
             else:
-                dt = min(dt, time.perf_counter() - t1)
+                if n2 != n:
+                    # a non-idempotent query (e.g. append-mode state
+                    # without anti-join replay) ran two DIFFERENT
+                    # workloads — folding a min over them would record
+                    # neither (advisor r9). Flag loudly, keep run 1.
+                    print(f"# {name}: rerun row count {n2} != first "
+                          f"run {n} — non-idempotent query? keeping "
+                          "first timing", file=sys.stderr)
+                else:
+                    dt = min(dt, time.perf_counter() - t1)
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)

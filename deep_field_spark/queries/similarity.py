@@ -426,7 +426,9 @@ KMEANS_ITERS = 2  # fixed Lloyd rounds so the oracle replays them exactly
 _TRAIN_MEMO: dict[tuple, DataFrame] = {}
 
 
-def _memo_train(spark: SparkSession, key: tuple, build) -> DataFrame:
+def _memo_train(
+    spark: SparkSession, key: tuple, build, corpus_scaled: bool = False
+) -> DataFrame:
     app = spark.sparkContext.applicationId
     full = (app, *key)
     hit = _TRAIN_MEMO.get(full)
@@ -434,7 +436,16 @@ def _memo_train(spark: SparkSession, key: tuple, build) -> DataFrame:
         return hit
     for stale in [k for k in _TRAIN_MEMO if k[0] != app]:
         del _TRAIN_MEMO[stale]
-    df = build().coalesce(1).localCheckpoint(eager=True)
+    df = build()
+    if not corpus_scaled:
+        # constant-size families (k-row centroid/codebook tables):
+        # one partition, one block — a leaf any plan broadcasts from.
+        # Corpus-ROW-scaled entries (cell_asg) keep their natural
+        # post-shuffle partitioning instead (advisor r9: coalesce(1)
+        # there serializes the build and caps the artifact at one
+        # 2 GB block at larger SFs).
+        df = df.coalesce(1)
+    df = df.localCheckpoint(eager=True)
     _TRAIN_MEMO[full] = df
     return df
 
@@ -510,7 +521,10 @@ def _train_cell_asg(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_frame(spark, sf_dir)
     cent = _train_lloyd_full(spark, sf_dir)
     return _memo_train(
-        spark, ("cell_asg", sf_dir), lambda: _assign_cells(emb, cent)
+        spark,
+        ("cell_asg", sf_dir),
+        lambda: _assign_cells(emb, cent),
+        corpus_scaled=True,
     )
 
 

@@ -722,12 +722,18 @@ def compact_bucketed(
     import os
     import shutil
 
-    def _listing(root: str) -> frozenset[tuple[str, int]]:
+    def _listing(root: str) -> frozenset[tuple[str, int, int]]:
+        # (relpath, size, mtime_ns): mtime_ns makes a same-named,
+        # same-size REWRITE between snapshot and re-check detectable
+        # (advisor r9) — size alone would let it slip past the guard
+        # and be dropped by the swap.
+        def _stat(p: str) -> tuple[int, int]:
+            st = os.stat(p)
+            return st.st_size, st.st_mtime_ns
+
         return frozenset(
-            (
-                os.path.relpath(os.path.join(dirpath, f), root),
-                os.path.getsize(os.path.join(dirpath, f)),
-            )
+            (os.path.relpath(os.path.join(dirpath, f), root),
+             *_stat(os.path.join(dirpath, f)))
             for dirpath, _d, files in os.walk(root)
             for f in files
             if f.endswith(".parquet")
