@@ -1,0 +1,100 @@
+"""Python/DuckDB parity of the corpus-size-derived index parameters
+(functions/scaling.py) — the derivation every autok oracle replays —
+plus the monotone-growth contracts the √n story depends on."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from deep_field_spark.functions import scaling as SC
+
+# log sweep + power-of-two boundaries (the floor(log2) edge the module
+# docstring argues about) + ladder cutoffs ± 1
+_SWEEP = sorted(
+    {
+        *(int(1.7**k) for k in range(1, 40)),
+        *(1 << k for k in range(0, 41)),
+        *((1 << k) - 1 for k in range(1, 41)),
+        *((1 << k) + 1 for k in range(1, 41)),
+        (1 << 14) - 1, 1 << 14, (1 << 14) + 1,
+        (1 << 20) - 1, 1 << 20, (1 << 20) + 1,
+        500, 2000, 5000, 20000, 50000,
+    }
+)
+
+
+def test_python_matches_duckdb_over_sweep():
+    """The arithmetic of the SQL twins, with the count scalar-subquery
+    textually replaced by each sweep literal (materializing range(2^40)
+    just to count it is not the point — the subquery plumbing itself is
+    covered by the small-n view test below)."""
+    con = duckdb.connect()
+    sub = "(SELECT count(*) FROM corpus)"
+    for n in _SWEEP:
+        cells, planes, bands, rows = con.execute(
+            "SELECT "
+            + ", ".join(
+                frag.replace(sub, str(n))
+                for frag in (
+                    SC.n_cells_sql("corpus"),
+                    SC.n_planes_sql("corpus"),
+                    SC.minhash_bands_sql("corpus"),
+                    SC.minhash_rows_sql("corpus"),
+                )
+            )
+        ).fetchone()
+        b, r = SC.minhash_params(n)
+        assert cells == SC.n_cells(n), f"n_cells diverges at n={n}"
+        assert planes == SC.n_planes(n), f"n_planes diverges at n={n}"
+        assert (bands, rows) == (b, r), f"minhash ladder diverges at n={n}"
+
+
+def test_scalar_subquery_form_on_real_relation():
+    con = duckdb.connect()
+    for n in (500, 2000, 20000):
+        con.execute("CREATE OR REPLACE VIEW corpus AS "
+                    f"SELECT * FROM range({n})")
+        cells, planes = con.execute(
+            f"SELECT {SC.n_cells_sql('corpus')}, {SC.n_planes_sql('corpus')}"
+        ).fetchone()
+        assert cells == SC.n_cells(n)
+        assert planes == SC.n_planes(n)
+
+
+def test_floors_hold_at_gate_scale_factors():
+    """sf0.001/sf0.01 corpora (500 rows) must resolve to the historical
+    constants so the rounds-1-9 oracle results are unchanged there."""
+    assert SC.n_cells(500) == 16
+    assert SC.n_planes(500) == 6
+    assert SC.minhash_params(500) == (4, 2)
+    # and the documented growth points
+    assert SC.n_cells(2000) == 32
+    assert SC.n_cells(20000) == 128
+    assert SC.n_planes(20000) == 11
+    assert SC.minhash_params(50000) == (8, 3)
+
+
+def test_monotone_and_sqrt_tracking():
+    prev_c = prev_p = 0
+    for n in _SWEEP:
+        c, p = SC.n_cells(n), SC.n_planes(n)
+        assert c >= prev_c and p >= prev_p, f"non-monotone at n={n}"
+        prev_c, prev_p = c, p
+        if n >= 1024:
+            # power-of-two quantized sqrt: within [sqrt(n)/2, sqrt(n)]
+            assert c * c <= n < (2 * c) * (2 * c)
+    # MinHash S-curve threshold (1/b)^(1/r) == 0.5 at every rung
+    for _, (b, r) in SC._MINHASH_LADDER:
+        assert (1 / b) ** (1 / r) == pytest.approx(0.5)
+
+
+def test_count_memo_is_session_scoped(spark, sf_dir):
+    SC._COUNT_MEMO.clear()
+    n1 = SC.corpus_count(spark, sf_dir, "embeddings")
+    assert n1 > 0
+    key = next(iter(SC._COUNT_MEMO))
+    SC._COUNT_MEMO[key] = -7  # poison: a second call must be a memo hit
+    assert SC.corpus_count(spark, sf_dir, "embeddings") == -7
+    SC._COUNT_MEMO.clear()
+    assert SC.corpus_count(spark, sf_dir, "embeddings") == n1
