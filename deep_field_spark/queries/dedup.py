@@ -351,6 +351,21 @@ def _probe_masks(n_planes: int | None = None) -> list[int]:
     return [0] + [1 << j for j in range(n_planes)]
 
 
+def _probe_masks_sql() -> str:
+    """DuckDB list expression for the 1-bit probe masks with the
+    corpus-DERIVED plane count (twin of _probe_masks(derived)): [0]
+    followed by 1<<j for each live plane — the oracle replays the same
+    n_planes(count(embeddings)) integer the Spark side resolves."""
+    from ..functions import scaling
+
+    npl = scaling.n_planes_sql("embeddings")
+    return (
+        "list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(0, {npl}), "
+        "j -> CAST(1 AS BIGINT) << CAST(j AS INTEGER)))"
+    )
+
+
 # The synthetic embeddings carry no organic near-duplicates (max
 # pairwise cosine 0.51 measured, threshold 0.8) — four driver rounds
 # of "0 rows == 0 rows" proved only empty-vs-empty agreement. Plant
@@ -394,7 +409,7 @@ def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed AS (
       SELECT vec_id, embedding, {_bucket_sql_for('aug')} AS bucket FROM aug),
     probes AS (
-      SELECT vec_id, xor(bucket::BIGINT, unnest([{", ".join(str(m) for m in _probe_masks())}])::BIGINT) AS pb
+      SELECT vec_id, xor(bucket::BIGINT, unnest({_probe_masks_sql()})::BIGINT) AS pb
       FROM bucketed),
     cand AS (
       SELECT DISTINCT p.vec_id AS id_a, t.vec_id AS id_b
@@ -415,17 +430,18 @@ def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Brute-force twin: dedup_embedding_cosine_exact.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .similarity import DIM, N_PLANES
+    from .similarity import DIM, _derived_planes
 
+    npl = _derived_planes(spark, sf_dir)
     emb = _aug_embeddings(spark, sf_dir)
     bucketed = emb.select(
         "vec_id",
-        vectors.hyperplane_sign_bucket(F.col("embedding"), DIM, N_PLANES).alias("bucket"),
+        vectors.hyperplane_sign_bucket(F.col("embedding"), DIM, npl).alias("bucket"),
     )
     probes = bucketed.select(
         "vec_id",
         F.explode(
-            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in _probe_masks(N_PLANES)])
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in _probe_masks(npl)])
         ).alias("pb"),
     )
     cand = (
@@ -953,7 +969,7 @@ def _dce_splits_sql() -> str:
     trb AS (SELECT vec_id, embedding, {_bucket_sql_for('tr')} AS bucket FROM tr),
     teb AS (SELECT vec_id, embedding, {_bucket_sql_for('te')} AS bucket FROM te),
     pr AS (SELECT vec_id,
-                  xor(bucket::BIGINT, unnest([{", ".join(str(m) for m in _probe_masks())}])::BIGINT) AS pb
+                  xor(bucket::BIGINT, unnest({_probe_masks_sql()})::BIGINT) AS pb
            FROM trb),
     cand AS (SELECT DISTINCT p.vec_id AS train_id, t.vec_id AS test_id
              FROM pr p JOIN teb t ON p.pb = t.bucket),
@@ -982,7 +998,9 @@ def _dce_splits_sql() -> str:
 )
 def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .curation import TRAIN_LT, VAL_LT
-    from .similarity import DIM, N_PLANES
+    from .similarity import DIM, _derived_planes
+
+    npl = _derived_planes(spark, sf_dir)
 
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -998,13 +1016,13 @@ def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("embedding", lambda x: x * 0.9 + 0.05).alias("embedding"),
         )
     )
-    lsh = vectors.hyperplane_sign_bucket(F.col("embedding"), DIM, N_PLANES)
+    lsh = vectors.hyperplane_sign_bucket(F.col("embedding"), DIM, npl)
     trb = tr.select("vec_id", lsh.alias("bucket"))
     teb = te.select(F.col("vec_id").alias("test_id"), lsh.alias("tbucket"))
     pr = trb.select(
         "vec_id",
         F.explode(
-            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in _probe_masks(N_PLANES)])
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in _probe_masks(npl)])
         ).alias("pb"),
     )
     cand = (
@@ -1861,3 +1879,95 @@ def _finalize_split_dedup_aware_oracle() -> None:
 
 
 _finalize_split_dedup_aware_oracle()
+
+
+# --- scale-derived MinHash banding as driver evidence -------------------
+
+
+def _minhash_autok_oracle() -> str:
+    from ..functions import scaling
+
+    b_sql = scaling.minhash_bands_sql("documents")
+    r_sql = scaling.minhash_rows_sql("documents")
+    return f"""
+    WITH prm AS (SELECT {b_sql} AS b, {r_sql} AS r),
+    {_SHINGLES_CTE},
+    sig AS (SELECT doc_id, shingles,
+                   list_transform(range(0, (SELECT b * r FROM prm)),
+                        s -> list_aggregate(list_transform(shingles,
+                             x -> md5(CAST(s AS VARCHAR) || '|' || x)), 'min')) AS sig
+            FROM shf),
+    banded AS (SELECT doc_id, unnest(range(0, (SELECT b FROM prm))) AS band
+               FROM sig),
+    keyed AS (SELECT bd.doc_id, bd.band,
+                     md5(array_to_string(list_slice(s.sig,
+                          bd.band * (SELECT r FROM prm) + 1,
+                          (bd.band + 1) * (SELECT r FROM prm)), '|')) AS key
+              FROM banded bd JOIN sig s USING (doc_id)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM keyed a JOIN keyed b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    scored AS (SELECT id_a, id_b,
+                      CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                      / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS j
+               FROM cand JOIN shf sa ON sa.doc_id = id_a
+                         JOIN shf sb ON sb.doc_id = id_b)
+    SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST((SELECT b FROM prm) AS BIGINT) AS bands,
+           CAST((SELECT r FROM prm) AS BIGINT) AS rows_per_band,
+           CAST((SELECT b * r FROM prm) AS BIGINT) AS num_hashes,
+           CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(sum(CASE WHEN j >= {MINHASH_THRESHOLD} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_pairs
+    FROM scored
+    """
+
+
+@register(
+    "dedup_minhash_autok",
+    oracle=_minhash_autok_oracle(),
+    doc="MinHash banding with the (bands, rows) ladder DERIVED from the "
+        "corpus size in-query (functions/scaling.minhash_params: b = 2^r "
+        "so the S-curve threshold (1/b)^(1/r) is held at exactly 0.5 at "
+        "every rung — escalating r sharpens the curve and cuts random "
+        "band collisions as the corpus grows). One summary row exposes "
+        "the derived ladder rung plus the candidate and verified-pair "
+        "counts it produced, so the driver hash checks the derivation, "
+        "the banding arithmetic AND the dedup result in one go. The "
+        "oracle replays the CASE ladder via scalar subquery and the "
+        "dynamic-width signature/band slicing (list_slice over a "
+        "range-driven signature — the same md5 arithmetic as "
+        "dedup_minhash_lsh at the (4,2) rung).",
+)
+def dedup_minhash_autok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import scaling
+
+    docs = table(spark, sf_dir, "documents")
+    n = scaling.corpus_count(spark, sf_dir, "documents")
+    b, r = scaling.minhash_params(n)
+    sig = D.minhash_signatures(
+        D.exploded_shingles(docs, "text", "doc_id", NGRAM), "doc_id", b * r
+    )
+    cand = D.bucket_pairs(D.band_keyed(sig, "doc_id", b, r), "doc_id")
+    sh = D.shingled(docs, "text", "doc_id", NGRAM)
+    scored = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
+        .select(texting.jaccard(F.col("sh_a"), F.col("sh_b")).alias("j"))
+    )
+    return scored.agg(
+        F.lit(n).cast("long").alias("n_docs"),
+        F.lit(b).cast("long").alias("bands"),
+        F.lit(r).cast("long").alias("rows_per_band"),
+        F.lit(b * r).cast("long").alias("num_hashes"),
+        F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+        F.sum(
+            F.when(F.col("j") >= MINHASH_THRESHOLD, 1).otherwise(0)
+        ).cast("long").alias("n_dup_pairs"),
+    )

@@ -62,25 +62,29 @@ def test_driver_window_is_all_oracle_bearing():
     )
 
 
-def test_round9_window_slots():
-    """The round-9 budget window: three first-evidence additions
-    (ann_ivfpq_incremental — day-2 frozen-codebook ingest + compact;
-    streaming_ann_serve — micro-batch serving from the persisted IVFPQ
-    state; dq_distribution_drift_approx — sketch-cut PSI with the
-    exact calibration flank), the round-8 first-evidence set that
-    stays (single-green each), and the reference-core flagship.
-    Rotated out this round: q6_forecast_revenue / q10_returned_items /
-    table_snapshot_diff / q17_small_quantity /
-    q19_disjunctive_predicates (>=3 green rows each across r06-r08,
-    byte-unchanged since they landed; the late pair funds the
-    residual-PQ chart and the bounded-anchor MinHash calibration)."""
+def test_round10_window_slots():
+    """The round-10 budget window: the scale-derived-k wave — the two
+    derivation charts (ann_ivf_autok / dedup_minhash_autok) plus the
+    eight ANN/LSH/semantic queries whose trainers and oracles now
+    resolve k/planes from the live corpus count (changed semantics, so
+    each re-earns its driver row), the single-green round-9 set, and
+    the reference-core flagship. Rotated out this round (>=3 green
+    rows each across r06-r09, byte-unchanged since they landed):
+    q3/q5/q7/q8/q13/q15/q18/q22, join_inner_dim, dq_referential_audit,
+    incr_agg_refresh, unpivot_part_metrics."""
     names = list(REGISTRY)[:DRIVER_WINDOW]
     for q in (
-        # round-9 first-evidence set
+        # round-10 first-evidence / changed-semantics set
+        "ann_ivf_autok", "dedup_minhash_autok",
+        "ann_ivf_cells", "ann_ivf_kmeans",
+        "ann_lsh_bucket", "ann_lsh_multiprobe", "ann_recall_report",
+        "dedup_semantic", "dedup_embedding_cosine", "decontam_embedding",
+        "embedding_pq_codes", "ann_pq_adc_search",
+        # round-9 first-evidence keeps (single-green each)
         "ann_ivfpq_incremental", "streaming_ann_serve",
         "dq_distribution_drift_approx",
         "ann_ivfpq_residual_recall", "dedup_minhash_recall_sample",
-        # round-8 first-evidence keeps (single-green each)
+        # round-8 first-evidence keeps
         "ann_ivfpq_search", "ann_ivf_filtered", "ann_filtered_recall",
         "ann_ivfpq_recall", "streaming_drift_psi", "ann_ivf_recall",
         # round-7 first-evidence keeps
@@ -91,19 +95,13 @@ def test_round9_window_slots():
         "dq_distribution_drift",
         # round-7 changed-semantics keeps
         "dedup_containment", "retrieval_eval_ndcg",
-        "q18_large_volume_customer",
-        # de-hinted broadcast-policy keeps
-        "q3_shipping_priority", "q5_local_supplier_volume",
-        "join_inner_dim",
         # reference-core flagship + round-6 keeps
         "scrape_core_resolved_plays", "corpus_split_leakage",
         "dedup_incremental_minhash",
         "join_skew_salted",
-        "unpivot_part_metrics", "curation_quality_train",
+        "curation_quality_train",
         "graph_pagerank",
-        "dq_referential_audit", "incr_agg_refresh",
         "corpus_novelty_profile",
-        "q8_market_share",
     ):
         assert q in names, q
 
