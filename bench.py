@@ -86,7 +86,17 @@ HEADLINE = [
     "dedup_incremental_minhash",
     "curation_dedup_report",
     "dedup_minhash_lsh",
-    "dedup_minhash_recall_report",
+    "dedup_minhash_autok",
+    # dedup_minhash_recall_report is EXCLUDED from the headline (r9
+    # verdict hygiene): its ground-truth leg exactly enumerates every
+    # pair sharing a shingle — inherently pair-bound (~46 s @ sf1, the
+    # suite's biggest row) and NO candidate-generation scheme can cut
+    # the truth side. The bounded calibration twin below
+    # (dedup_minhash_recall_sample: fixed-size md5-selected anchor
+    # sample, |anchors| probes at any corpus size) is the benched scale
+    # path; the full report stays oracle-gated at sf0.01 in every
+    # pytest run (same pattern as dedup_tfidf_allpairs /
+    # knn_brute_force).
     "dedup_minhash_recall_sample",
     "dedup_threshold_sweep",
     "dedup_containment",
@@ -166,6 +176,10 @@ HEADLINE = [
     "embedding_power_iteration",
     "ann_ivf_cells",
     "ann_ivf_kmeans",
+    # the derived-parameter chart (r10): exposes n_cells/n_planes
+    # resolved from the live corpus count + index occupancy — cheap
+    # (one memoized-assignment groupBy) but the headline should price it
+    "ann_ivf_autok",
     "ann_incremental_ivf",
     "ann_ivf_recall",
     "ann_ivfpq_search",

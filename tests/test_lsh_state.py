@@ -290,3 +290,107 @@ def test_configurable_state_root(spark, sf_dir, state_name, tmp_path):
     finally:
         lsh_state.drop(spark, state_name)
         spark.conf.unset(lsh_state.ROOT_CONF)
+
+
+def test_streaming_lifecycle_ingest_compact_ingest(
+    spark, sf_dir, state_name, tmp_path
+):
+    """The FULL day-2 streaming lifecycle on ONE LSH state — the twin
+    of test_ivf_state.py::test_streaming_lifecycle_ingest_compact_serve
+    (r9 verdict #5): batch A arrives as a 2-file stream
+    (foreach_batch_ingest), BOTH state tables are compacted, then batch
+    B arrives as a second stream against the compacted state. Batch B's
+    dedup report must equal the brute-force truth over base ∪ A (so
+    candidates span the pre- and post-compaction corpus), per-batch
+    reports must land exactly once, and a replayed ingest of B must be
+    a no-op."""
+    docs = table(spark, sf_dir, "documents")
+    lsh_state.build(docs.filter(F.col("doc_id") < 300), state_name, **{
+        k: v for k, v in KW.items() if k != "threshold"
+    })
+
+    def _stream_ingest(lo, hi, tag):
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        src = str(tmp_path / f"{tag}_arrivals")
+        batch.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+            f"{src}/f1"
+        )
+        batch.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+            f"{src}/f2"
+        )
+        stream = spark.readStream.schema(batch.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(f"{src}/*")
+        q = lsh_state.foreach_batch_ingest(
+            stream, state_name,
+            str(tmp_path / f"{tag}_reports"), str(tmp_path / f"{tag}_ckpt"),
+            **KW,
+        )
+        assert q.awaitTermination(120), f"{tag} ingest stream did not drain"
+        return spark.read.option("basePath", str(tmp_path / f"{tag}_reports"))\
+            .parquet(str(tmp_path / f"{tag}_reports") + "/batch_id=*")
+
+    # --- batch A streams in (two micro-batches), then compact
+    ra = _stream_ingest(300, 400, "a")
+    assert ra.count() == 100
+    assert ra.select("batch_id").distinct().count() == 2
+    stats = lsh_state.compact(spark, state_name)
+    for key in ("shingles", "bands"):
+        assert stats[key]["files_after"] < stats[key]["files_before"], key
+
+    # --- batch B streams in against the compacted state
+    rb = _stream_ingest(400, 500, "b")
+    rows = rb.collect()
+    # micro-batch granularity: docs of the SECOND micro-batch see the
+    # first micro-batch's docs already absorbed into the state, so the
+    # truth corpus is per-micro-batch (base ∪ A ∪ earlier-B-arrivals)
+    batch_docs = {
+        bid: {r.doc_id for r in rows if r.batch_id == bid}
+        for bid in {r.batch_id for r in rows}
+    }
+    assert len(batch_docs) == 2
+
+    def _truth(batch_ids, corpus_ids_extra):
+        from deep_field_spark.functions import texting
+        from deep_field_spark.operators import dedup as D
+        from pyspark.sql import Window
+
+        sh = D.shingled(docs, "text", "doc_id", NGRAM)
+        b = sh.filter(F.col("doc_id").isin([int(i) for i in batch_ids]))
+        c = sh.filter(
+            (F.col("doc_id") < 400)
+            | F.col("doc_id").isin([int(i) for i in corpus_ids_extra])
+        ).select(F.col("doc_id").alias("cid"), F.col("shingles").alias("shc"))
+        pair = (
+            b.crossJoin(c)
+            .withColumn("jac", texting.jaccard(F.col("shingles"), F.col("shc")))
+            .filter(F.col("jac") >= MINHASH_THRESHOLD)
+        )
+        w = Window.partitionBy("doc_id").orderBy(F.desc("jac"), F.asc("cid"))
+        return {
+            (r.doc_id, r.cid, round(r.jac, 6))
+            for r in pair.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .collect()
+        }
+
+    first, second = sorted(batch_docs)
+    got_b = {
+        (r.doc_id, r.dup_of, r.jaccard) for r in rows if r.dup_of is not None
+    }
+    assert got_b == (
+        _truth(batch_docs[first], set())
+        | _truth(batch_docs[second], batch_docs[first])
+    )
+    # candidates span base ∪ A: state holds every absorbed doc, and the
+    # truth set B was checked against includes the streamed-in A docs
+    assert spark.table(f"{state_name}_shingles").count() == 500
+
+    # --- replay idempotence across the compaction+stream history
+    n_bands = spark.table(f"{state_name}_bands").count()
+    assert lsh_state.ingest(
+        spark, state_name,
+        docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 500)),
+        **KW,
+    ).count() == 0
+    assert spark.table(f"{state_name}_bands").count() == n_bands
