@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table, ts_micros
+from ..functions import stats
 from ..streaming import windows as SW
 from . import register
 
@@ -676,8 +677,8 @@ _PSI_ORACLE = f"""
     cur AS (SELECT event_type, value FROM events
             WHERE ts >= TIMESTAMP '{PSI_SPLIT_TS}'),
     cuts AS (SELECT event_type,
-                    quantile_cont(value,
-                        [{", ".join(str((i + 1) / PSI_BINS) for i in range(PSI_BINS - 1))}])
+                    {stats.quantized_cuts_sql(f'''quantile_cont(value,
+                        [{", ".join(str((i + 1) / PSI_BINS) for i in range(PSI_BINS - 1))}])''')}
                       AS cs
              FROM ref GROUP BY 1),
     rb AS (SELECT r.event_type,
@@ -735,8 +736,13 @@ _PSI_ORACLE = f"""
 )
 def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref, cur = _psi_halves(spark, sf_dir)
+    # cuts are DECIMAL-quantized before binning: raw interpolation is
+    # 1-ulp engine-dependent and duplicated boundary values flip bins
+    # (caught by the r10 sf1 correctness spot-run; functions/stats.py)
     cuts = ref.groupBy("event_type").agg(
-        F.percentile("value", _psi_qs()).alias("cs")
+        stats.quantized_cuts(
+            F.percentile("value", _psi_qs())
+        ).alias("cs")
     )
     return _psi_table(ref, cur, cuts, "cs")
 
@@ -835,14 +841,18 @@ def dq_distribution_drift_approx(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     ref, cur = _psi_halves(spark, sf_dir)
-    stats = ref.groupBy("event_type").agg(
-        F.percentile("value", _psi_qs()).alias("cs_e"),
+    both = ref.groupBy("event_type").agg(
+        stats.quantized_cuts(
+            F.percentile("value", _psi_qs())
+        ).alias("cs_e"),
+        # the approx cuts stay raw: sketch cutpoints are not portable
+        # anyway, and the in-row tolerance absorbs sub-ulp wiggle
         F.percentile_approx(
             "value", _psi_qs(), F.lit(PSI_APPROX_ACC)
         ).alias("cs_a"),
     )
-    exact = _psi_table(ref, cur, stats, "cs_e")
-    approx = _psi_table(ref, cur, stats, "cs_a").select(
+    exact = _psi_table(ref, cur, both, "cs_e")
+    approx = _psi_table(ref, cur, both, "cs_a").select(
         "event_type", F.col("psi").alias("psi_a")
     )
     return exact.join(F.broadcast(approx), "event_type").select(

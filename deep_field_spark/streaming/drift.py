@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import stats
+
 
 def _psi_conf() -> tuple[int, float]:
     # lazy: queries.events registers into the queries package, which
@@ -62,7 +64,12 @@ def freeze_reference(
 
         cut_expr = F.percentile_approx("value", qs, F.lit(PSI_APPROX_ACC))
     else:
-        cut_expr = F.percentile("value", qs)
+        # exact cuts are DECIMAL-quantized so the frozen artifact bins
+        # identically to the batch audit and its DuckDB oracle (raw
+        # percentile interpolation is 1-ulp engine-dependent —
+        # functions/stats.py; sketch cuts stay raw, their tolerance
+        # contract absorbs it)
+        cut_expr = stats.quantized_cuts(F.percentile("value", qs))
     cuts = ref.groupBy("event_type").agg(cut_expr.alias("cs"))
     v = F.col("value")
     rb = (
