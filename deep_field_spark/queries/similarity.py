@@ -2189,17 +2189,39 @@ IVFPQ_K = 16
 IVFPQ_SUBDIM = DIM // IVFPQ_M
 
 
+# Session-scoped memo for the PERSISTED IVFPQ state (the training-memo
+# discipline applied to the built index): the build is deterministic
+# (memoized trainers + deterministic encode), its consumers are
+# read-only (ann_ivfpq_search serves it; streaming_ann_serve streams
+# against it), and production publishes ONE index to every serving
+# surface — rebuilding the same state name per consumer re-paid the
+# O(n·√n) assignment pass per query (~40 s each at the sf1 replica).
+# App-id-scoped with stale eviction like _TRAIN_MEMO; a fresh session
+# (the driver's one-query-per-session gate) always rebuilds, so a memo
+# hit changes nothing observable. The day-2 mutating state
+# (ann_ivfpq_incremental) keeps its own name and hermetic rebuild.
+_IVFPQ_BUILT: dict[tuple, str] = {}
+
+
 def _ivfpq_build(spark: SparkSession, sf_dir: str) -> str:
     """Train coarse centroids + PQ codebooks and persist the IVFPQ
     state (code-only bucketed cell table + codebook aux). Returns the
     state name. This is the ONE-TIME index cost a production
     deployment amortizes across days; the bench reports it separately
     from the recurring serve cost (ivfpq.build vs ivfpq.serve, the
-    lsh_state.build/.ingest convention)."""
+    lsh_state.build/.ingest convention), and within one session every
+    read-only consumer serves the SAME persisted state (memo above)."""
     import hashlib
 
     from ..operators import ivf_state
 
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    hit = _IVFPQ_BUILT.get(key)
+    if hit is not None and spark.catalog.tableExists(f"{hit}_cells"):
+        return hit
+    for stale in [k for k in _IVFPQ_BUILT if k[0] != app]:
+        del _IVFPQ_BUILT[stale]
     emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     name = "ivfpq_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     coarse = _train_lloyd_full(spark, sf_dir)
@@ -2214,6 +2236,7 @@ def _ivfpq_build(spark: SparkSession, sf_dir: str) -> str:
         store_vec=False,
         aux_tables={"pq": pq},
     )
+    _IVFPQ_BUILT[key] = name
     return name
 
 

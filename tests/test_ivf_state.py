@@ -469,3 +469,28 @@ def test_streaming_lifecycle_ingest_compact_serve(
     assert served_ids & set(range(EMB_INCR_MIN, EMB_INCR_MIN + 40)), (
         "no ingested vector ever retrieved — lifecycle broken"
     )
+
+
+def test_ivfpq_build_memo_is_session_scoped(spark, sf_dir, monkeypatch):
+    """Within one session every read-only consumer serves the SAME
+    persisted IVFPQ state: a second _ivfpq_build for the same sf_dir
+    must be a memo hit (no rebuild — production publishes one index to
+    every serving surface), and the memo must never outlive its
+    application id."""
+    from deep_field_spark.queries import similarity as S
+
+    S._IVFPQ_BUILT.clear()
+    name = S._ivfpq_build(spark, sf_dir)
+    assert spark.catalog.tableExists(f"{name}_cells")
+    monkeypatch.setattr(
+        ivf_state, "build",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("rebuilt")),
+    )
+    assert S._ivfpq_build(spark, sf_dir) == name
+    # a stale entry from a dead app id is evicted, not served
+    S._IVFPQ_BUILT.clear()
+    S._IVFPQ_BUILT[("dead-app", sf_dir)] = name
+    with pytest.raises(AssertionError, match="rebuilt"):
+        S._ivfpq_build(spark, sf_dir)
+    assert ("dead-app", sf_dir) not in S._IVFPQ_BUILT
+    S._IVFPQ_BUILT.clear()
