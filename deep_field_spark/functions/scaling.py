@@ -111,20 +111,24 @@ def n_planes_sql(count_src: str = "embeddings") -> str:
     )
 
 
-def minhash_bands_sql(count_src: str = "documents") -> str:
+def _ladder_case_sql(count_src: str, idx: int) -> str:
+    # branches generated FROM _MINHASH_LADDER (single definition — a
+    # rung edit cannot leave the SQL twins stale; review finding)
     c = f"(SELECT count(*) FROM {count_src})"
-    return (
-        f"(CASE WHEN {c} < {_MINHASH_LADDER[0][0]} THEN 4 "
-        f"WHEN {c} < {_MINHASH_LADDER[1][0]} THEN 8 ELSE 16 END)"
+    branches = " ".join(
+        f"WHEN {c} < {cutoff} THEN {br[idx]}"
+        for cutoff, br in _MINHASH_LADDER
+        if cutoff is not None
     )
+    return f"(CASE {branches} ELSE {_MINHASH_LADDER[-1][1][idx]} END)"
+
+
+def minhash_bands_sql(count_src: str = "documents") -> str:
+    return _ladder_case_sql(count_src, 0)
 
 
 def minhash_rows_sql(count_src: str = "documents") -> str:
-    c = f"(SELECT count(*) FROM {count_src})"
-    return (
-        f"(CASE WHEN {c} < {_MINHASH_LADDER[0][0]} THEN 2 "
-        f"WHEN {c} < {_MINHASH_LADDER[1][0]} THEN 3 ELSE 4 END)"
-    )
+    return _ladder_case_sql(count_src, 1)
 
 
 # --- corpus-count memo --------------------------------------------------

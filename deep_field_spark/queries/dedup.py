@@ -345,9 +345,11 @@ def _bucket_sql_for(tbl: str) -> str:
 # oracle, the DuckDB twin replays the identical probe arithmetic, so
 # the check is exact — the LSH recall contract is part of the operator
 # definition, not a hidden approximation.
-def _probe_masks(n_planes: int | None = None) -> list[int]:
-    if n_planes is None:
-        from .similarity import N_PLANES as n_planes
+def _probe_masks(n_planes: int) -> list[int]:
+    """n_planes is REQUIRED: buckets are corpus-derived since r10, so a
+    caller silently defaulting to the 6-plane floor would probe only
+    bits 0-5 of an 11-plane bucket (review finding) — stale call sites
+    must fail loudly instead."""
     return [0] + [1 << j for j in range(n_planes)]
 
 

@@ -31,8 +31,9 @@ DIM = 64
 # vs rounds 1-9); the r9 sf1 replica (20k) resolves to 11.
 N_PLANES = scaling.MIN_PLANES
 # Gated plane budget of the STATIC oracle SQL (which must pre-emit one
-# literal sign array per plane): covers corpora to 2^19 rows — far past
-# any oracle scale factor. The Spark side derives freely with no cap.
+# literal sign array per plane): n_planes exceeds 16 only at
+# n >= 2^(16+3+1) = 2^20 rows — far past any oracle scale factor. The
+# Spark side derives freely with no cap.
 _P_MAX = 16
 TOP_K = 3
 QUERY_MOD = 50  # vec_id % QUERY_MOD == 0 → query set
@@ -104,7 +105,7 @@ def _derived_planes(spark: SparkSession, sf_dir: str) -> int:
     if npl > _P_MAX:
         raise ValueError(
             f"derived n_planes {npl} exceeds the oracle's gated plane "
-            f"budget _P_MAX={_P_MAX} (corpus > 2^{_P_MAX + 3} rows) — "
+            f"budget _P_MAX={_P_MAX} (corpus >= 2^{_P_MAX + 4} rows) — "
             "raise _P_MAX; the Spark side itself has no ceiling"
         )
     return npl
@@ -2218,7 +2219,13 @@ def _ivfpq_build(spark: SparkSession, sf_dir: str) -> str:
     app = spark.sparkContext.applicationId
     key = (app, sf_dir)
     hit = _IVFPQ_BUILT.get(key)
-    if hit is not None and spark.catalog.tableExists(f"{hit}_cells"):
+    if (
+        hit is not None
+        and spark.catalog.tableExists(f"{hit}_cells")
+        # the serve path reads the codebook aux too: a partially
+        # torn-down state must rebuild, not serve (review finding)
+        and spark.catalog.tableExists(f"{hit}_pq")
+    ):
         return hit
     for stale in [k for k in _IVFPQ_BUILT if k[0] != app]:
         del _IVFPQ_BUILT[stale]
