@@ -172,6 +172,10 @@ HEADLINE = [
     # baseline stays oracle-gated at sf0.01 in every pytest run.
     "ann_lsh_bucket",
     "ann_lsh_multiprobe",
+    # MIPS via the norm-augmentation reduction: the truth leg is the
+    # fixed 8-query calibration sample, so the row is bounded like
+    # ann_ivf_recall (never the corpus-scaled ADC baseline's shape)
+    "ann_mips_reduction",
     "ann_recall_report",
     "embedding_power_iteration",
     "ann_ivf_cells",
