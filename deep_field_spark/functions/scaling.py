@@ -131,6 +131,28 @@ def minhash_rows_sql(count_src: str = "documents") -> str:
     return _ladder_case_sql(count_src, 1)
 
 
+# --- state-table bucket layout -----------------------------------------
+# Bucketed state tables (ivf_state / lsh_state) target ~2^20 rows per
+# bucket: enough to keep per-bucket files in the 100 MB class at
+# production row widths, few enough that the one-file-per-bucket
+# compaction contract stays manageable. Pure layout knob — bucket
+# count never changes query RESULTS (both engines are blind to it), so
+# there is no SQL twin; the persisted _bucket_spec.json remains the
+# source of truth for attach/ingest/compact after build.
+MIN_STATE_BUCKETS = 8
+STATE_ROWS_PER_BUCKET_LOG = 20
+
+
+def n_state_buckets(n: int) -> int:
+    """Bucket count for an n-row state table: n / 2^20 quantized to a
+    power of two, floored at MIN_STATE_BUCKETS (every test scale factor
+    resolves to the floor; 10^9 rows -> 512 buckets)."""
+    return max(
+        MIN_STATE_BUCKETS,
+        1 << max(0, floor_log2(n) - STATE_ROWS_PER_BUCKET_LOG),
+    )
+
+
 # --- corpus-count memo --------------------------------------------------
 # The derivation needs ONE count per (session, sf_dir, table) — a
 # metadata-scale parquet count action at index-BUILD time (exactly when

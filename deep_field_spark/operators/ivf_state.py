@@ -78,7 +78,7 @@ def build(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_buckets: int = STATE_BUCKETS,
+    num_buckets: int | None = None,
     store_vec: bool = True,
     aux_tables: dict[str, DataFrame] | None = None,
 ) -> None:
@@ -97,6 +97,14 @@ def build(
     import shutil
 
     spark = vecs.sparkSession
+    if num_buckets is None:
+        # layout sized by the data (functions/scaling.n_state_buckets:
+        # ~2^20 rows per bucket, floored at 8 — every test SF resolves
+        # to the floor); the persisted _bucket_spec.json remains the
+        # source of truth for attach/ingest/compact afterwards
+        from ..functions import scaling
+
+        num_buckets = scaling.n_state_buckets(vecs.count())
     t_cells, t_cent = _tables(name)
     aux = {f"{name}_{k}": df for k, df in (aux_tables or {}).items()}
     for t in (t_cells, t_cent, *aux):

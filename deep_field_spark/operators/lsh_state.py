@@ -90,7 +90,7 @@ def build(
     ngram: int,
     num_hashes: int,
     bands: int,
-    num_buckets: int = STATE_BUCKETS,
+    num_buckets: int | None = None,
 ) -> None:
     """Materialize the LSH state for an initial corpus (overwrite).
 
@@ -103,6 +103,12 @@ def build(
     import shutil
 
     spark = docs.sparkSession
+    if num_buckets is None:
+        # layout sized by the data (functions/scaling.n_state_buckets;
+        # see ivf_state.build) — _bucket_spec.json governs thereafter
+        from ..functions import scaling
+
+        num_buckets = scaling.n_state_buckets(docs.count())
     t_bands, t_shingles = _tables(name)
     for t in (t_bands, t_shingles):
         spark.sql(f"DROP TABLE IF EXISTS {t}")

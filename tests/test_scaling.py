@@ -98,3 +98,19 @@ def test_count_memo_is_session_scoped(spark, sf_dir):
     assert SC.corpus_count(spark, sf_dir, "embeddings") == -7
     SC._COUNT_MEMO.clear()
     assert SC.corpus_count(spark, sf_dir, "embeddings") == n1
+
+
+def test_state_bucket_layout_derivation():
+    """Pure layout knob (no SQL twin — bucket count never changes
+    results): ~2^20 rows per bucket, power-of-two, floored at 8."""
+    assert SC.n_state_buckets(1) == 8
+    assert SC.n_state_buckets(500) == 8
+    assert SC.n_state_buckets(20_000) == 8
+    assert SC.n_state_buckets(1 << 23) == 8
+    assert SC.n_state_buckets(1 << 24) == 16
+    assert SC.n_state_buckets(10**9) == 512
+    prev = 0
+    for n in _SWEEP:
+        b = SC.n_state_buckets(n)
+        assert b >= prev and b & (b - 1) == 0
+        prev = b
