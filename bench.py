@@ -207,6 +207,10 @@ HEADLINE = [
     "udaf_grouped_pandas",
     "cogrouped_map_asof",
     "map_funcs_events",
+    # third streaming driver row: day-2 LSH crawl ingestion through
+    # foreach_batch_ingest (hermetic build + staged single-batch
+    # stream, the streaming_drift_psi convention)
+    "streaming_dedup_ingest",
     "scrape_core_resolved_plays",
     # runs LAST: its parse-UDF + many-small-stage profile floods the
     # JVM code cache and makes the next heavy-codegen query pay ~3x

@@ -505,7 +505,17 @@ _PRIORITY = [
     "ann_incremental_ivf", "text_vocab_coverage",
     "corpus_stratified_quota", "retrieval_rrf_fusion", "retrieval_eval_ndcg",
     "dedup_tfidf_allpairs", "decontam_union_report",
-    "dedup_minhash_recall_report", "dedup_threshold_sweep",
+    # (dedup_minhash_recall_report / dedup_threshold_sweep rotated out
+    # late in round 10: >=3 green rows each, byte-stable — their slots
+    # fund the two late round-10 additions below)
+    # - streaming_dedup_ingest: the third streaming driver row — day-2
+    #   LSH crawl ingestion through foreach_batch_ingest, report
+    #   written durably before the absorb; shares the batch twin's
+    #   oracle
+    # - ann_mips_reduction: MIPS via the norm-augmentation reduction,
+    #   augmented-space sign-LSH + multiprobe vs exact-MIPS truth on
+    #   the bounded calibration sample
+    "streaming_dedup_ingest", "ann_mips_reduction",
     # no-oracle scrape fixtures (golden/diff-sim-gated locally; driver
     # rows are permanently "no_oracle" — moved below the oracle-bearing
     # set so they stop eating top-50 budget slots)

@@ -1973,3 +1973,85 @@ def dedup_minhash_autok(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("j") >= MINHASH_THRESHOLD, 1).otherwise(0)
         ).cast("long").alias("n_dup_pairs"),
     )
+
+
+# --- streaming day-2 LSH ingestion (driver evidence) --------------------
+
+
+@register(
+    "streaming_dedup_ingest",
+    oracle=None,  # patched below: shares dedup_incremental_minhash's oracle
+    doc="Structured Streaming twin of dedup_incremental_minhash — the "
+        "day-2 crawl-ingestion posture (operators/lsh_state."
+        "foreach_batch_ingest): the LSH state persists as bucketed "
+        "tables, newly-crawled docs arrive as a stream, and each "
+        "micro-batch is deduped against (and absorbed into) the state "
+        "with its report landing batch-id-keyed, written durably "
+        "BEFORE the absorb so crash replays cannot strand a report. "
+        "Driven availableNow over the staged batch, the whole batch "
+        "is ONE micro-batch, so the report set equals the batch "
+        "ingest exactly — same oracle (multi-micro-batch semantics, "
+        "compaction-in-the-middle, and replay idempotence are pinned "
+        "in tests/test_lsh_state.py::"
+        "test_streaming_lifecycle_ingest_compact_ingest). Per batch "
+        "only the batch's signatures and candidate id pairs move; the "
+        "corpus-sized state tables never reshuffle (the third "
+        "streaming driver row, beside streaming_drift_psi and "
+        "streaming_ann_serve).",
+)
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators import lsh_state
+
+    docs = table(spark, sf_dir, "documents")
+    name = "lsh_sing_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    lsh_state.build(
+        docs.filter(F.col("doc_id") < INCR_BATCH_MIN_ID),
+        name,
+        ngram=NGRAM,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+    )
+    batch = docs.filter(F.col("doc_id") >= INCR_BATCH_MIN_ID)
+    root = "{}/dfs_lshing/{}/{}".format(
+        tempfile.gettempdir(),
+        spark.sparkContext.applicationId,
+        uuid.uuid4().hex[:10],
+    )
+    batch.write.mode("overwrite").parquet(f"{root}/arrivals")
+    stream = spark.readStream.schema(batch.schema).parquet(f"{root}/arrivals")
+    try:
+        q = lsh_state.foreach_batch_ingest(
+            stream,
+            name,
+            f"{root}/reports",
+            f"{root}/ckpt",
+            ngram=NGRAM,
+            num_hashes=NUM_HASHES,
+            bands=BANDS,
+            threshold=MINHASH_THRESHOLD,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_dedup_ingest: stream did not drain"
+            )
+        return (
+            spark.read.parquet(f"{root}/reports")
+            .filter(F.col("dup_of").isNotNull())
+            .select("doc_id", "dup_of", "jaccard")
+            # sever lineage so the scratch dir can be removed before
+            # the caller collects (the streaming_drift_psi pattern)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_DD_REG["streaming_dedup_ingest"].oracle = (
+    _DD_REG["dedup_incremental_minhash"].oracle
+)

@@ -71,11 +71,14 @@ def test_round10_window_slots():
     the reference-core flagship. Rotated out this round (>=3 green
     rows each across r06-r09, byte-unchanged since they landed):
     q3/q5/q7/q8/q13/q15/q18/q22, join_inner_dim, dq_referential_audit,
-    incr_agg_refresh, unpivot_part_metrics."""
+    incr_agg_refresh, unpivot_part_metrics; late in the round
+    dedup_minhash_recall_report / dedup_threshold_sweep (>=3 green
+    each) fund the streaming LSH ingest row and the MIPS chart."""
     names = list(REGISTRY)[:DRIVER_WINDOW]
     for q in (
         # round-10 first-evidence / changed-semantics set
         "ann_ivf_autok", "dedup_minhash_autok",
+        "streaming_dedup_ingest", "ann_mips_reduction",
         "ann_ivf_cells", "ann_ivf_kmeans",
         "ann_lsh_bucket", "ann_lsh_multiprobe", "ann_recall_report",
         "dedup_semantic", "dedup_embedding_cosine", "decontam_embedding",
