@@ -2040,8 +2040,23 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise TimeoutError(
                 "streaming_dedup_ingest: stream did not drain"
             )
+        reports = spark.read.parquet(f"{root}/reports")
+        # Equality with the shared dedup_incremental_minhash oracle
+        # requires the staged arrivals to land as exactly ONE
+        # micro-batch (availableNow, no maxFilesPerTrigger): a split
+        # batch would let later docs match already-absorbed batch docs
+        # (doc_id >= INCR_BATCH_MIN_ID), which the oracle's
+        # corpus-restricted candidate set excludes — a silent hash
+        # mismatch. Fail loudly instead (advisor r10).
+        n_batches = reports.select("batch_id").distinct().count()
+        if n_batches != 1:
+            raise AssertionError(
+                f"streaming_dedup_ingest: arrivals split into "
+                f"{n_batches} micro-batches — the shared batch oracle "
+                "is only valid for a single-batch consume"
+            )
         return (
-            spark.read.parquet(f"{root}/reports")
+            reports
             .filter(F.col("dup_of").isNotNull())
             .select("doc_id", "dup_of", "jaccard")
             # sever lineage so the scratch dir can be removed before

@@ -525,6 +525,18 @@ def _train_lloyd_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not by training-sample size)
     base = _emb_frame(spark, sf_dir).filter(F.col("vec_id") < EMB_INCR_MIN)
     k = _derived_cells(spark, sf_dir)
+    if k > EMB_INCR_MIN:
+        # the first-k seed draws from vec_id < k; a prefix smaller than
+        # k would silently seed only |prefix| centroids, contradicting
+        # the "k sized for the corpus the index serves" contract (the
+        # _derived_planes/_P_MAX loud-failure discipline; advisor r10).
+        # Corpus >= 2^18 rows trips this — scale the day-1 prefix
+        # fixture with the corpus when it does.
+        raise ValueError(
+            f"derived n_cells {k} exceeds the day-1 training prefix "
+            f"EMB_INCR_MIN={EMB_INCR_MIN} — the first-k init would "
+            "silently seed only the prefix; enlarge the prefix"
+        )
     return _memo_train(
         spark,
         ("lloyd_prefix", sf_dir, EMB_INCR_MIN),
@@ -654,7 +666,7 @@ def warm_training_memo(spark: SparkSession, sf_dir: str) -> dict[str, float]:
 
 
 def _lloyd_centroids(
-    emb: DataFrame, iters: int = KMEANS_ITERS, k: int = N_CELLS
+    emb: DataFrame, iters: int = KMEANS_ITERS, *, k: int
 ) -> DataFrame:
     """Distributed Lloyd's k-means, the 100 TB way: per iteration, (1)
     every vector scores against the BROADCAST centroid table (k rows)

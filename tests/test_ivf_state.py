@@ -29,7 +29,7 @@ def state_name(spark):
 def _built(spark, sf_dir, name):
     emb = table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") < EMB_INCR_MIN).select("vec_id", "embedding")
-    ivf_state.build(base, _lloyd_centroids(base), name)
+    ivf_state.build(base, _lloyd_centroids(base, k=16), name)
     return emb
 
 
@@ -170,7 +170,7 @@ def test_ivfpq_payload_state_roundtrip(spark, sf_dir, state_name):
     )
     ivf_state.build(
         base,
-        _lloyd_centroids(base.select("vec_id", "embedding")),
+        _lloyd_centroids(base.select("vec_id", "embedding"), k=16),
         state_name,
         store_vec=False,
         aux_tables={"pq": codebook},
@@ -306,7 +306,7 @@ def test_ivfpq_day2_ingest_with_frozen_codebooks(spark, sf_dir, state_name):
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     base = emb.filter(F.col("vec_id") < EMB_INCR_MIN)
-    coarse = _lloyd_centroids(base)
+    coarse = _lloyd_centroids(base, k=16)
     sv = _pq_subvectors(_l2_normalized(base), m=IVFPQ_M)
     pq = _pq_codebooks(sv, k=IVFPQ_K)
 
@@ -390,7 +390,7 @@ def test_streaming_lifecycle_ingest_compact_serve(
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     base = emb.filter(F.col("vec_id") < EMB_INCR_MIN)
-    coarse = _lloyd_centroids(base)
+    coarse = _lloyd_centroids(base, k=16)
     pq = _pq_codebooks(_pq_subvectors(_l2_normalized(base), m=IVFPQ_M),
                        k=IVFPQ_K)
     ivf_state.build(

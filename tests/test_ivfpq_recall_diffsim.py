@@ -23,6 +23,7 @@ from deep_field_spark.queries.similarity import (
     IVFPQ_K,
     IVFPQ_M,
     IVFPQ_NPROBE,
+    N_CELLS,
     PQR_K,
     _l2_normalized,
     _lloyd_centroids,
@@ -52,7 +53,7 @@ def test_chart_matches_literal_python_assembly(spark, sf_dir):
 
     # Spark's own trained artifacts
     cent = {
-        r.cid: list(r.c_emb) for r in _lloyd_centroids(emb_df).collect()
+        r.cid: list(r.c_emb) for r in _lloyd_centroids(emb_df, k=N_CELLS).collect()
     }
     sv = _pq_subvectors(_l2_normalized(emb_df), m=IVFPQ_M)
     pq_df = _pq_codebooks(sv, k=IVFPQ_K)

@@ -344,18 +344,21 @@ class TestLloydCentroids:
         """Same corpus in any partitioning → bit-identical centroids
         (the DECIMAL-exact component sums make partial-agg order
         irrelevant — the property the oracle replay depends on)."""
-        from deep_field_spark.queries.similarity import _lloyd_centroids
+        from deep_field_spark.queries.similarity import (
+            N_CELLS,
+            _lloyd_centroids,
+        )
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
             "vec_id", "embedding"
         )
         a = {
             r.cid: tuple(r.c_emb)
-            for r in _lloyd_centroids(emb.repartition(1)).collect()
+            for r in _lloyd_centroids(emb.repartition(1), k=N_CELLS).collect()
         }
         b = {
             r.cid: tuple(r.c_emb)
-            for r in _lloyd_centroids(emb.repartition(13)).collect()
+            for r in _lloyd_centroids(emb.repartition(13), k=N_CELLS).collect()
         }
         assert a == b
         assert len(a) > 0
@@ -377,7 +380,8 @@ class TestLloydCentroids:
             for r in emb.filter(f"vec_id < {N_CELLS}").collect()
         }
         trained = {
-            r.cid: tuple(r.c_emb) for r in _lloyd_centroids(emb, iters=1).collect()
+            r.cid: tuple(r.c_emb)
+            for r in _lloyd_centroids(emb, iters=1, k=N_CELLS).collect()
         }
         moved = [cid for cid in trained if trained[cid] != init[cid]]
         assert moved, "no centroid moved after one Lloyd iteration"

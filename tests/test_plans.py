@@ -298,7 +298,7 @@ def test_ivf_kmeans_broadcasts_centroids_every_iteration(spark, sf_dir):
         "vec_id", "embedding"
     )
     plan = (
-        _lloyd_centroids(emb)
+        _lloyd_centroids(emb, k=16)
         ._jdf.queryExecution().executedPlan().toString()
     )
     bnlj = plan.count("BroadcastNestedLoopJoin")

@@ -38,7 +38,7 @@ def test_ivf_compact_one_file_per_bucket_same_answers(
 ):
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     base = emb.filter(F.col("vec_id") < EMB_INCR_MIN)
-    ivf_state.build(base, _lloyd_centroids(base), state_name)
+    ivf_state.build(base, _lloyd_centroids(base, k=16), state_name)
     # five ingests -> up to 5*num_buckets extra files
     for lo in range(EMB_INCR_MIN, EMB_INCR_MIN + 50, 10):
         ivf_state.ingest(
@@ -144,7 +144,7 @@ def test_attach_heals_a_crashed_compact_swap(spark, sf_dir, state_name):
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     base = emb.filter(F.col("vec_id") < EMB_INCR_MIN)
-    ivf_state.build(base, _lloyd_centroids(base), state_name)
+    ivf_state.build(base, _lloyd_centroids(base, k=16), state_name)
     loc = _location(spark, f"{state_name}_cells")
 
     # simulate the crash window: table dropped, live dir renamed away
@@ -181,7 +181,7 @@ def test_compact_aborts_on_concurrent_append(spark, sf_dir, state_name):
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     base = emb.filter(F.col("vec_id") < EMB_INCR_MIN)
-    ivf_state.build(base, _lloyd_centroids(base), state_name)
+    ivf_state.build(base, _lloyd_centroids(base, k=16), state_name)
     loc = _location(spark, f"{state_name}_cells")
 
     orig = sinks.write_bucketed
@@ -231,7 +231,7 @@ def test_bucket_spec_persisted_and_validated(spark, sf_dir, state_name):
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     base = emb.filter(F.col("vec_id") < EMB_INCR_MIN)
     ivf_state.build(
-        base, _lloyd_centroids(base), state_name, num_buckets=4
+        base, _lloyd_centroids(base, k=16), state_name, num_buckets=4
     )
     loc = _location(spark, f"{state_name}_cells")
     assert sinks.read_bucket_spec(loc) == {

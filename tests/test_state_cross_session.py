@@ -101,7 +101,7 @@ def test_state_attaches_in_fresh_process(spark, sf_dir, tmp_path):
     try:
         emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         base = emb.filter(F.col("vec_id") < EMB_INCR_MIN)
-        ivf_state.build(base, _lloyd_centroids(base), name)
+        ivf_state.build(base, _lloyd_centroids(base, k=16), name)
         q = emb.filter(F.col("vec_id") % 100 == 0).select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
         )

@@ -50,12 +50,12 @@ def test_memo_result_bit_identical_to_direct_training(spark, sf_dir):
     )
     direct = {
         (r.cid, tuple(r.c_emb))
-        for r in S._lloyd_centroids(emb).collect()
+        for r in S._lloyd_centroids(emb, k=16).collect()
     }
     memo = {
         (r.cid, tuple(r.c_emb))
         for r in S._memo_train(
-            spark, ("lloyd_full", sf_dir), lambda: S._lloyd_centroids(emb)
+            spark, ("lloyd_full", sf_dir), lambda: S._lloyd_centroids(emb, k=16)
         ).collect()
     }
     assert memo == direct
@@ -70,7 +70,7 @@ def test_memo_survives_catalog_clear_cache(spark, sf_dir):
         "vec_id", "embedding"
     )
     df = S._memo_train(
-        spark, ("lloyd_full", sf_dir), lambda: S._lloyd_centroids(emb)
+        spark, ("lloyd_full", sf_dir), lambda: S._lloyd_centroids(emb, k=16)
     )
     before = df.count()
     spark.catalog.clearCache()
