@@ -184,6 +184,10 @@ HEADLINE = [
     # resolved from the live corpus count + index occupancy — cheap
     # (one memoized-assignment groupBy) but the headline should price it
     "ann_ivf_autok",
+    # r11 charts: the bounded-training-sample accounting and the
+    # two-level O(n·√k) assignment vs the exact flat assign
+    "ann_train_autocap",
+    "ann_hier_assign",
     "ann_incremental_ivf",
     "ann_ivf_recall",
     "ann_ivfpq_search",
@@ -261,6 +265,25 @@ def _bench_lsh_split(spark, sf_dir: str) -> tuple[float, float, int]:
     ingest_dt = time.perf_counter() - t0
     lsh_state.drop(spark, name)
     return build_dt, ingest_dt, n
+
+
+def _bench_streaming_ingest_split(
+    spark, sf_dir: str
+) -> tuple[float, float, int]:
+    """Time streaming_dedup_ingest's two phases separately: the
+    hermetic day-1 LSH state build vs the recurring day-2 stream
+    (stage + foreachBatch dedup-and-absorb + durable reports) — same
+    convention as lsh_state.build/.ingest, so round-over-round reads
+    don't mistake build cost for serving drift (r10 verdict #3)."""
+    from deep_field_spark.queries.dedup import _sdi_build, _sdi_stream
+
+    t0 = time.perf_counter()
+    name = _sdi_build(spark, sf_dir)
+    build_dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n = _sdi_stream(spark, sf_dir, name).count()
+    stream_dt = time.perf_counter() - t0
+    return build_dt, stream_dt, n
 
 
 def _bench_ivfpq_split(spark, sf_dir: str) -> tuple[float, float, int]:
@@ -378,6 +401,18 @@ def main() -> None:
             print(
                 f"# {name}: {b + i:.2f}s ({n} rows) "
                 f"[build {b:.2f}s + ingest {i:.2f}s]",
+                file=sys.stderr,
+            )
+            continue
+        if name == "streaming_dedup_ingest":
+            b, s, n = _bench_streaming_ingest_split(spark, sf_dir)
+            timings["lshing.build"] = round(b, 3)
+            timings["lshing.stream"] = round(s, 3)
+            timings[name] = round(b + s, 3)
+            total += b + s
+            print(
+                f"# {name}: {b + s:.2f}s ({n} rows) "
+                f"[build {b:.2f}s + stream {s:.2f}s]",
                 file=sys.stderr,
             )
             continue

@@ -131,6 +131,110 @@ def minhash_rows_sql(count_src: str = "documents") -> str:
     return _ladder_case_sql(count_src, 1)
 
 
+# --- hierarchical coarse assignment --------------------------------------
+# The full-corpus ASSIGNMENT pass is O(n·k) against the flat centroid
+# table; with k ≈ √n that is O(n^1.5) total multiply-adds. The standard
+# counter (FAISS's hierarchical / ANN coarse quantizers) is two-level:
+# score the vector against g ≈ √k SUPER-centroids, then exactly against
+# only the winning super-cell's child centroids — O(g + k/g) ≈ O(√k)
+# per vector. g is the largest power of two ≤ √k, floored at the point
+# where two levels stop paying (k <= MIN_CELLS collapses to flat).
+# 16 → 4, 128 → 8, 16 384 → 128.
+
+
+def n_super(k: int) -> int:
+    """Super-centroid count for a k-cell coarse quantizer."""
+    return 1 << (floor_log2(k) // 2)
+
+
+def n_super_sql(k_sql: str) -> str:
+    # k is a power of two by construction (n_cells), so log2 is exact
+    return (
+        f"CAST(pow(2, CAST(floor(log2(CAST(({k_sql}) AS DOUBLE))) "
+        f"AS BIGINT) // 2) AS BIGINT)"
+    )
+
+
+# --- bounded deterministic training sample ------------------------------
+# Lloyd/PQ TRAINING cost was the last O(n·k) full-corpus pass
+# (r10 verdict: at n=10⁹ / k=16 384 that is ~10¹³ multiply-adds per
+# iteration). Standard practice (FAISS Clustering.max_points_per_
+# centroid) trains on a bounded per-centroid sample and only ASSIGNS
+# the full corpus. The sample here is deterministic and exactly
+# replayable cross-engine: keep a vector iff
+#
+#     u32(md5(tag:vec_id)) * n_src  <  cap * 2^32     (all BIGINT)
+#
+# — a scan-level filter (no global sort, no shuffle, pushdown-able;
+# the md5-top-N alternative would funnel cap rows through one
+# TakeOrderedAndProject node at every scale) — OR the vector is a
+# first-k seed (vec_id < k), so the deterministic init never loses a
+# centroid to sampling. Expected sample size ≈ cap. When n_src <= cap
+# the inequality holds for EVERY u32 < 2^32 (n·(2^32−1) < cap·2^32 ⟸
+# n <= cap), so the predicate keeps the whole relation and results are
+# byte-identical to the unsampled form — every gate-scale corpus
+# resolves there, exactly the MIN_CELLS-floor discipline.
+# Overflow audit: u32 < 2^32 and n_src < 2^31 keep both products
+# < 2^63.
+TRAIN_PER_CELL = 64    # coarse-quantizer vectors per centroid (FAISS
+#                        guidance: 39–256; 64 keeps the sf1 replica on
+#                        the binding branch so the bound is TESTED, not
+#                        just derived)
+TRAIN_PER_CODE = 256   # PQ-codebook vectors per codeword (FAISS
+#                        ProductQuantizer default)
+_U32_SCALE = 1 << 32
+
+
+def train_cap(k: int, per: int = TRAIN_PER_CELL) -> int:
+    """Training-sample target size for a k-centroid quantizer."""
+    return per * k
+
+
+def train_cap_sql(k_sql: str, per: int = TRAIN_PER_CELL) -> str:
+    return f"({per} * ({k_sql}))"
+
+
+def _u32_from_hex_sql(hex_expr: str) -> str:
+    """BIGINT from the first 8 hex chars of ``hex_expr`` — DuckDB has
+    no base-16 conv(), so decode digit-by-digit (the curation
+    _BUCKET_FROM_H_SQL idiom, widened to 32 bits)."""
+    terms = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substring({hex_expr}, {i + 1}, 1))"
+        f" - 1 AS BIGINT) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"({terms})"
+
+
+def train_sample_pred_sql(
+    tag: str,
+    count_src: str,
+    cap_sql: str,
+    id_expr: str = "vec_id",
+    seed_lt_sql: str | None = None,
+) -> str:
+    """SQL predicate replaying the Python training-sample membership
+    test for row id ``id_expr`` of a relation with count(*) =
+    ``count_src``'s count. ``seed_lt_sql``: the first-k seed override
+    (``id < k`` rows are always kept)."""
+    h = f"md5('{tag}:' || CAST({id_expr} AS VARCHAR))"
+    pred = (
+        f"{_u32_from_hex_sql(h)} * (SELECT count(*) FROM {count_src}) "
+        f"< CAST({cap_sql} AS BIGINT) * {_U32_SCALE}"
+    )
+    if seed_lt_sql is not None:
+        pred = f"({id_expr} < {seed_lt_sql} OR {pred})"
+    return pred
+
+
+def train_sample_u32(tag: str, vec_id: int) -> int:
+    """Python replay of the hash leg (for tests / driver-free checks)."""
+    import hashlib
+
+    h = hashlib.md5(f"{tag}:{vec_id}".encode()).hexdigest()
+    return int(h[:8], 16)
+
+
 # --- state-table bucket layout -----------------------------------------
 # Bucketed state tables (ivf_state / lsh_state) target ~2^20 rows per
 # bucket: enough to keep per-bucket files in the 100 MB class at

@@ -395,6 +395,20 @@ _PRIORITY = [
     # at the 500-row gate floor, diverging above it) — changed
     # semantics, so each re-earns its driver row this round.
     "ann_ivf_autok", "dedup_minhash_autok",
+    # round-11 first-evidence wave (slots funded by join_bloom_pruned /
+    # dq_key_skew_profile rotating out below — green r06-r10 each,
+    # byte-stable; the TPC-H runtime-filter shape keeps its plan pin in
+    # test_runtime_filters.py and the skew family keeps
+    # join_skew_salted in-window):
+    # - ann_train_autocap: the bounded deterministic training sample
+    #   (64 vec/centroid coarse, 256/codeword PQ — the FAISS
+    #   max_points_per_centroid discipline) as a hash-checked chart;
+    #   the trainers and every _kmeans_ctes/_pq_ctes oracle now replay
+    #   the same md5-threshold predicate (no-op at gate scale, binding
+    #   at the sf1 replica — pytest -m sf1 pins the binding branch)
+    # - ann_hier_assign: two-level coarse assignment (O(n·√k) instead
+    #   of O(n·k)) with exact-assign agreement accounting
+    "ann_train_autocap", "ann_hier_assign",
     "ann_ivf_cells", "ann_ivf_kmeans",
     "ann_lsh_bucket", "ann_lsh_multiprobe", "ann_recall_report",
     "dedup_semantic", "dedup_embedding_cosine", "decontam_embedding",
@@ -478,7 +492,10 @@ _PRIORITY = [
     # / q22_dormant_customers rotated out for round 10: green r06-r09
     # each, byte-stable — the TPC-H plan shapes keep join_bloom_pruned
     # in-window and the full block re-verifies locally every pytest run)
-    "join_bloom_pruned",
+    # (join_bloom_pruned rotated out for round 11: green r06-r10,
+    # byte-stable; its Bloom-pruned runtime-filter plan shape stays
+    # pinned every pytest run by test_runtime_filters.py. Slot funds
+    # ann_train_autocap above)
     # - q8 7-table market share (slot funded by the text_bpe_train
     #   rotation above)
     # (q6_forecast_revenue rotated out for round 9: green r06/r07/r08,
@@ -492,7 +509,9 @@ _PRIORITY = [
     # byte-stable — the warehouse-ops family keeps dq_key_skew_profile
     # + dq_referential_audit + incr_agg_refresh in-window. Its slot
     # funds dq_distribution_drift_approx above)
-    "dq_key_skew_profile",
+    # (dq_key_skew_profile rotated out for round 11: green r06-r10,
+    # byte-stable; skew machinery stays in-window via join_skew_salted.
+    # Slot funds ann_hier_assign above)
     # - LLM-pipeline round-6 wave: perplexity buckets, vocab coverage,
     #   stratified quotas, RRF hybrid retrieval + nDCG/MRR eval,
     #   prefix-filtered tfidf all-pairs, layered decontam report,

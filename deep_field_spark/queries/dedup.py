@@ -2000,10 +2000,17 @@ def dedup_minhash_autok(spark: SparkSession, sf_dir: str) -> DataFrame:
         "streaming_ann_serve).",
 )
 def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = _sdi_build(spark, sf_dir)
+    return _sdi_stream(spark, sf_dir, name)
+
+
+def _sdi_build(spark: SparkSession, sf_dir: str) -> str:
+    """Phase 1 of streaming_dedup_ingest: the hermetic day-1 LSH state
+    build — a one-time (or re-sharding-time) cost production amortizes
+    across days. Split out so the bench can report it separately from
+    the recurring day-2 stream cost (lshing.build vs lshing.stream,
+    the lsh_state.build/.ingest convention; r10 verdict hygiene #3)."""
     import hashlib
-    import shutil
-    import tempfile
-    import uuid
 
     from ..operators import lsh_state
 
@@ -2016,6 +2023,22 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=NUM_HASHES,
         bands=BANDS,
     )
+    return name
+
+
+def _sdi_stream(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """Phase 2: stage the arrivals, drain them through
+    foreach_batch_ingest against the persisted state, read back the
+    durable reports — the recurring day-2 number."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators import lsh_state
+
+    docs = table(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") >= INCR_BATCH_MIN_ID)
     root = "{}/dfs_lshing/{}/{}".format(
         tempfile.gettempdir(),

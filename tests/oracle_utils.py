@@ -19,8 +19,15 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     tables = (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split()
+    import os
+
     for t in tables:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            # Spark-written table (the sf1 replica): a directory of
+            # part files — DuckDB needs the glob form
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     return con
 
 

@@ -62,20 +62,21 @@ def test_driver_window_is_all_oracle_bearing():
     )
 
 
-def test_round10_window_slots():
-    """The round-10 budget window: the scale-derived-k wave — the two
-    derivation charts (ann_ivf_autok / dedup_minhash_autok) plus the
-    eight ANN/LSH/semantic queries whose trainers and oracles now
-    resolve k/planes from the live corpus count (changed semantics, so
-    each re-earns its driver row), the single-green round-9 set, and
-    the reference-core flagship. Rotated out this round (>=3 green
-    rows each across r06-r09, byte-unchanged since they landed):
-    q3/q5/q7/q8/q13/q15/q18/q22, join_inner_dim, dq_referential_audit,
-    incr_agg_refresh, unpivot_part_metrics; late in the round
-    dedup_minhash_recall_report / dedup_threshold_sweep (>=3 green
-    each) fund the streaming LSH ingest row and the MIPS chart."""
+def test_round11_window_slots():
+    """The round-11 budget window: the bounded-training-sample chart
+    (ann_train_autocap) and the hierarchical-assign chart
+    (ann_hier_assign) join as first-evidence rows — slots funded by
+    join_bloom_pruned / dq_key_skew_profile rotating out (green
+    r06-r10 each, byte-stable). The ANN/LSH trainer consumers stay
+    in-window a second round: their trainers and _kmeans_ctes/_pq_ctes
+    oracles now carry the sample predicate (changed semantics — no-op
+    at gate scale, binding at sf1 — so each re-earns its row on the
+    new text), and the four r10 first-evidence rows keep their slots
+    for a second green row per the rotation discipline."""
     names = list(REGISTRY)[:DRIVER_WINDOW]
     for q in (
+        # round-11 first-evidence
+        "ann_train_autocap", "ann_hier_assign",
         # round-10 first-evidence / changed-semantics set
         "ann_ivf_autok", "dedup_minhash_autok",
         "streaming_dedup_ingest", "ann_mips_reduction",
@@ -107,6 +108,8 @@ def test_round10_window_slots():
         "corpus_novelty_profile",
     ):
         assert q in names, q
+    for gone in ("join_bloom_pruned", "dq_key_skew_profile"):
+        assert gone not in names, f"{gone} should have rotated out"
 
 
 def _global_window_lines(plan: str) -> list[str]:

@@ -114,3 +114,27 @@ def test_state_bucket_layout_derivation():
         b = SC.n_state_buckets(n)
         assert b >= prev and b & (b - 1) == 0
         prev = b
+
+
+def test_n_super_python_matches_duckdb():
+    """Two-level assignment's g = 2^(floor(log2 k)//2): Python ==
+    DuckDB over every attainable k (n_cells outputs are powers of two,
+    but pin non-powers too in case a caller ever passes one)."""
+    con = duckdb.connect()
+    ks = sorted({SC.n_cells(n) for n in _SWEEP} | {5, 24, 100, 1000})
+    for k in ks:
+        got = con.execute(
+            f"SELECT {SC.n_super_sql(str(k))}"
+        ).fetchone()[0]
+        assert got == SC.n_super(k), f"n_super diverges at k={k}"
+        assert SC.n_super(k) ** 2 <= k < (2 * SC.n_super(k)) ** 2
+
+
+def test_train_cap_binds_exactly_where_documented():
+    """The coarse sample bound must NOT bind at any driver gate scale
+    (byte-identical trainers there) and MUST bind at the sf1 replica
+    (the branch pytest -m sf1 exercises)."""
+    for n in (500, 2000):  # sf0.001/0.01 and sf0.1 embeddings counts
+        assert n <= SC.train_cap(SC.n_cells(n))
+    n_sf1 = 20_000
+    assert n_sf1 > SC.train_cap(SC.n_cells(n_sf1))

@@ -23,6 +23,7 @@ def test_warm_covers_every_training_family(spark, sf_dir):
     rows = S.warm_training_memo(spark, sf_dir)
     assert set(rows) == {
         "train.lloyd_full", "train.lloyd_prefix", "train.lloyd_sem_aug",
+        "train.lloyd_super",
         "train.pq_raw", "train.pq_norm", "train.pq_norm_prefix",
         "train.cell_asg", "train.rcent", "train.pq_resid",
     }
@@ -33,6 +34,7 @@ def test_warm_covers_every_training_family(spark, sf_dir):
         "ann_incremental_ivf", "ann_ivfpq_incremental", "dedup_semantic",
         "embedding_pq_codes", "ann_pq_adc_search",
         "ann_ivfpq_residual_recall",
+        "ann_train_autocap", "ann_hier_assign",
     ]
     for name in consumers:
         REGISTRY[name].fn(spark, sf_dir).count()
