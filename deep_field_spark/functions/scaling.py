@@ -137,9 +137,11 @@ def minhash_rows_sql(count_src: str = "documents") -> str:
 # counter (FAISS's hierarchical / ANN coarse quantizers) is two-level:
 # score the vector against g ≈ √k SUPER-centroids, then exactly against
 # only the winning super-cell's child centroids — O(g + k/g) ≈ O(√k)
-# per vector. g is the largest power of two ≤ √k, floored at the point
-# where two levels stop paying (k <= MIN_CELLS collapses to flat).
-# 16 → 4, 128 → 8, 16 384 → 128.
+# per vector. g is the largest power of two ≤ √k (16 → 4, 128 → 8,
+# 16 384 → 128); at the 16-cell test floor the split saves little by
+# construction, which is why exact flat assignment stays the serving
+# default and the hier path is the measured alternative a large build
+# flips to (ann_hier_assign charts the agreement/cost trade).
 
 
 def n_super(k: int) -> int:

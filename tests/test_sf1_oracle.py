@@ -55,6 +55,13 @@ SF1_QUERIES = [
     "dedup_minhash_autok",
     "ann_ivf_kmeans",
     "ann_ivfpq_search",
+    # every family whose bounded training sample BINDS at this scale
+    # must have a row here: lloyd_full/pq_norm (ann_ivfpq_search),
+    # lloyd_sem_aug (dedup_semantic), pq_raw (embedding_pq_codes),
+    # pq_resid (ann_ivfpq_residual_recall)
+    "dedup_semantic",
+    "embedding_pq_codes",
+    "ann_ivfpq_residual_recall",
     "ann_incremental_ivf",
     "retrieval_eval_ndcg",
     "graph_pagerank",
