@@ -71,6 +71,71 @@ def assign(
     )
 
 
+def super_children(centroids: DataFrame, supers: DataFrame) -> DataFrame:
+    """(cid, scid): each centroid mapped to its nearest SUPER-centroid
+    (cosine, ties to the lowest scid) — the child map of the two-level
+    coarse quantizer. ``supers`` is a (cid, c_emb) table as produced by
+    the same Lloyd trainer run over the centroid table
+    (queries/similarity._train_lloyd_super)."""
+    sup = supers.select(F.col("cid").alias("scid"), F.col("c_emb").alias("_sc"))
+    cos = V.cosine(F.col("c_emb"), F.col("_sc"))
+    w = Window.partitionBy("cid").orderBy(F.col("_cos").desc(), "scid")
+    return (
+        centroids.select("cid", "c_emb")
+        .crossJoin(F.broadcast(sup))
+        .select("cid", "scid", cos.alias("_cos"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("cid", "scid")
+    )
+
+
+def assign_hier(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    supers: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    keep_super: bool = False,
+) -> DataFrame:
+    """Two-level coarse assignment — the O(n·√k) alternative to
+    ``assign``'s flat O(n·k) scan (functions/scaling.n_super): each
+    vector argmaxes over the broadcast g-row SUPER table, then exactly
+    over only the winning super's child centroids. Same tie discipline
+    as ``assign`` (cos DESC, lowest id), so where the two agree they
+    agree bit-for-bit; the ``ann_hier_assign`` chart quantifies the
+    disagreement (boundary vectors landing in a neighboring cell — the
+    ambiguity IVF serving absorbs via nprobe) per corpus BEFORE a
+    build flips to this path. ``keep_super=True`` appends the scid
+    column (cost-accounting consumers)."""
+    payload = [c for c in vecs.columns if c not in (id_col, vec_col)]
+    sup = supers.select(F.col("cid").alias("scid"), F.col("c_emb").alias("_sc"))
+    cos_vs = V.cosine(F.col(vec_col), F.col("_sc"))
+    w_v = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), "scid")
+    vs = (
+        vecs.crossJoin(F.broadcast(sup))
+        .select(id_col, vec_col, *payload, "scid", cos_vs.alias("_cos"))
+        .withColumn("_rn", F.row_number().over(w_v))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, *payload, "scid")
+    )
+    cm = super_children(centroids, supers)
+    cos_vc = V.cosine(F.col(vec_col), F.col("c_emb"))
+    w_h = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), "cid")
+    out_cols = ["cid", id_col, vec_col, *payload] + (
+        ["scid"] if keep_super else []
+    )
+    return (
+        vs.join(F.broadcast(cm), "scid")
+        .join(F.broadcast(centroids.select("cid", "c_emb")), "cid")
+        .select(id_col, vec_col, *payload, "scid", "cid", cos_vc.alias("_cos"))
+        .withColumn("_rn", F.row_number().over(w_h))
+        .filter(F.col("_rn") == 1)
+        .select(*out_cols)
+    )
+
+
 def build(
     vecs: DataFrame,
     centroids: DataFrame,
@@ -81,6 +146,7 @@ def build(
     num_buckets: int | None = None,
     store_vec: bool = True,
     aux_tables: dict[str, DataFrame] | None = None,
+    supers: DataFrame | None = None,
 ) -> None:
     """Materialize the IVF state (overwrite): the cell-assigned vector
     table bucketed on cid + the centroid table. Training the centroids
@@ -93,7 +159,11 @@ def build(
     ~50x compression that makes a 100 TB vector store fit on disk).
     ``aux_tables`` persists extra small artifacts (e.g. PQ codebooks)
     beside the state as ``{name}_{key}``; re-register them tomorrow
-    with ``attach(..., aux=keys)``."""
+    with ``attach(..., aux=keys)``. ``supers`` (a (cid, c_emb) table of
+    SUPER-centroids) switches the assignment pass to the two-level
+    O(n·√k) ``assign_hier`` path — the knob a 10⁹-row build flips
+    after reading the ann_hier_assign agreement chart for its corpus;
+    the persisted layout is identical either way."""
     import shutil
 
     spark = vecs.sparkSession
@@ -110,7 +180,11 @@ def build(
     for t in (t_cells, t_cent, *aux):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(_location(spark, t), ignore_errors=True)
-    assigned = assign(vecs, centroids, id_col, vec_col)
+    assigned = (
+        assign(vecs, centroids, id_col, vec_col)
+        if supers is None
+        else assign_hier(vecs, centroids, supers, id_col, vec_col)
+    )
     if not store_vec:
         assigned = assigned.drop(vec_col)
     sinks.write_bucketed(

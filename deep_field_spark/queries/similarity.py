@@ -3844,48 +3844,20 @@ _G_SUPER_SQL = scaling.n_super_sql(_K_CELLS_SQL)
         "assignment tractable at 10⁹ rows.",
 )
 def ann_hier_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ivf_state
+
     n = scaling.corpus_count(spark, sf_dir, "embeddings")
     k = scaling.n_cells(n)
     g = scaling.n_super(k)
     emb = _emb_frame(spark, sf_dir)
     cent = _train_lloyd_full(spark, sf_dir)
-    sup = _train_lloyd_super(spark, sf_dir).select(
-        F.col("cid").alias("scid"), F.col("c_emb").alias("sc")
-    )
+    sup = _train_lloyd_super(spark, sf_dir)
 
-    # child map: each centroid to its nearest super (k×g, broadcast)
-    cos_cs = vectors.cosine(F.col("c_emb"), F.col("sc"))
-    w_c = Window.partitionBy("cid").orderBy(F.col("_cos").desc(), "scid")
-    cm = (
-        cent.crossJoin(F.broadcast(sup))
-        .select("cid", "scid", cos_cs.alias("_cos"))
-        .withColumn("rn", F.row_number().over(w_c))
-        .filter(F.col("rn") == 1)
-        .select("cid", "scid")
-    )
-
-    # level 1: vector → super (n×g, broadcast; embedding carried
-    # through so level 2 needs no self-join back to the corpus)
-    cos_vs = vectors.cosine(F.col("embedding"), F.col("sc"))
-    w_v = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), "scid")
-    vs = (
-        emb.crossJoin(F.broadcast(sup))
-        .select("vec_id", "embedding", "scid", cos_vs.alias("_cos"))
-        .withColumn("rn", F.row_number().over(w_v))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "scid")
-    )
-
-    # level 2: exact over the winning super's children only
-    cos_vc = vectors.cosine(F.col("embedding"), F.col("c_emb"))
-    w_h = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), "cid")
-    ha = (
-        vs.join(F.broadcast(cm), "scid")
-        .join(F.broadcast(cent), "cid")
-        .select("vec_id", "cid", cos_vc.alias("_cos"))
-        .withColumn("rn", F.row_number().over(w_h))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("hcid"))
+    # the operator IS the implementation under audit (the same path
+    # ivf_state.build(..., supers=...) runs); keep_super carries the
+    # level-1 winner for the cost accounting below
+    ha = ivf_state.assign_hier(emb, cent, sup, keep_super=True).select(
+        "vec_id", F.col("cid").alias("hcid"), "scid"
     )
 
     asg = _train_cell_asg(spark, sf_dir)
@@ -3895,9 +3867,13 @@ def ann_hier_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("hcid") == F.col("cid"), 1).otherwise(0)
         ).alias("n_agree"),
     )
-    nch = cm.groupBy("scid").agg(F.count(F.lit(1)).alias("nch"))
+    nch = (
+        ivf_state.super_children(cent, sup)
+        .groupBy("scid")
+        .agg(F.count(F.lit(1)).alias("nch"))
+    )
     cost = (
-        vs.select("scid")
+        ha.select("scid")
         .join(F.broadcast(nch), "scid")
         .agg(F.sum("nch").alias("child_scored"))
     )

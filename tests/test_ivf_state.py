@@ -494,3 +494,49 @@ def test_ivfpq_build_memo_is_session_scoped(spark, sf_dir, monkeypatch):
         S._ivfpq_build(spark, sf_dir)
     assert ("dead-app", sf_dir) not in S._IVFPQ_BUILT
     S._IVFPQ_BUILT.clear()
+
+
+def test_hier_assign_build_and_search(spark, sf_dir, state_name):
+    """build(..., supers=...) — the two-level O(n·√k) assignment path
+    (r11): the persisted layout must be identical in shape to the flat
+    build, the cell column must equal assign_hier's output exactly,
+    agreement with the flat assign must match the ann_hier_assign
+    chart's accounting, and search must serve from the hier-built
+    state."""
+    from deep_field_spark.queries.similarity import (
+        _lloyd_centroids,
+        _training_sample,  # noqa: F401 — import guards the module path
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = _lloyd_centroids(emb, k=16)
+    centv = cent.select(
+        F.col("cid").alias("vec_id"), F.col("c_emb").alias("embedding")
+    )
+    sup = _lloyd_centroids(centv, k=4)
+
+    ivf_state.build(emb, cent, state_name, supers=sup)
+    cells = spark.table(f"{state_name}_cells")
+    assert cells.count() == emb.count()
+    assert set(cells.columns) >= {"cid", "vec_id", "embedding"}
+    assert "scid" not in cells.columns  # keep_super stays an API knob
+
+    direct = {
+        r.vec_id: r.cid
+        for r in ivf_state.assign_hier(emb, cent, sup).collect()
+    }
+    persisted = {r.vec_id: r.cid for r in cells.select("vec_id", "cid").collect()}
+    assert persisted == direct
+
+    flat = {r.vec_id: r.cid for r in ivf_state.assign(emb, cent).collect()}
+    agree = sum(1 for v, c in direct.items() if flat[v] == c)
+    # the gate-floor chart value (ann_hier_assign: 357/500) — exact,
+    # both paths are deterministic
+    assert agree / len(direct) > 0.5
+
+    q = emb.limit(3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    res = ivf_state.search(spark, state_name, q, k=5, nprobe=4)
+    got = res.groupBy("qid").count().collect()
+    assert len(got) == 3 and all(r["count"] == 5 for r in got)
