@@ -152,3 +152,22 @@ def test_trainer_caps_do_not_bind_at_gate(spark, sf_dir):
     k = scaling.n_cells(n)
     assert n <= scaling.train_cap(k)
     assert n <= scaling.train_cap(IVFPQ_K, scaling.TRAIN_PER_CODE)
+
+
+def test_binding_sample_plans_as_scan_filter(spark, sf_dir):
+    """The sample must stay a SCAN-LEVEL filter — never a global
+    md5-top-N (TakeOrderedAndProject funnels cap rows through one node
+    at every scale) and never an extra exchange."""
+    emb = _emb_frame(spark, sf_dir)
+    s = _training_sample(emb, tag="lloydtrain", k=16, cap=128, n_src=500)
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan
+    assert "Sort" not in plan
+    base = _emb_frame(spark, sf_dir)
+    base_plan = base._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == base_plan.count("Exchange"), (
+        "the sample predicate added a shuffle"
+    )
+    assert any(
+        "Filter" in line and "md5" in line for line in plan.splitlines()
+    ), "sample predicate not planned as a filter"
