@@ -176,7 +176,15 @@ def build(
 
         num_buckets = scaling.n_state_buckets(vecs.count())
     t_cells, t_cent = _tables(name)
-    aux = {f"{name}_{k}": df for k, df in (aux_tables or {}).items()}
+    aux_all = dict(aux_tables or {})
+    if supers is not None:
+        # persist the super table beside the state ("supers" is a
+        # reserved aux key): a hier-built state INGESTS hier too —
+        # day-2 batches assign O(√k) against the same frozen two-level
+        # quantizer the build used. attach(aux=("supers",)) brings it
+        # back cross-session.
+        aux_all["supers"] = supers.select("cid", "c_emb")
+    aux = {f"{name}_{k}": df for k, df in aux_all.items()}
     for t in (t_cells, t_cent, *aux):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(_location(spark, t), ignore_errors=True)
@@ -273,9 +281,15 @@ def ingest(
     t_cells, t_cent = _tables(name)
     known = spark.table(t_cells).select(id_col)
     new = batch.join(known, id_col, "left_anti")
-    assigned = assign(new, spark.table(t_cent), id_col, vec_col).select(
-        *spark.table(t_cells).columns
-    )
+    cent = spark.table(t_cent)
+    t_sup = f"{name}_supers"
+    assigned = (
+        # a state built with supers ingests through the same frozen
+        # two-level quantizer (O(batch·√k)); the flat path otherwise
+        assign_hier(new, cent, spark.table(t_sup), id_col, vec_col)
+        if spark.catalog.tableExists(t_sup)
+        else assign(new, cent, id_col, vec_col)
+    ).select(*spark.table(t_cells).columns)
     if append:
         # report computed OFF the pre-append state; sever lineage
         # before mutating the table it anti-joins (lsh_state lesson).

@@ -540,3 +540,59 @@ def test_hier_assign_build_and_search(spark, sf_dir, state_name):
     res = ivf_state.search(spark, state_name, q, k=5, nprobe=4)
     got = res.groupBy("qid").count().collect()
     assert len(got) == 3 and all(r["count"] == 5 for r in got)
+
+
+def test_hier_state_ingests_hier(spark, sf_dir, state_name):
+    """A state built with supers must route day-2 ingest through the
+    same frozen two-level quantizer — batch assignments equal to
+    assign_hier against the persisted centroids+supers, exactly-once
+    on replay."""
+    from deep_field_spark.queries.similarity import _lloyd_centroids
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < EMB_INCR_MIN)
+    cent = _lloyd_centroids(base, k=16)
+    centv = cent.select(
+        F.col("cid").alias("vec_id"), F.col("c_emb").alias("embedding")
+    )
+    sup = _lloyd_centroids(centv, k=4)
+    ivf_state.build(base, cent, state_name, supers=sup)
+
+    batch = emb.filter(
+        (F.col("vec_id") >= EMB_INCR_MIN)
+        & (F.col("vec_id") < EMB_INCR_MIN + 40)
+    )
+    report = ivf_state.ingest(spark, state_name, batch)
+    assert report.count() == 40
+    assert ivf_state.ingest(spark, state_name, batch).count() == 0  # replay
+
+    want = {
+        r.vec_id: r.cid
+        for r in ivf_state.assign_hier(
+            batch,
+            spark.table(f"{state_name}_centroids").select(
+                "cid", F.col("c_emb")
+            ),
+            spark.table(f"{state_name}_supers"),
+        ).collect()
+    }
+    got = {
+        r.vec_id: r.cid
+        for r in spark.table(f"{state_name}_cells")
+        .filter(F.col("vec_id") >= EMB_INCR_MIN)
+        .select("vec_id", "cid")
+        .collect()
+    }
+    assert got == want
+
+    # cross-session day-2: attach re-registers the supers aux and the
+    # NEXT ingest still routes hier
+    for t in (f"{state_name}_cells", f"{state_name}_centroids",
+              f"{state_name}_supers"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    ivf_state.attach(spark, state_name, aux=("supers",))
+    b2 = emb.filter(
+        (F.col("vec_id") >= EMB_INCR_MIN + 40)
+        & (F.col("vec_id") < EMB_INCR_MIN + 60)
+    )
+    assert ivf_state.ingest(spark, state_name, b2).count() == 20
