@@ -193,6 +193,19 @@ def build(
         if supers is None
         else assign_hier(vecs, centroids, supers, id_col, vec_col)
     )
+    if supers is not None:
+        # a vector whose level-1 winner is a CHILDLESS super (a super
+        # no centroid mapped to) has no level-2 candidates and would
+        # silently vanish from the state — fail loudly instead (a
+        # one-time count on the build path; flat assign is total by
+        # construction and skips this)
+        n_in, n_out = vecs.count(), assigned.count()
+        if n_out != n_in:
+            raise ValueError(
+                f"hier assignment dropped {n_in - n_out} of {n_in} "
+                "vectors — the super table has childless cells; "
+                "retrain supers (or build flat)"
+            )
     if not store_vec:
         assigned = assigned.drop(vec_col)
     sinks.write_bucketed(
@@ -283,13 +296,22 @@ def ingest(
     new = batch.join(known, id_col, "left_anti")
     cent = spark.table(t_cent)
     t_sup = f"{name}_supers"
-    assigned = (
+    if spark.catalog.tableExists(t_sup):
         # a state built with supers ingests through the same frozen
-        # two-level quantizer (O(batch·√k)); the flat path otherwise
-        assign_hier(new, cent, spark.table(t_sup), id_col, vec_col)
-        if spark.catalog.tableExists(t_sup)
-        else assign(new, cent, id_col, vec_col)
-    ).select(*spark.table(t_cells).columns)
+        # two-level quantizer (O(batch·√k)). Childless-super guard as
+        # in build: a dropped vector would silently never absorb (and
+        # replay forever as "new")
+        assigned = assign_hier(new, cent, spark.table(t_sup), id_col, vec_col)
+        n_in, n_out = new.count(), assigned.count()
+        if n_out != n_in:
+            raise ValueError(
+                f"hier ingest dropped {n_in - n_out} of {n_in} batch "
+                "vectors — the persisted super table has childless "
+                "cells; rebuild the state"
+            )
+    else:
+        assigned = assign(new, cent, id_col, vec_col)
+    assigned = assigned.select(*spark.table(t_cells).columns)
     if append:
         # report computed OFF the pre-append state; sever lineage
         # before mutating the table it anti-joins (lsh_state lesson).

@@ -546,6 +546,14 @@ def _training_sample(
     scaling.train_sample_pred_sql inside _kmeans_ctes/_pq_ctes."""
     if n_src <= cap:
         return df
+    return df.filter(_sample_pred_col(tag, k=k, cap=cap, n_src=n_src))
+
+
+def _sample_pred_col(tag: str, *, k: int, cap: int, n_src: int):
+    """The sample-membership predicate as a boolean Column — the ONE
+    Spark-side definition (the trainer filters on it; the
+    ann_train_autocap chart counts it, including where the trainer's
+    n<=cap short-circuit skips evaluating it)."""
     u32 = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(tag + ":"), F.col("vec_id").cast("string"))),
@@ -555,9 +563,8 @@ def _training_sample(
         16,
         10,
     ).cast("bigint")
-    return df.filter(
-        (F.col("vec_id") < k)
-        | (u32 * F.lit(int(n_src)) < F.lit(int(cap) * (1 << 32)))
+    return (F.col("vec_id") < k) | (
+        u32 * F.lit(int(n_src)) < F.lit(int(cap) * (1 << 32))
     )
 
 
@@ -3714,21 +3721,7 @@ def ann_train_autocap(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the literal predicate, NOT _training_sample: the chart must
         # hash-check the sample arithmetic even where the trainer's
         # short-circuit (n <= cap) skips evaluating it
-        u32 = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit(tag + ":"), F.col("vec_id").cast("string"))
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        return df.filter(
-            (F.col("vec_id") < k_)
-            | (u32 * F.lit(int(n_)) < F.lit(int(cap_) * (1 << 32)))
-        )
+        return df.filter(_sample_pred_col(tag, k=k_, cap=cap_, n_src=n_))
 
     def _row(family, k_, cap_, n_, sample_df, artifact_df):
         return (
