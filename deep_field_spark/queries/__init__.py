@@ -408,7 +408,13 @@ _PRIORITY = [
     #   at the sf1 replica — pytest -m sf1 pins the binding branch)
     # - ann_hier_assign: two-level coarse assignment (O(n·√k) instead
     #   of O(n·k)) with exact-assign agreement accounting
-    "ann_train_autocap", "ann_hier_assign",
+    # - decontam_bloom: the Bloom-prefiltered decontamination scale
+    #   path (slot funded by corpus_stratified_quota rotating out
+    #   below — green r06-r10, byte-stable; sampling stays in-window
+    #   via corpus_weighted_sample and the split family). Bloom has no
+    #   false negatives, so its oracle IS the exact twin's SQL and the
+    #   hash-check covers the bitmask arithmetic end-to-end.
+    "ann_train_autocap", "ann_hier_assign", "decontam_bloom",
     "ann_ivf_cells", "ann_ivf_kmeans",
     "ann_lsh_bucket", "ann_lsh_multiprobe", "ann_recall_report",
     "dedup_semantic", "dedup_embedding_cosine", "decontam_embedding",
@@ -522,7 +528,9 @@ _PRIORITY = [
     # above. Its slot funds ann_incremental_ivf, the persisted IVF
     # index artifact's first driver evidence)
     "ann_incremental_ivf", "text_vocab_coverage",
-    "corpus_stratified_quota", "retrieval_rrf_fusion", "retrieval_eval_ndcg",
+    # (corpus_stratified_quota rotated out for round 11: green
+    # r06-r10, byte-stable — its slot funds decontam_bloom above)
+    "retrieval_rrf_fusion", "retrieval_eval_ndcg",
     "dedup_tfidf_allpairs", "decontam_union_report",
     # (dedup_minhash_recall_report / dedup_threshold_sweep rotated out
     # late in round 10: >=3 green rows each, byte-stable — their slots

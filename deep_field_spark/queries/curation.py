@@ -192,6 +192,130 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Bloom-prefiltered decontamination ---------------------------------
+# The 100 TB form SCALE.md promises for the broadcast gram set: when
+# the benchmark gram set is too large to hash-join comfortably at scan
+# speed, an m-bit Bloom filter (a few MB for 10^7 grams) prunes the
+# 99%+ non-matching corpus grams BEFORE the join; the exact semi-join
+# verify then runs on the survivors only. Bloom filters have NO false
+# negatives — identical hash arithmetic on both sides guarantees every
+# inserted gram tests positive — so bloom-prefilter + exact-verify is
+# EXACTLY the exact decontam, and the oracle below is the exact twin's
+# SQL verbatim (the hash-check covers the whole path end-to-end).
+# Positions use the Kirsch-Mitzenmacher double-hashing construction:
+# one md5 per gram → (h1, h2), pos_i = (h1 + i·h2) mod m, h2 forced
+# odd so all residues are reachable with m a power of two.
+BLOOM_HASHES = 8
+BLOOM_BITS_PER_ITEM = 16  # m = next_pow2(16·|bench|) → fpp ~ 5e-4
+
+
+def _bloom_positions(gram, m_bits: int):
+    h = F.md5(gram)
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long").bitwiseOR(
+        F.lit(1).cast("long")
+    )
+    return [
+        (h1 + F.lit(i) * h2).bitwiseAND(F.lit(m_bits - 1).cast("long"))
+        for i in range(BLOOM_HASHES)
+    ]
+
+
+@register(
+    "decontam_bloom",
+    oracle=f"""
+    WITH grams AS ({_DISTINCT_GRAMS_SQL}),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < {BENCH_MAX_ID}),
+    hits AS (SELECT g.doc_id, g.gram FROM grams g
+             JOIN bench b ON g.gram = b.gram
+             WHERE g.doc_id >= {BENCH_MAX_ID})
+    SELECT doc_id, CAST(count(*) AS INT) AS n_shared_grams
+    FROM hits GROUP BY doc_id
+    """,
+    doc="Bloom-prefiltered benchmark decontamination — the scale path "
+        "of decontam_ngram_overlap: the benchmark gram set is packed "
+        "into an m-bit Bloom filter (m = next_pow2(16·|bench|), 8 "
+        "Kirsch-Mitzenmacher positions from one md5) carried as a "
+        "single word→bits map row and broadcast; corpus grams test "
+        "membership at scan speed and only the survivors (true hits + "
+        "~5e-4 false positives) reach the exact semi-join verify. No "
+        "false negatives by construction, so the result is EXACTLY the "
+        "exact twin's — the oracle IS decontam_ngram_overlap's SQL, "
+        "and the driver hash-check covers the bloom arithmetic, the "
+        "pruning, and the verify end-to-end. At 100 TB this turns a "
+        "corpus-grams×bench hash join into a scan-speed bitmask test "
+        "plus a join on the 1% that might match.",
+)
+def decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _corpus, bench, might = _bloom_survivors(spark, sf_dir)
+    return (
+        might.select("doc_id", "gram")
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("n_shared_grams"))
+    )
+
+
+def _bloom_survivors(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(corpus grams, bench grams, bloom survivors) — split out so the
+    pruning contract (no false negatives; real pruning) is testable on
+    the intermediate, not just through the end-to-end hash."""
+    from ..functions.scaling import floor_log2
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    sh = F.array_distinct(
+        texting.word_ngrams(texting.tokens(F.col("text")), DECONTAM_NGRAM)
+    )
+    grams = docs.select("doc_id", F.explode(sh).alias("gram"))
+    bench = grams.filter(F.col("doc_id") < BENCH_MAX_ID).select("gram").distinct()
+    corpus = grams.filter(F.col("doc_id") >= BENCH_MAX_ID)
+
+    # build: |bench| counted once (metadata-scale, the corpus_count
+    # discipline); m a power of two so mod is a mask
+    n_bench = bench.count()
+    m_bits = 1 << max(10, floor_log2(max(1, BLOOM_BITS_PER_ITEM * n_bench - 1)) + 1)
+    pos = _bloom_positions(F.col("gram"), m_bits)
+    bloom = (
+        bench.select(F.explode(F.array(*pos)).alias("p"))
+        .select(
+            F.shiftright("p", 6).alias("word"),
+            # variable shift count -> SQL form (the pyspark wrapper
+            # takes a literal only)
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(p & 63 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("word", "bits")))
+            ).alias("bf")
+        )
+    )
+
+    # probe: scan-speed membership test, AND over the 8 positions;
+    # element_at on a missing word is null -> coalesce 0 -> miss.
+    # (pyspark's shiftright wrapper takes a literal bit count, so the
+    # variable-shift test goes through the SQL function form, which
+    # accepts expressions for both operands)
+    cpos = _bloom_positions(F.col("gram"), m_bits)
+    probed = corpus.crossJoin(F.broadcast(bloom))
+    for i, p in enumerate(cpos):
+        probed = probed.withColumn(f"_w{i}", F.shiftright(p, 6)).withColumn(
+            f"_b{i}", p.bitwiseAND(F.lit(63)).cast("int")
+        )
+    cond = " AND ".join(
+        f"(shiftright(coalesce(element_at(bf, _w{i}), CAST(0 AS BIGINT)),"
+        f" _b{i}) & 1) = 1"
+        for i in range(BLOOM_HASHES)
+    )
+    might = probed.filter(F.expr(cond))
+    return corpus, bench, might
+
+
 @register(
     "curation_pipeline_e2e",
     oracle=f"""

@@ -533,3 +533,37 @@ def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     all_mean = docs.agg(F.avg("n_chars")).first()[0]
     assert sel_mean > all_mean * 1.05, (sel_mean, all_mean)
+
+
+class TestDecontamBloom:
+    """queries/curation.py:decontam_bloom — bloom-prefilter + exact
+    verify must EQUAL the exact twin, and the prefilter must really
+    prune (the whole point) without false negatives."""
+
+    def test_equals_exact_twin(self, spark, sf_dir):
+        from deep_field_spark.queries import load_registry
+
+        reg = load_registry()
+        a = {
+            (r.doc_id, r.n_shared_grams)
+            for r in reg["decontam_bloom"].fn(spark, sf_dir).collect()
+        }
+        b = {
+            (r.doc_id, r.n_shared_grams)
+            for r in reg["decontam_ngram_overlap"].fn(spark, sf_dir).collect()
+        }
+        assert a == b and len(a) > 0
+
+    def test_prunes_without_false_negatives(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from deep_field_spark.queries.curation import _bloom_survivors
+
+        corpus, bench, might = _bloom_survivors(spark, sf_dir)
+        n_corpus = corpus.count()
+        n_might = might.count()
+        true_hits = corpus.join(F.broadcast(bench), "gram").count()
+        assert true_hits <= n_might, "bloom dropped a true hit (FN)"
+        assert n_might < n_corpus * 0.05, (
+            f"bloom pruned nothing: {n_might}/{n_corpus} survive"
+        )

@@ -76,7 +76,7 @@ def test_round11_window_slots():
     names = list(REGISTRY)[:DRIVER_WINDOW]
     for q in (
         # round-11 first-evidence
-        "ann_train_autocap", "ann_hier_assign",
+        "ann_train_autocap", "ann_hier_assign", "decontam_bloom",
         # round-10 first-evidence / changed-semantics set
         "ann_ivf_autok", "dedup_minhash_autok",
         "streaming_dedup_ingest", "ann_mips_reduction",
@@ -108,7 +108,9 @@ def test_round11_window_slots():
         "corpus_novelty_profile",
     ):
         assert q in names, q
-    for gone in ("join_bloom_pruned", "dq_key_skew_profile"):
+    for gone in (
+        "join_bloom_pruned", "dq_key_skew_profile", "corpus_stratified_quota"
+    ):
         assert gone not in names, f"{gone} should have rotated out"
 
 

@@ -73,6 +73,7 @@ SF1_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "corpus_split_dedup_aware",
+    "decontam_bloom",
     "q1_pricing_summary",
     "q18_large_volume_customer",
     "join_skew_salted",
