@@ -129,6 +129,9 @@ HEADLINE = [
     "curation_source_divergence",
     "curation_source_profile",
     "decontam_ngram_overlap",
+    # its bloom-prefiltered scale twin (r11): same result by
+    # construction, the bench prices the bitmask build + scan-side test
+    "decontam_bloom",
     "corpus_split_assign",
     "corpus_split_dedup_aware",
     "pii_redact",
