@@ -71,6 +71,34 @@ def assign(
     )
 
 
+def super_probe(
+    vecs: DataFrame,
+    supers: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    probes: int = 1,
+) -> DataFrame:
+    """(id, scid): each vector's ``probes`` nearest SUPER-centroids
+    (cosine DESC, ties to the lowest scid) — the level-1 probe set of
+    the two-level coarse quantizer, exposed so cost-accounting charts
+    (ann_hier_assign's scored_hier column) attribute exactly the
+    probe set ``assign_hier`` scores children for. Same ranking
+    discipline as assign_hier's internal level-1 pass; the oracle pins
+    both against one SQL chain."""
+    sup = supers.select(F.col("cid").alias("scid"), F.col("c_emb").alias("_sc"))
+    cos = V.cosine(F.col(vec_col), F.col("_sc"))
+    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), "scid")
+    return (
+        vecs.select(id_col, vec_col)
+        .crossJoin(F.broadcast(sup))
+        .select(id_col, "scid", cos.alias("_cos"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= probes)
+        .select(id_col, "scid")
+    )
+
+
 def super_children(centroids: DataFrame, supers: DataFrame) -> DataFrame:
     """(cid, scid): each centroid mapped to its nearest SUPER-centroid
     (cosine, ties to the lowest scid) — the child map of the two-level
@@ -98,17 +126,23 @@ def assign_hier(
     vec_col: str = "embedding",
     *,
     keep_super: bool = False,
+    super_probes: int = 1,
 ) -> DataFrame:
-    """Two-level coarse assignment — the O(n·√k) alternative to
+    """Two-level coarse assignment — the O(n·p·√k) alternative to
     ``assign``'s flat O(n·k) scan (functions/scaling.n_super): each
-    vector argmaxes over the broadcast g-row SUPER table, then exactly
-    over only the winning super's child centroids. Same tie discipline
-    as ``assign`` (cos DESC, lowest id), so where the two agree they
-    agree bit-for-bit; the ``ann_hier_assign`` chart quantifies the
-    disagreement (boundary vectors landing in a neighboring cell — the
+    vector ranks the broadcast g-row SUPER table, keeps its top
+    ``super_probes`` supers (FAISS's standard multi-probe counter for
+    two-level assign), then argmaxes exactly over only those supers'
+    child centroids. Same tie discipline as ``assign`` (cos DESC,
+    lowest id), so where the two agree they agree bit-for-bit; the
+    ``ann_hier_assign`` chart quantifies the disagreement per probe
+    rung (boundary vectors landing in a neighboring cell — the
     ambiguity IVF serving absorbs via nprobe) per corpus BEFORE a
-    build flips to this path. ``keep_super=True`` appends the scid
-    column (cost-accounting consumers)."""
+    build flips to this path. ``super_probes >= g`` probes every super
+    and therefore reproduces the flat assignment exactly (every
+    centroid is some super's child — pinned by
+    tests/test_ivf_state.py). ``keep_super=True`` appends the scid of
+    the super whose child won (cost-accounting consumers)."""
     payload = [c for c in vecs.columns if c not in (id_col, vec_col)]
     sup = supers.select(F.col("cid").alias("scid"), F.col("c_emb").alias("_sc"))
     cos_vs = V.cosine(F.col(vec_col), F.col("_sc"))
@@ -117,7 +151,7 @@ def assign_hier(
         vecs.crossJoin(F.broadcast(sup))
         .select(id_col, vec_col, *payload, "scid", cos_vs.alias("_cos"))
         .withColumn("_rn", F.row_number().over(w_v))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= super_probes)
         .select(id_col, vec_col, *payload, "scid")
     )
     cm = super_children(centroids, supers)
@@ -147,6 +181,7 @@ def build(
     store_vec: bool = True,
     aux_tables: dict[str, DataFrame] | None = None,
     supers: DataFrame | None = None,
+    super_probes: int = 1,
 ) -> None:
     """Materialize the IVF state (overwrite): the cell-assigned vector
     table bucketed on cid + the centroid table. Training the centroids
@@ -162,8 +197,13 @@ def build(
     with ``attach(..., aux=keys)``. ``supers`` (a (cid, c_emb) table of
     SUPER-centroids) switches the assignment pass to the two-level
     O(n·√k) ``assign_hier`` path — the knob a 10⁹-row build flips
-    after reading the ann_hier_assign agreement chart for its corpus;
-    the persisted layout is identical either way."""
+    after reading the ann_hier_assign/ann_hier_recall charts for its
+    corpus; the persisted layout is identical either way.
+    ``super_probes`` (hier builds only) sets the level-1 multi-probe
+    width and is persisted as ``_hier_spec.json`` beside the super
+    table, so day-2 ``ingest`` replays the SAME frozen quantizer the
+    build used — an ingest probing a different width would silently
+    mix two cell geometries in one state."""
     import shutil
 
     spark = vecs.sparkSession
@@ -191,7 +231,10 @@ def build(
     assigned = (
         assign(vecs, centroids, id_col, vec_col)
         if supers is None
-        else assign_hier(vecs, centroids, supers, id_col, vec_col)
+        else assign_hier(
+            vecs, centroids, supers, id_col, vec_col,
+            super_probes=super_probes,
+        )
     )
     if supers is not None:
         # a vector whose level-1 winner is a CHILDLESS super (a super
@@ -219,6 +262,32 @@ def build(
     )
     for t, df in aux.items():
         df.write.mode("overwrite").option("path", _location(spark, t)).saveAsTable(t)
+    if supers is not None:
+        _write_hier_spec(_location(spark, f"{name}_supers"), super_probes)
+
+
+def _write_hier_spec(location: str, super_probes: int) -> None:
+    import json
+    import os
+
+    with open(os.path.join(location, "_hier_spec.json"), "w") as fh:
+        json.dump({"super_probes": int(super_probes)}, fh)
+
+
+def read_hier_spec(location: str) -> dict | None:
+    """The hier-quantizer spec persisted beside a supers-built state's
+    super table (the _bucket_spec.json discipline applied to the
+    level-1 probe width), or None for a state built before the knob
+    existed — those states were built at the then-only width 1, which
+    is exactly the default the reader falls back to."""
+    import json
+    import os
+
+    p = os.path.join(location, "_hier_spec.json")
+    if os.path.exists(p):
+        with open(p) as fh:
+            return json.load(fh)
+    return None
 
 
 def drop(spark: SparkSession, name: str, *, aux: tuple[str, ...] = ()) -> None:
@@ -298,10 +367,17 @@ def ingest(
     t_sup = f"{name}_supers"
     if spark.catalog.tableExists(t_sup):
         # a state built with supers ingests through the same frozen
-        # two-level quantizer (O(batch·√k)). Childless-super guard as
-        # in build: a dropped vector would silently never absorb (and
-        # replay forever as "new")
-        assigned = assign_hier(new, cent, spark.table(t_sup), id_col, vec_col)
+        # two-level quantizer (O(batch·p·√k)), at the SAME level-1
+        # probe width the build used (_hier_spec.json beside the super
+        # table; absent for pre-knob states, which were built at the
+        # default width 1). Childless-super guard as in build: a
+        # dropped vector would silently never absorb (and replay
+        # forever as "new")
+        spec = read_hier_spec(_location(spark, t_sup))
+        assigned = assign_hier(
+            new, cent, spark.table(t_sup), id_col, vec_col,
+            super_probes=(spec or {}).get("super_probes", 1),
+        )
         n_in, n_out = new.count(), assigned.count()
         if n_out != n_in:
             raise ValueError(

@@ -596,3 +596,121 @@ def test_hier_state_ingests_hier(spark, sf_dir, state_name):
         & (F.col("vec_id") < EMB_INCR_MIN + 60)
     )
     assert ivf_state.ingest(spark, state_name, b2).count() == 20
+
+
+def test_hier_multiprobe_probes_all_supers_equals_flat(spark, sf_dir):
+    """The multi-probe contract's boundary invariant: probing EVERY
+    super (super_probes >= g) makes the level-2 candidate set the full
+    centroid table (each centroid is exactly one super's child), so
+    assign_hier must reproduce the flat assignment bit-for-bit. Also
+    pins monotonicity of the probe set itself (super_probe at p=2 is a
+    superset of p=1, p rows per vector)."""
+    from deep_field_spark.queries.similarity import _lloyd_centroids
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = _lloyd_centroids(emb, k=16)
+    centv = cent.select(
+        F.col("cid").alias("vec_id"), F.col("c_emb").alias("embedding")
+    )
+    sup = _lloyd_centroids(centv, k=4)
+
+    flat = {r.vec_id: r.cid for r in ivf_state.assign(emb, cent).collect()}
+    full = {
+        r.vec_id: r.cid
+        for r in ivf_state.assign_hier(
+            emb, cent, sup, super_probes=4
+        ).collect()
+    }
+    assert full == flat
+
+    p1 = {
+        (r.vec_id, r.scid)
+        for r in ivf_state.super_probe(emb, sup, probes=1).collect()
+    }
+    p2 = {
+        (r.vec_id, r.scid)
+        for r in ivf_state.super_probe(emb, sup, probes=2).collect()
+    }
+    assert p1 < p2 and len(p2) == 2 * len(flat)
+
+    # agreement with flat is monotone in p on this corpus (the chart's
+    # probe-rung story): every vector's p=1 candidate set is contained
+    # in its p=2 set, and the flat winner can only enter, never leave
+    a1 = {
+        r.vec_id: r.cid
+        for r in ivf_state.assign_hier(
+            emb, cent, sup, super_probes=1
+        ).collect()
+    }
+    a2 = {
+        r.vec_id: r.cid
+        for r in ivf_state.assign_hier(
+            emb, cent, sup, super_probes=2
+        ).collect()
+    }
+    n1 = sum(1 for v, c in a1.items() if flat[v] == c)
+    n2 = sum(1 for v, c in a2.items() if flat[v] == c)
+    assert n2 >= n1
+
+
+def test_hier_build_persists_probe_width_and_ingest_replays(
+    spark, sf_dir, state_name
+):
+    """build(..., super_probes=2) persists the level-1 width beside the
+    super table (_hier_spec.json, the _bucket_spec discipline) and
+    day-2 ingest replays the SAME width — assignments equal
+    assign_hier(super_probes=2) against the frozen quantizer."""
+    from deep_field_spark.operators.lsh_state import _location
+    from deep_field_spark.queries.similarity import _lloyd_centroids
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < EMB_INCR_MIN)
+    cent = _lloyd_centroids(base, k=16)
+    centv = cent.select(
+        F.col("cid").alias("vec_id"), F.col("c_emb").alias("embedding")
+    )
+    sup = _lloyd_centroids(centv, k=4)
+    ivf_state.build(base, cent, state_name, supers=sup, super_probes=2)
+
+    spec = ivf_state.read_hier_spec(
+        _location(spark, f"{state_name}_supers")
+    )
+    assert spec == {"super_probes": 2}
+
+    # the build itself assigned at width 2
+    want_base = {
+        r.vec_id: r.cid
+        for r in ivf_state.assign_hier(
+            base, cent, sup, super_probes=2
+        ).collect()
+    }
+    got_base = {
+        r.vec_id: r.cid
+        for r in spark.table(f"{state_name}_cells")
+        .select("vec_id", "cid")
+        .collect()
+    }
+    assert got_base == want_base
+
+    batch = emb.filter(
+        (F.col("vec_id") >= EMB_INCR_MIN)
+        & (F.col("vec_id") < EMB_INCR_MIN + 40)
+    )
+    ivf_state.ingest(spark, state_name, batch)
+    want = {
+        r.vec_id: r.cid
+        for r in ivf_state.assign_hier(
+            batch,
+            spark.table(f"{state_name}_centroids"),
+            spark.table(f"{state_name}_supers"),
+            super_probes=2,
+        ).collect()
+    }
+    got = {
+        r.vec_id: r.cid
+        for r in spark.table(f"{state_name}_cells")
+        .filter(F.col("vec_id") >= EMB_INCR_MIN)
+        .select("vec_id", "cid")
+        .collect()
+    }
+    assert got == want
