@@ -207,7 +207,11 @@ _PRIORITY = [
     # re-verified locally every pytest run. Its slot funds
     # dq_distribution_drift, the PSI drift detector joining the
     # warehouse-ops family)
-    "dq_distribution_drift",
+    # (dq_distribution_drift rotated out for round 12: green r07-r11,
+    # byte-stable — PSI stays in-window twice over via its sketch-cut
+    # sibling dq_distribution_drift_approx and the streaming
+    # foreachBatch form streaming_drift_psi, and the exact form keeps
+    # its sf1 suite row. Its slot funds ann_hier_recall below.)
     # (ann_ivf_cells rotated below after green r03/r04/r05 rows — its
     # trained twin ann_ivf_kmeans, a strict superset of the serving
     # shape, stays in-window; the slot funds the round-6 product-
@@ -415,6 +419,16 @@ _PRIORITY = [
     #   false negatives, so its oracle IS the exact twin's SQL and the
     #   hash-check covers the bitmask arithmetic end-to-end.
     "ann_train_autocap", "ann_hier_assign", "decontam_bloom",
+    # round-12 first-evidence (slot funded by dq_distribution_drift
+    # rotating out above — green r07-r11, byte-stable):
+    # - ann_hier_recall: the hier-assignment SERVING-recall contract —
+    #   flat vs hier(p=1) vs hier(p=2) ivf_state builds over the same
+    #   corpus+centroids, served at the same nprobe sweep against one
+    #   shared brute-force truth (the r11 verdict's #1). The r11
+    #   first-evidence trio above stays in-window for a second row;
+    #   ann_hier_assign additionally re-earns its row on changed
+    #   semantics (the probe_supers dimension, r11 verdict #2).
+    "ann_hier_recall",
     "ann_ivf_cells", "ann_ivf_kmeans",
     "ann_lsh_bucket", "ann_lsh_multiprobe", "ann_recall_report",
     "dedup_semantic", "dedup_embedding_cosine", "decontam_embedding",

@@ -1631,6 +1631,20 @@ MH_CAL_DOCS = 64
         "exactly; counts are integers, ratios are round-6 doubles.",
 )
 def dedup_minhash_recall_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mrs_summary(*_mrs_frames(spark, sf_dir))
+
+
+def _mrs_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(anchors, truth, cda): the calibration-BUILD phase — the
+    md5-selected anchor set, the exact-Jaccard anchor truth (persisted:
+    the anchor×corpus inverted-index join) and the anchor-oriented
+    banded-LSH candidate set (persisted: the full LSH pass). Split
+    from the verify so the bench can attribute the two
+    (calib.build/calib.verify rows, the lshing.* convention — r11
+    verdict #3); the registered query is their composition and its
+    results are byte-identical to the pre-split form."""
     from pyspark import StorageLevel
 
     docs = table(spark, sf_dir, "documents")
@@ -1700,6 +1714,15 @@ def dedup_minhash_recall_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    return anchors, truth, cda
+
+
+def _mrs_summary(
+    anchors: DataFrame, truth: DataFrame, cda: DataFrame
+) -> DataFrame:
+    """The calibration-VERIFY phase: hit/miss accounting of the
+    candidate set against the anchor truth (two semi-joins off the
+    persisted frames) plus the one-row summary."""
     hit = truth.join(cda, ["id_a", "id_b"], "left_semi")
     tp = cda.join(truth, ["id_a", "id_b"], "left_semi")
     summary = (

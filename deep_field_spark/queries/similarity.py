@@ -3921,6 +3921,301 @@ def ann_hier_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _hier_asg_sql(tag: str, p: int) -> str:
+    """CTE pair replaying assign_hier at level-1 probe width ``p``
+    over the shared vsr/cm/cent chain: emits hs_{tag} (probed-super
+    child candidates with exact cosine) and a_{tag} (the per-vector
+    argmax) — the SQL twin of ivf_state.assign_hier(super_probes=p)."""
+    return f"""hs_{tag} AS (
+      SELECT e.vec_id, ch.cid, {_cos_vc_sql('e', 'c')} AS cos
+      FROM embeddings e
+      JOIN vsr vs ON e.vec_id = vs.vec_id AND vs.rn <= {p}
+      JOIN cm ch ON ch.scid = vs.scid
+      JOIN cent c ON c.cid = ch.cid),
+    a_{tag} AS (SELECT vec_id, cid FROM (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cid) AS rn
+      FROM hs_{tag}) WHERE rn = 1)"""
+
+
+def _hrec_pivot_sql(col: str, build: str) -> str:
+    return f"max(CASE WHEN build = '{build}' THEN {col} END)"
+
+
+def _hrec_recall_sql(build: str) -> str:
+    return (
+        f"round(CAST({_hrec_pivot_sql('hits', build)} AS DOUBLE) "
+        f"/ ({_hrec_pivot_sql('n_q', build)} * {IVF_RECALL_K}), 6)"
+    )
+
+
+def _hrec_delta_sql(build: str) -> str:
+    # integer hit-count difference FIRST, one division+round after —
+    # subtracting two already-rounded doubles is 1-ulp engine-dependent
+    # (the percentile lesson, functions/stats.py)
+    return (
+        f"round(CAST({_hrec_pivot_sql('hits', build)} "
+        f"- {_hrec_pivot_sql('hits', 'flat')} AS DOUBLE) "
+        f"/ ({_hrec_pivot_sql('n_q', 'flat')} * {IVF_RECALL_K}), 6)"
+    )
+
+
+def _hrec_cand_sql(build: str) -> str:
+    return (
+        f"round(CAST({_hrec_pivot_sql('cands', build)} AS DOUBLE) "
+        f"/ {_hrec_pivot_sql('n_q', build)}, 2)"
+    )
+
+
+@register(
+    "ann_hier_recall",
+    oracle=f"""
+    WITH {_kmeans_ctes("embeddings")},
+    cent AS (SELECT cid, c FROM cent{KMEANS_ITERS}),
+    centv AS (SELECT cid AS vec_id, c AS embedding FROM cent),
+    {_kmeans_ctes("centv", prefix="h", sampled=False,
+                  k_sql=_G_SUPER_SQL)},
+    sup AS (SELECT cid AS scid, c FROM hcent{KMEANS_ITERS}),
+    cm AS (SELECT vec_id AS cid, scid FROM (
+             SELECT v.vec_id, s.scid,
+                    row_number() OVER (PARTITION BY v.vec_id
+                                       ORDER BY {_cos_vc_sql('v', 's')}
+                                         DESC, s.scid) AS rn
+             FROM centv v, sup s) WHERE rn = 1),
+    vsr AS (SELECT e.vec_id, s.scid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_cos_vc_sql('e', 's')}
+                                        DESC, s.scid) AS rn
+            FROM embeddings e, sup s),
+    s_all AS (SELECT v.vec_id, c.cid, {_cos_vc_sql('v', 'c')} AS cos
+              FROM embeddings v, cent c),
+    a_flat AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cos DESC, cid) AS rn
+                 FROM s_all) WHERE rn = 1),
+    {_hier_asg_sql("h1", 1)},
+    {_hier_asg_sql("h2", 2)},
+    asg AS (SELECT 'flat' AS build, vec_id, cid FROM a_flat
+            UNION ALL SELECT 'hier_p1', vec_id, cid FROM a_h1
+            UNION ALL SELECT 'hier_p2', vec_id, cid FROM a_h2),
+    q AS (SELECT vec_id AS qid, embedding FROM embeddings
+          ORDER BY md5('ivfcal:' || CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {IVF_CAL_Q}),
+    pc AS (SELECT q.qid, c.cid, {_cos_vc_sql('q', 'c')} AS cos
+           FROM q, cent c),
+    pr AS (SELECT qid, cid,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY cos DESC, cid) AS cell_rn
+           FROM pc),
+    np AS (SELECT unnest([{", ".join(str(n) for n in IVF_NPROBES)}]) AS nprobe),
+    probes AS (SELECT p.qid, n.nprobe, p.cid
+               FROM pr p JOIN np n ON p.cell_rn <= n.nprobe),
+    cand AS (SELECT a.build, p.qid, p.nprobe, a.vec_id
+             FROM probes p JOIN asg a USING (cid)
+             WHERE a.vec_id <> p.qid),
+    csc AS (SELECT c.build, c.qid, c.nprobe, c.vec_id, {_COS_SQL} AS cos
+            FROM cand c
+            JOIN embeddings a ON a.vec_id = c.qid
+            JOIN embeddings b ON b.vec_id = c.vec_id),
+    srv_topk AS (SELECT build, qid, nprobe, vec_id FROM (
+                   SELECT build, qid, nprobe, vec_id,
+                          row_number() OVER (
+                            PARTITION BY build, qid, nprobe
+                            ORDER BY cos DESC, vec_id) AS rn
+                   FROM csc) WHERE rn <= {IVF_RECALL_K}),
+    brute AS (SELECT qid, vec_id FROM (
+                SELECT a.qid, b.vec_id AS vec_id,
+                       row_number() OVER (PARTITION BY a.qid
+                                ORDER BY {_COS_SQL} DESC, b.vec_id) AS rn
+                FROM q a JOIN embeddings b ON a.qid <> b.vec_id)
+              WHERE rn <= {IVF_RECALL_K}),
+    hits AS (SELECT i.build, i.qid, i.nprobe,
+                    CAST(count(b.vec_id) AS BIGINT) AS n_hit
+             FROM srv_topk i LEFT JOIN brute b
+               ON b.qid = i.qid AND b.vec_id = i.vec_id
+             GROUP BY 1, 2, 3),
+    nc AS (SELECT build, qid, nprobe, CAST(count(*) AS BIGINT) AS n_cand
+           FROM cand GROUP BY 1, 2, 3),
+    per_q AS (SELECT h.build, h.qid, h.nprobe, h.n_hit, c.n_cand
+              FROM hits h JOIN nc c USING (build, qid, nprobe)),
+    agg AS (SELECT build, nprobe,
+                   CAST(count(*) AS BIGINT) AS n_q,
+                   CAST(sum(n_hit) AS BIGINT) AS hits,
+                   CAST(sum(n_cand) AS BIGINT) AS cands
+            FROM per_q GROUP BY 1, 2)
+    SELECT nprobe,
+           CAST({_hrec_pivot_sql("n_q", "flat")} AS BIGINT) AS n_queries,
+           {_hrec_recall_sql("flat")} AS recall_flat,
+           {_hrec_recall_sql("hier_p1")} AS recall_hier_p1,
+           {_hrec_recall_sql("hier_p2")} AS recall_hier_p2,
+           {_hrec_delta_sql("hier_p1")} AS delta_hier_p1,
+           {_hrec_delta_sql("hier_p2")} AS delta_hier_p2,
+           {_hrec_cand_sql("flat")} AS cand_flat,
+           {_hrec_cand_sql("hier_p1")} AS cand_hier_p1,
+           {_hrec_cand_sql("hier_p2")} AS cand_hier_p2
+    FROM agg GROUP BY nprobe ORDER BY nprobe
+    """,
+    doc="The hier-assignment SERVING-recall contract (the r11 "
+        "verdict's #1 — the number an operator reads before flipping "
+        "a 10⁹-row build to the O(n·p·√k) path): three ivf_state "
+        "builds over the SAME corpus and the SAME trained centroids — "
+        "flat, hier p=1, hier p=2 — differ only in which cell each "
+        "vector landed in; the same md5-selected calibration queries "
+        f"({IVF_CAL_Q}, the ann_ivf_recall sample) are served from "
+        f"each persisted state at nprobe in {IVF_NPROBES}, and "
+        f"recall@{IVF_RECALL_K} is charted per build against ONE "
+        "shared exact brute-force truth. delta_hier_p* is the "
+        "hit-count difference over flat (integer-first arithmetic, so "
+        "the delta is bit-exact cross-engine); cand_* shows the probed "
+        "candidate volume each geometry pays. Where ann_hier_assign "
+        "charts cell-level AGREEMENT, this charts what a user actually "
+        "loses end-to-end — boundary vectors that land in a "
+        "neighboring cell are often still recovered by multi-cell "
+        "probing, so the serving delta is the honest cost. The oracle "
+        "replays both trainers, all three assignments, the probe "
+        "ranking, all three serves and the truth leg; the Spark side "
+        "serves from the PERSISTED bucketed cell tables "
+        "(ivf_state.build per build mode, hier ones via "
+        "super_probes=p).",
+)
+def ann_hier_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ivf_state
+
+    emb = _emb_frame(spark, sf_dir)
+    cent = _train_lloyd_full(spark, sf_dir)
+    sup = _train_lloyd_super(spark, sf_dir)
+
+    import hashlib
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    builds = [("flat", 0), ("hier_p1", 1), ("hier_p2", 2)]
+    states = []
+    for tag, p in builds:
+        name = f"hrec_{tag}_{sfx}"
+        if p == 0:
+            ivf_state.build(emb, cent, name)
+        else:
+            ivf_state.build(
+                emb, cent, name, supers=sup, super_probes=p
+            )
+        states.append((tag, name))
+
+    # one probe ranking serves all three states (identical centroid
+    # table by construction) and fans out to every nprobe via the
+    # 3-row broadcast — the ann_ivf_recall sweep pattern
+    q = _calibration_queries(emb)
+    qcos = vectors.cosine(F.col("q_emb"), F.col("c_emb"))
+    w_cell = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), "cid")
+    pr = (
+        q.crossJoin(F.broadcast(spark.table(f"{states[0][1]}_centroids")))
+        .select("qid", "cid", qcos.alias("_cos"))
+        .withColumn("cell_rn", F.row_number().over(w_cell))
+    )
+    np_df = spark.createDataFrame([(n,) for n in IVF_NPROBES], "nprobe int")
+    probes = pr.join(
+        F.broadcast(np_df), F.col("cell_rn") <= F.col("nprobe")
+    ).select("qid", "nprobe", "cid")
+
+    legs = []
+    for tag, name in states:
+        cells = spark.table(f"{name}_cells")
+        legs.append(
+            probes.join(cells, "cid")
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select(
+                F.lit(tag).alias("build"),
+                "qid",
+                "nprobe",
+                "vec_id",
+                "embedding",
+            )
+        )
+    cand = legs[0]
+    for leg in legs[1:]:
+        cand = cand.unionByName(leg)
+
+    pair_cos = vectors.cosine(F.col("q_emb"), F.col("embedding"))
+    w_srv = Window.partitionBy("build", "qid", "nprobe").orderBy(
+        F.col("_cos").desc(), "vec_id"
+    )
+    srv_topk = (
+        cand.join(F.broadcast(q), "qid")
+        .select("build", "qid", "nprobe", "vec_id", pair_cos.alias("_cos"))
+        .withColumn("rn", F.row_number().over(w_srv))
+        .filter(F.col("rn") <= IVF_RECALL_K)
+        .select("build", "qid", "nprobe", "vec_id")
+    )
+    w_b = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), "vec_id")
+    brute = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", pair_cos.alias("_cos"))
+        .withColumn("rn", F.row_number().over(w_b))
+        .filter(F.col("rn") <= IVF_RECALL_K)
+        .select("qid", F.col("vec_id").alias("b_vec"))
+    )
+    hits = (
+        srv_topk.join(
+            brute,
+            (srv_topk.qid == brute.qid) & (srv_topk.vec_id == brute.b_vec),
+            "left",
+        )
+        .select("build", srv_topk.qid.alias("qid"), "nprobe", "b_vec")
+        .groupBy("build", "qid", "nprobe")
+        .agg(F.count("b_vec").alias("n_hit"))
+    )
+    nc = cand.groupBy("build", "qid", "nprobe").agg(
+        F.count("*").alias("n_cand")
+    )
+    agg = (
+        hits.join(nc, ["build", "qid", "nprobe"])
+        .groupBy("build", "nprobe")
+        .agg(
+            F.count("*").alias("n_q"),
+            F.sum("n_hit").alias("hits"),
+            F.sum("n_cand").alias("cands"),
+        )
+    )
+
+    def _pv(col: str, build: str):
+        return F.max(F.when(F.col("build") == build, F.col(col)))
+
+    def _recall(build: str):
+        return F.round(
+            _pv("hits", build).cast("double")
+            / (_pv("n_q", build) * IVF_RECALL_K),
+            6,
+        )
+
+    def _delta(build: str):
+        # integer hit-count difference first (see the oracle comment)
+        return F.round(
+            (_pv("hits", build) - _pv("hits", "flat")).cast("double")
+            / (_pv("n_q", "flat") * IVF_RECALL_K),
+            6,
+        )
+
+    def _cand(build: str):
+        return F.round(
+            _pv("cands", build).cast("double") / _pv("n_q", build), 2
+        )
+
+    return agg.groupBy("nprobe").agg(
+        _pv("n_q", "flat").cast("long").alias("n_queries"),
+        _recall("flat").alias("recall_flat"),
+        _recall("hier_p1").alias("recall_hier_p1"),
+        _recall("hier_p2").alias("recall_hier_p2"),
+        _delta("hier_p1").alias("delta_hier_p1"),
+        _delta("hier_p2").alias("delta_hier_p2"),
+        _cand("flat").alias("cand_flat"),
+        _cand("hier_p1").alias("cand_hier_p1"),
+        _cand("hier_p2").alias("cand_hier_p2"),
+    )
+
+
 # --- maximum inner-product search via the norm-augmentation reduction --
 # (Bachrach et al. 2014 / Neyshabur & Srebro 2015 — the standard public
 # trick for serving MIPS through any cosine-ANN stack: scale the corpus

@@ -62,20 +62,20 @@ def test_driver_window_is_all_oracle_bearing():
     )
 
 
-def test_round11_window_slots():
-    """The round-11 budget window: the bounded-training-sample chart
-    (ann_train_autocap) and the hierarchical-assign chart
-    (ann_hier_assign) join as first-evidence rows — slots funded by
-    join_bloom_pruned / dq_key_skew_profile rotating out (green
-    r06-r10 each, byte-stable). The ANN/LSH trainer consumers stay
-    in-window a second round: their trainers and _kmeans_ctes/_pq_ctes
-    oracles now carry the sample predicate (changed semantics — no-op
-    at gate scale, binding at sf1 — so each re-earns its row on the
-    new text), and the four r10 first-evidence rows keep their slots
-    for a second green row per the rotation discipline."""
+def test_round12_window_slots():
+    """The round-12 budget window: ann_hier_recall (the hier serving-
+    recall contract, r11 verdict #1) joins as the first-evidence row —
+    slot funded by dq_distribution_drift rotating out (green r07-r11,
+    byte-stable; PSI keeps two in-window forms via the approx and
+    streaming siblings). The r11 first-evidence trio stays in-window
+    for a second row, and ann_hier_assign re-earns its row on changed
+    semantics (the probe_supers dimension, r11 verdict #2)."""
     names = list(REGISTRY)[:DRIVER_WINDOW]
     for q in (
-        # round-11 first-evidence
+        # round-12 first-evidence
+        "ann_hier_recall",
+        # round-11 first-evidence keeps (ann_hier_assign:
+        # changed-semantics re-earn)
         "ann_train_autocap", "ann_hier_assign", "decontam_bloom",
         # round-10 first-evidence / changed-semantics set
         "ann_ivf_autok", "dedup_minhash_autok",
@@ -96,7 +96,6 @@ def test_round11_window_slots():
         "corpus_weighted_sample", "ann_incremental_ivf",
         "multimodal_video_luma", "embedding_hard_negatives",
         "corpus_split_dedup_aware", "events_anomaly_mad",
-        "dq_distribution_drift",
         # round-7 changed-semantics keeps
         "dedup_containment", "retrieval_eval_ndcg",
         # reference-core flagship + round-6 keeps
@@ -109,7 +108,8 @@ def test_round11_window_slots():
     ):
         assert q in names, q
     for gone in (
-        "join_bloom_pruned", "dq_key_skew_profile", "corpus_stratified_quota"
+        "join_bloom_pruned", "dq_key_skew_profile",
+        "corpus_stratified_quota", "dq_distribution_drift",
     ):
         assert gone not in names, f"{gone} should have rotated out"
 

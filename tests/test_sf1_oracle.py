@@ -52,6 +52,7 @@ SF1_QUERIES = [
     "ann_ivf_autok",
     "ann_train_autocap",
     "ann_hier_assign",
+    "ann_hier_recall",
     "dedup_minhash_autok",
     "ann_ivf_kmeans",
     "ann_ivfpq_search",
