@@ -317,6 +317,26 @@ def _bench_minhash_calib_split(
     return build_dt, verify_dt, n
 
 
+def _bench_hrec_split(spark, sf_dir: str) -> tuple[float, float, int]:
+    """Time ann_hier_recall's two phases separately: the three
+    hermetic state builds (flat / hier p=1 / hier p=2 — the one-time
+    cost a production comparison pays once) vs the recurring serve
+    (nprobe-sweep probes from all three persisted states + the shared
+    brute truth + the recall pivot)."""
+    from deep_field_spark.queries.similarity import (
+        _hrec_builds,
+        _hrec_serve,
+    )
+
+    t0 = time.perf_counter()
+    states = _hrec_builds(spark, sf_dir)
+    build_dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n = _hrec_serve(spark, sf_dir, states).count()
+    serve_dt = time.perf_counter() - t0
+    return build_dt, serve_dt, n
+
+
 def _bench_ivfpq_split(spark, sf_dir: str) -> tuple[float, float, int]:
     """Time ann_ivfpq_search's two phases separately: the one-time
     index build (coarse k-means + PQ codebooks + persisted code-only
@@ -444,6 +464,18 @@ def main() -> None:
             print(
                 f"# {name}: {b + s:.2f}s ({n} rows) "
                 f"[build {b:.2f}s + stream {s:.2f}s]",
+                file=sys.stderr,
+            )
+            continue
+        if name == "ann_hier_recall":
+            b, s, n = _bench_hrec_split(spark, sf_dir)
+            timings["hrec.build"] = round(b, 3)
+            timings["hrec.serve"] = round(s, 3)
+            timings[name] = round(b + s, 3)
+            total += b + s
+            print(
+                f"# {name}: {b + s:.2f}s ({n} rows) "
+                f"[build {b:.2f}s + serve {s:.2f}s]",
                 file=sys.stderr,
             )
             continue

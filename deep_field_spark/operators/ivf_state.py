@@ -207,6 +207,7 @@ def build(
     import shutil
 
     spark = vecs.sparkSession
+    n_vecs: int | None = None
     if num_buckets is None:
         # layout sized by the data (functions/scaling.n_state_buckets:
         # ~2^20 rows per bucket, floored at 8 — every test SF resolves
@@ -214,7 +215,8 @@ def build(
         # source of truth for attach/ingest/compact afterwards
         from ..functions import scaling
 
-        num_buckets = scaling.n_state_buckets(vecs.count())
+        n_vecs = vecs.count()
+        num_buckets = scaling.n_state_buckets(n_vecs)
     t_cells, t_cent = _tables(name)
     aux_all = dict(aux_tables or {})
     if supers is not None:
@@ -236,24 +238,29 @@ def build(
             super_probes=super_probes,
         )
     )
-    if supers is not None:
-        # a vector whose level-1 winner is a CHILDLESS super (a super
-        # no centroid mapped to) has no level-2 candidates and would
-        # silently vanish from the state — fail loudly instead (a
-        # one-time count on the build path; flat assign is total by
-        # construction and skips this)
-        n_in, n_out = vecs.count(), assigned.count()
-        if n_out != n_in:
-            raise ValueError(
-                f"hier assignment dropped {n_in - n_out} of {n_in} "
-                "vectors — the super table has childless cells; "
-                "retrain supers (or build flat)"
-            )
     if not store_vec:
         assigned = assigned.drop(vec_col)
     sinks.write_bucketed(
         assigned, t_cells, ["cid"], num_buckets, path=_location(spark, t_cells)
     )
+    if supers is not None:
+        # a vector whose EVERY probed super is CHILDLESS (a super no
+        # centroid mapped to) has no level-2 candidates and would
+        # silently vanish from the state — fail loudly. Verified off
+        # the WRITTEN table (a parquet-footer count, metadata-speed):
+        # a pre-write assigned.count() would compute the whole
+        # O(n·p·√k) assignment twice, once for the guard and once for
+        # the write. Flat assign is total by construction and skips
+        # this. On failure the partial state is torn down first.
+        n_in = vecs.count() if n_vecs is None else n_vecs
+        n_out = spark.read.parquet(_location(spark, t_cells)).count()
+        if n_out != n_in:
+            drop(spark, name, aux=tuple(aux_all))
+            raise ValueError(
+                f"hier assignment dropped {n_in - n_out} of {n_in} "
+                "vectors — the super table has childless cells; "
+                "retrain supers (or build flat)"
+            )
     (
         centroids.select("cid", "c_emb")
         .write.mode("overwrite")

@@ -4081,6 +4081,17 @@ def _hrec_cand_sql(build: str) -> str:
         "super_probes=p).",
 )
 def ann_hier_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hrec_serve(spark, sf_dir, _hrec_builds(spark, sf_dir))
+
+
+def _hrec_builds(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[str, str]]:
+    """[(tag, state_name)]: the three hermetic ivf_state builds the
+    serving-recall chart compares — flat, hier p=1, hier p=2 — over
+    the SAME corpus and the SAME memoized centroids. Split from the
+    serve leg so the bench attributes the one-time build cost
+    separately (hrec.build/hrec.serve, the ivfpq.* convention)."""
     from ..operators import ivf_state
 
     emb = _emb_frame(spark, sf_dir)
@@ -4090,17 +4101,32 @@ def ann_hier_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    builds = [("flat", 0), ("hier_p1", 1), ("hier_p2", 2)]
+    # bucket layout derived once from the memoized corpus count — the
+    # three builds would otherwise each re-count the vector frame
+    nb = scaling.n_state_buckets(
+        scaling.corpus_count(spark, sf_dir, "embeddings")
+    )
     states = []
-    for tag, p in builds:
+    for tag, p in (("flat", 0), ("hier_p1", 1), ("hier_p2", 2)):
         name = f"hrec_{tag}_{sfx}"
         if p == 0:
-            ivf_state.build(emb, cent, name)
+            ivf_state.build(emb, cent, name, num_buckets=nb)
         else:
             ivf_state.build(
-                emb, cent, name, supers=sup, super_probes=p
+                emb, cent, name, supers=sup, super_probes=p,
+                num_buckets=nb,
             )
         states.append((tag, name))
+    return states
+
+
+def _hrec_serve(
+    spark: SparkSession, sf_dir: str, states: list[tuple[str, str]]
+) -> DataFrame:
+    """The recurring leg: serve the calibration queries from all three
+    persisted states at the nprobe sweep, score against the shared
+    brute truth, pivot to the per-nprobe chart."""
+    emb = _emb_frame(spark, sf_dir)
 
     # one probe ranking serves all three states (identical centroid
     # table by construction) and fans out to every nprobe via the

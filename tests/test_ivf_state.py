@@ -653,6 +653,37 @@ def test_hier_multiprobe_probes_all_supers_equals_flat(spark, sf_dir):
     assert n2 >= n1
 
 
+def test_hier_build_childless_super_fails_loudly_and_tears_down(
+    spark, state_name
+):
+    """A vector whose every probed super is childless must fail the
+    build LOUDLY (post-write footer-count verify — the pre-write form
+    computed the whole assignment twice), and the partial state must
+    be torn down. Probing one more super rescues exactly this
+    geometry, so the same fixtures build clean at super_probes=2."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.95, 0.05])],
+        "cid long, c_emb array<double>",
+    )
+    # both centroids map to super 0; super 1 is childless, and vector 2
+    # (pure e2) picks super 1 at p=1 — no level-2 candidates
+    sup = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "cid long, c_emb array<double>",
+    )
+    with pytest.raises(ValueError, match="childless"):
+        ivf_state.build(emb, cent, state_name, supers=sup)
+    assert not spark.catalog.tableExists(f"{state_name}_cells")
+    assert not spark.catalog.tableExists(f"{state_name}_supers")
+
+    ivf_state.build(emb, cent, state_name, supers=sup, super_probes=2)
+    assert spark.table(f"{state_name}_cells").count() == 3
+
+
 def test_hier_build_persists_probe_width_and_ingest_replays(
     spark, sf_dir, state_name
 ):
