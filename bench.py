@@ -293,6 +293,39 @@ def _bench_streaming_ingest_split(
     return build_dt, stream_dt, n
 
 
+def _split_row(
+    name: str,
+    keys: tuple[str, str],
+    labels: tuple[str, str],
+    fn,
+    spark,
+    sf_dir: str,
+    timings: dict[str, float],
+) -> float:
+    """Run a two-phase split benchmark with the SAME error containment
+    as the generic query path: a failure records the elapsed time as
+    the query's row (no phase rows), prints the error, and the suite
+    continues — one bad split must not sink the whole artifact (the
+    pre-split behavior these queries had on the generic path)."""
+    t0 = time.perf_counter()
+    try:
+        a, b, n = fn(spark, sf_dir)
+    except Exception as e:  # noqa: BLE001 — containment, see docstring
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        print(f"# {name}: ERROR after {dt:.2f}s: {e!r}", file=sys.stderr)
+        return dt
+    timings[keys[0]] = round(a, 3)
+    timings[keys[1]] = round(b, 3)
+    timings[name] = round(a + b, 3)
+    print(
+        f"# {name}: {a + b:.2f}s ({n} rows) "
+        f"[{labels[0]} {a:.2f}s + {labels[1]} {b:.2f}s]",
+        file=sys.stderr,
+    )
+    return a + b
+
+
 def _bench_minhash_calib_split(
     spark, sf_dir: str
 ) -> tuple[float, float, int]:
@@ -436,75 +469,44 @@ def main() -> None:
         **train_rows,
     }
     total = sum(train_rows.values())  # one-time training IS suite wall
+    # phase-split rows: the hermetic registry queries rebuild their
+    # persisted state per run, but at 100 TB the build is a one-time
+    # (or re-sharding-time) cost amortized across days while the
+    # second phase is the recurring day-2 number. Report both so the
+    # bench is interpretable round-over-round; each query's own entry
+    # stays their sum for comparability, and _split_row keeps the
+    # generic path's error containment.
+    _SPLITS = {
+        "dedup_incremental_minhash": (
+            ("lsh_state.build", "lsh_state.ingest"),
+            ("build", "ingest"),
+            _bench_lsh_split,
+        ),
+        "streaming_dedup_ingest": (
+            ("lshing.build", "lshing.stream"),
+            ("build", "stream"),
+            _bench_streaming_ingest_split,
+        ),
+        "ann_hier_recall": (
+            ("hrec.build", "hrec.serve"),
+            ("build", "serve"),
+            _bench_hrec_split,
+        ),
+        "dedup_minhash_recall_sample": (
+            ("calib.build", "calib.verify"),
+            ("build", "verify"),
+            _bench_minhash_calib_split,
+        ),
+        "ann_ivfpq_search": (
+            ("ivfpq.build", "ivfpq.serve"),
+            ("build", "serve"),
+            _bench_ivfpq_split,
+        ),
+    }
     for name in HEADLINE:
-        if name == "dedup_incremental_minhash":
-            # split the phases: the hermetic registry query rebuilds the
-            # persisted LSH state per run, but at 100 TB the build is a
-            # one-time (or re-sharding-time) cost amortized across days
-            # while INGEST is the recurring day-2 number. Report both so
-            # the bench is interpretable round-over-round; the query's
-            # own entry stays their sum for comparability.
-            b, i, n = _bench_lsh_split(spark, sf_dir)
-            timings["lsh_state.build"] = round(b, 3)
-            timings["lsh_state.ingest"] = round(i, 3)
-            timings[name] = round(b + i, 3)
-            total += b + i
-            print(
-                f"# {name}: {b + i:.2f}s ({n} rows) "
-                f"[build {b:.2f}s + ingest {i:.2f}s]",
-                file=sys.stderr,
-            )
-            continue
-        if name == "streaming_dedup_ingest":
-            b, s, n = _bench_streaming_ingest_split(spark, sf_dir)
-            timings["lshing.build"] = round(b, 3)
-            timings["lshing.stream"] = round(s, 3)
-            timings[name] = round(b + s, 3)
-            total += b + s
-            print(
-                f"# {name}: {b + s:.2f}s ({n} rows) "
-                f"[build {b:.2f}s + stream {s:.2f}s]",
-                file=sys.stderr,
-            )
-            continue
-        if name == "ann_hier_recall":
-            b, s, n = _bench_hrec_split(spark, sf_dir)
-            timings["hrec.build"] = round(b, 3)
-            timings["hrec.serve"] = round(s, 3)
-            timings[name] = round(b + s, 3)
-            total += b + s
-            print(
-                f"# {name}: {b + s:.2f}s ({n} rows) "
-                f"[build {b:.2f}s + serve {s:.2f}s]",
-                file=sys.stderr,
-            )
-            continue
-        if name == "dedup_minhash_recall_sample":
-            b, v, n = _bench_minhash_calib_split(spark, sf_dir)
-            timings["calib.build"] = round(b, 3)
-            timings["calib.verify"] = round(v, 3)
-            timings[name] = round(b + v, 3)
-            total += b + v
-            print(
-                f"# {name}: {b + v:.2f}s ({n} rows) "
-                f"[build {b:.2f}s + verify {v:.2f}s]",
-                file=sys.stderr,
-            )
-            continue
-        if name == "ann_ivfpq_search":
-            # same convention: the registered query is hermetic
-            # (build + serve per run); report the phases so the
-            # recurring serving cost is visible round-over-round
-            b, s, n = _bench_ivfpq_split(spark, sf_dir)
-            timings["ivfpq.build"] = round(b, 3)
-            timings["ivfpq.serve"] = round(s, 3)
-            timings[name] = round(b + s, 3)
-            total += b + s
-            print(
-                f"# {name}: {b + s:.2f}s ({n} rows) "
-                f"[build {b:.2f}s + serve {s:.2f}s]",
-                file=sys.stderr,
-            )
+        if name in _SPLITS:
+            keys, labels, fn = _SPLITS[name]
+            total += _split_row(name, keys, labels, fn, spark, sf_dir, timings)
             continue
         q = reg[name]
         t0 = time.perf_counter()

@@ -78,14 +78,18 @@ def super_probe(
     vec_col: str = "embedding",
     *,
     probes: int = 1,
+    with_rank: bool = False,
 ) -> DataFrame:
-    """(id, scid): each vector's ``probes`` nearest SUPER-centroids
-    (cosine DESC, ties to the lowest scid) — the level-1 probe set of
-    the two-level coarse quantizer, exposed so cost-accounting charts
-    (ann_hier_assign's scored_hier column) attribute exactly the
-    probe set ``assign_hier`` scores children for. Same ranking
-    discipline as assign_hier's internal level-1 pass; the oracle pins
-    both against one SQL chain."""
+    """(id, scid[, probe_rn]): each vector's ``probes`` nearest
+    SUPER-centroids (cosine DESC, ties to the lowest scid) — the
+    level-1 probe set of the two-level coarse quantizer, exposed so
+    cost-accounting charts (ann_hier_assign's scored_hier column)
+    attribute exactly the probe set ``assign_hier`` scores children
+    for. ``with_rank=True`` keeps the 1-based probe rank so one pass
+    at probes=max(p) serves every smaller rung via a rank filter
+    (the chart computes the ranking once, not once per rung). Same
+    ranking discipline as assign_hier's internal level-1 pass; the
+    oracle pins both against one SQL chain."""
     sup = supers.select(F.col("cid").alias("scid"), F.col("c_emb").alias("_sc"))
     cos = V.cosine(F.col(vec_col), F.col("_sc"))
     w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), "scid")
@@ -93,9 +97,9 @@ def super_probe(
         vecs.select(id_col, vec_col)
         .crossJoin(F.broadcast(sup))
         .select(id_col, "scid", cos.alias("_cos"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= probes)
-        .select(id_col, "scid")
+        .withColumn("probe_rn", F.row_number().over(w))
+        .filter(F.col("probe_rn") <= probes)
+        .select(id_col, "scid", *(["probe_rn"] if with_rank else []))
     )
 
 
@@ -125,7 +129,6 @@ def assign_hier(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     *,
-    keep_super: bool = False,
     super_probes: int = 1,
 ) -> DataFrame:
     """Two-level coarse assignment — the O(n·p·√k) alternative to
@@ -141,8 +144,9 @@ def assign_hier(
     build flips to this path. ``super_probes >= g`` probes every super
     and therefore reproduces the flat assignment exactly (every
     centroid is some super's child — pinned by
-    tests/test_ivf_state.py). ``keep_super=True`` appends the scid of
-    the super whose child won (cost-accounting consumers)."""
+    tests/test_ivf_state.py). Cost-accounting consumers wanting the
+    probed-super set use ``super_probe`` — at p>1 a single winning
+    scid column would under-state the probe set."""
     payload = [c for c in vecs.columns if c not in (id_col, vec_col)]
     sup = supers.select(F.col("cid").alias("scid"), F.col("c_emb").alias("_sc"))
     cos_vs = V.cosine(F.col(vec_col), F.col("_sc"))
@@ -157,16 +161,13 @@ def assign_hier(
     cm = super_children(centroids, supers)
     cos_vc = V.cosine(F.col(vec_col), F.col("c_emb"))
     w_h = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), "cid")
-    out_cols = ["cid", id_col, vec_col, *payload] + (
-        ["scid"] if keep_super else []
-    )
     return (
         vs.join(F.broadcast(cm), "scid")
         .join(F.broadcast(centroids.select("cid", "c_emb")), "cid")
-        .select(id_col, vec_col, *payload, "scid", "cid", cos_vc.alias("_cos"))
+        .select(id_col, vec_col, *payload, "cid", cos_vc.alias("_cos"))
         .withColumn("_rn", F.row_number().over(w_h))
         .filter(F.col("_rn") == 1)
-        .select(*out_cols)
+        .select("cid", id_col, vec_col, *payload)
     )
 
 
@@ -182,6 +183,7 @@ def build(
     aux_tables: dict[str, DataFrame] | None = None,
     supers: DataFrame | None = None,
     super_probes: int = 1,
+    n_rows: int | None = None,
 ) -> None:
     """Materialize the IVF state (overwrite): the cell-assigned vector
     table bucketed on cid + the centroid table. Training the centroids
@@ -203,11 +205,15 @@ def build(
     width and is persisted as ``_hier_spec.json`` beside the super
     table, so day-2 ``ingest`` replays the SAME frozen quantizer the
     build used — an ingest probing a different width would silently
-    mix two cell geometries in one state."""
+    mix two cell geometries in one state. ``n_rows`` is a
+    caller-known count of ``vecs`` (e.g. an already-memoized corpus
+    count) that skips the internal count jobs sizing the bucket
+    layout and feeding the childless-super guard — pass only a value
+    counted from the same frame, or the guard lies."""
     import shutil
 
     spark = vecs.sparkSession
-    n_vecs: int | None = None
+    n_vecs: int | None = n_rows
     if num_buckets is None:
         # layout sized by the data (functions/scaling.n_state_buckets:
         # ~2^20 rows per bucket, floored at 8 — every test SF resolves
@@ -215,7 +221,8 @@ def build(
         # source of truth for attach/ingest/compact afterwards
         from ..functions import scaling
 
-        n_vecs = vecs.count()
+        if n_vecs is None:
+            n_vecs = vecs.count()
         num_buckets = scaling.n_state_buckets(n_vecs)
     t_cells, t_cent = _tables(name)
     aux_all = dict(aux_tables or {})

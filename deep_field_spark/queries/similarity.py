@@ -3867,6 +3867,20 @@ def ann_hier_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("scid")
         .agg(F.count(F.lit(1)).alias("nch"))
     )
+    # ONE ranked level-1 pass at the deepest rung serves every rung's
+    # cost attribution via a rank filter (persisted: two int columns
+    # per probed super — without it each rung's agg re-runs the
+    # n×g crossJoin+window)
+    from pyspark import StorageLevel
+
+    sp = (
+        ivf_state.super_probe(
+            emb, sup, probes=max(HIER_PROBES), with_rank=True
+        )
+        .join(F.broadcast(nch), "scid")
+        .select("probe_rn", "nch")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     rungs = []
     for p in HIER_PROBES:
         # the operator IS the implementation under audit (the same
@@ -3881,11 +3895,10 @@ def ann_hier_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_agree"),
         )
         # cost attribution over the SAME level-1 probe set assign_hier
-        # scored children for (ivf_state.super_probe — p rows/vector)
-        cost = (
-            ivf_state.super_probe(emb, sup, probes=p)
-            .join(F.broadcast(nch), "scid")
-            .agg(F.sum("nch").alias("child_scored"))
+        # scored children for (the rank filter selects this rung's
+        # probes from the shared pass)
+        cost = sp.filter(F.col("probe_rn") <= p).agg(
+            F.sum("nch").alias("child_scored")
         )
         rungs.append(
             agree.crossJoin(
@@ -3951,13 +3964,18 @@ def _hrec_recall_sql(build: str) -> str:
 
 
 def _hrec_delta_sql(build: str) -> str:
-    # integer hit-count difference FIRST, one division+round after —
-    # subtracting two already-rounded doubles is 1-ulp engine-dependent
-    # (the percentile lesson, functions/stats.py)
+    # exactly recall_build − recall_flat, but INTEGER-first: the
+    # cross-ratio (hits_b·nq_f − hits_f·nq_b) / (nq_b·nq_f·K) is one
+    # division+round over integer arithmetic, so it is bit-exact
+    # cross-engine (subtracting two already-rounded doubles is
+    # 1-ulp engine-dependent — the percentile lesson) AND stays the
+    # true recall difference even if one build loses a query group
+    # (each side normalized by its own n_q)
+    hb, hf = _hrec_pivot_sql("hits", build), _hrec_pivot_sql("hits", "flat")
+    nb, nf = _hrec_pivot_sql("n_q", build), _hrec_pivot_sql("n_q", "flat")
     return (
-        f"round(CAST({_hrec_pivot_sql('hits', build)} "
-        f"- {_hrec_pivot_sql('hits', 'flat')} AS DOUBLE) "
-        f"/ ({_hrec_pivot_sql('n_q', 'flat')} * {IVF_RECALL_K}), 6)"
+        f"round(CAST({hb} * {nf} - {hf} * {nb} AS DOUBLE) "
+        f"/ ({nb} * {nf} * {IVF_RECALL_K}), 6)"
     )
 
 
@@ -3966,6 +3984,36 @@ def _hrec_cand_sql(build: str) -> str:
         f"round(CAST({_hrec_pivot_sql('cands', build)} AS DOUBLE) "
         f"/ {_hrec_pivot_sql('n_q', build)}, 2)"
     )
+
+
+# every probe-rung artifact of the chart derives from the ONE
+# HIER_PROBES constant ann_hier_assign sweeps — editing the rung set
+# updates both charts' geometries, CTEs, build list and columns
+# together (they must never report different rungs of the same knob)
+_HREC_BUILDS = [("flat", 0)] + [(f"hier_p{p}", p) for p in HIER_PROBES]
+_HREC_HIER_CTES = ",\n    ".join(
+    _hier_asg_sql(f"h{p}", p) for p in HIER_PROBES
+)
+_HREC_ASG_UNION = "SELECT 'flat' AS build, vec_id, cid FROM a_flat" + "".join(
+    f"\n            UNION ALL SELECT 'hier_p{p}', vec_id, cid FROM a_h{p}"
+    for p in HIER_PROBES
+)
+_HREC_SELECT = ",\n           ".join(
+    [f"{_hrec_recall_sql('flat')} AS recall_flat"]
+    + [
+        f"{_hrec_recall_sql(f'hier_p{p}')} AS recall_hier_p{p}"
+        for p in HIER_PROBES
+    ]
+    + [
+        f"{_hrec_delta_sql(f'hier_p{p}')} AS delta_hier_p{p}"
+        for p in HIER_PROBES
+    ]
+    + [f"{_hrec_cand_sql('flat')} AS cand_flat"]
+    + [
+        f"{_hrec_cand_sql(f'hier_p{p}')} AS cand_hier_p{p}"
+        for p in HIER_PROBES
+    ]
+)
 
 
 @register(
@@ -3995,11 +4043,8 @@ def _hrec_cand_sql(build: str) -> str:
                         row_number() OVER (PARTITION BY vec_id
                                            ORDER BY cos DESC, cid) AS rn
                  FROM s_all) WHERE rn = 1),
-    {_hier_asg_sql("h1", 1)},
-    {_hier_asg_sql("h2", 2)},
-    asg AS (SELECT 'flat' AS build, vec_id, cid FROM a_flat
-            UNION ALL SELECT 'hier_p1', vec_id, cid FROM a_h1
-            UNION ALL SELECT 'hier_p2', vec_id, cid FROM a_h2),
+    {_HREC_HIER_CTES},
+    asg AS ({_HREC_ASG_UNION}),
     q AS (SELECT vec_id AS qid, embedding FROM embeddings
           ORDER BY md5('ivfcal:' || CAST(vec_id AS VARCHAR)), vec_id
           LIMIT {IVF_CAL_Q}),
@@ -4047,14 +4092,7 @@ def _hrec_cand_sql(build: str) -> str:
             FROM per_q GROUP BY 1, 2)
     SELECT nprobe,
            CAST({_hrec_pivot_sql("n_q", "flat")} AS BIGINT) AS n_queries,
-           {_hrec_recall_sql("flat")} AS recall_flat,
-           {_hrec_recall_sql("hier_p1")} AS recall_hier_p1,
-           {_hrec_recall_sql("hier_p2")} AS recall_hier_p2,
-           {_hrec_delta_sql("hier_p1")} AS delta_hier_p1,
-           {_hrec_delta_sql("hier_p2")} AS delta_hier_p2,
-           {_hrec_cand_sql("flat")} AS cand_flat,
-           {_hrec_cand_sql("hier_p1")} AS cand_hier_p1,
-           {_hrec_cand_sql("hier_p2")} AS cand_hier_p2
+           {_HREC_SELECT}
     FROM agg GROUP BY nprobe ORDER BY nprobe
     """,
     doc="The hier-assignment SERVING-recall contract (the r11 "
@@ -4101,20 +4139,19 @@ def _hrec_builds(
     import hashlib
 
     sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    # bucket layout derived once from the memoized corpus count — the
-    # three builds would otherwise each re-count the vector frame
-    nb = scaling.n_state_buckets(
-        scaling.corpus_count(spark, sf_dir, "embeddings")
-    )
+    # the memoized corpus count sizes the bucket layout AND feeds the
+    # childless-super guards — no build re-counts the vector frame
+    n = scaling.corpus_count(spark, sf_dir, "embeddings")
+    nb = scaling.n_state_buckets(n)
     states = []
-    for tag, p in (("flat", 0), ("hier_p1", 1), ("hier_p2", 2)):
+    for tag, p in _HREC_BUILDS:
         name = f"hrec_{tag}_{sfx}"
         if p == 0:
             ivf_state.build(emb, cent, name, num_buckets=nb)
         else:
             ivf_state.build(
                 emb, cent, name, supers=sup, super_probes=p,
-                num_buckets=nb,
+                num_buckets=nb, n_rows=n,
             )
         states.append((tag, name))
     return states
@@ -4217,10 +4254,14 @@ def _hrec_serve(
         )
 
     def _delta(build: str):
-        # integer hit-count difference first (see the oracle comment)
+        # exactly recall_build − recall_flat via the integer-first
+        # cross-ratio (see _hrec_delta_sql)
         return F.round(
-            (_pv("hits", build) - _pv("hits", "flat")).cast("double")
-            / (_pv("n_q", "flat") * IVF_RECALL_K),
+            (
+                _pv("hits", build) * _pv("n_q", "flat")
+                - _pv("hits", "flat") * _pv("n_q", build)
+            ).cast("double")
+            / (_pv("n_q", build) * _pv("n_q", "flat") * IVF_RECALL_K),
             6,
         )
 
@@ -4229,16 +4270,23 @@ def _hrec_serve(
             _pv("cands", build).cast("double") / _pv("n_q", build), 2
         )
 
+    # column list derives from HIER_PROBES exactly like the oracle's
     return agg.groupBy("nprobe").agg(
         _pv("n_q", "flat").cast("long").alias("n_queries"),
         _recall("flat").alias("recall_flat"),
-        _recall("hier_p1").alias("recall_hier_p1"),
-        _recall("hier_p2").alias("recall_hier_p2"),
-        _delta("hier_p1").alias("delta_hier_p1"),
-        _delta("hier_p2").alias("delta_hier_p2"),
+        *[
+            _recall(f"hier_p{p}").alias(f"recall_hier_p{p}")
+            for p in HIER_PROBES
+        ],
+        *[
+            _delta(f"hier_p{p}").alias(f"delta_hier_p{p}")
+            for p in HIER_PROBES
+        ],
         _cand("flat").alias("cand_flat"),
-        _cand("hier_p1").alias("cand_hier_p1"),
-        _cand("hier_p2").alias("cand_hier_p2"),
+        *[
+            _cand(f"hier_p{p}").alias(f"cand_hier_p{p}")
+            for p in HIER_PROBES
+        ],
     )
 
 

@@ -519,7 +519,7 @@ def test_hier_assign_build_and_search(spark, sf_dir, state_name):
     cells = spark.table(f"{state_name}_cells")
     assert cells.count() == emb.count()
     assert set(cells.columns) >= {"cid", "vec_id", "embedding"}
-    assert "scid" not in cells.columns  # keep_super stays an API knob
+    assert "scid" not in cells.columns  # scid is probe metadata, not state
 
     direct = {
         r.vec_id: r.cid
