@@ -195,6 +195,10 @@ HEADLINE = [
     # builds — flat/hier p=1/hier p=2 — served at the nprobe sweep
     # against one shared brute truth)
     "ann_hier_recall",
+    # r12: the cell-split rebalance maintenance chart (hermetic build
+    # + split_oversized + reclaim compaction; phase-split
+    # csplit.build/csplit.maint)
+    "ann_cell_split",
     "ann_incremental_ivf",
     "ann_ivf_recall",
     "ann_ivfpq_search",
@@ -370,6 +374,26 @@ def _bench_hrec_split(spark, sf_dir: str) -> tuple[float, float, int]:
     return build_dt, serve_dt, n
 
 
+def _bench_csplit_split(spark, sf_dir: str) -> tuple[float, float, int]:
+    """Time ann_cell_split's two phases separately: the hermetic day-1
+    state build vs the recurring MAINTENANCE leg (cap derivation +
+    split_oversized + before/after geometry + reclaim compaction) —
+    production pays the build once and the maintenance leg at every
+    quiet window, so the second number is the one an operator reads."""
+    from deep_field_spark.queries.similarity import (
+        _csplit_build,
+        _csplit_maint,
+    )
+
+    t0 = time.perf_counter()
+    name = _csplit_build(spark, sf_dir)
+    build_dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n = _csplit_maint(spark, sf_dir, name).count()
+    maint_dt = time.perf_counter() - t0
+    return build_dt, maint_dt, n
+
+
 def _bench_ivfpq_split(spark, sf_dir: str) -> tuple[float, float, int]:
     """Time ann_ivfpq_search's two phases separately: the one-time
     index build (coarse k-means + PQ codebooks + persisted code-only
@@ -491,6 +515,11 @@ def main() -> None:
             ("hrec.build", "hrec.serve"),
             ("build", "serve"),
             _bench_hrec_split,
+        ),
+        "ann_cell_split": (
+            ("csplit.build", "csplit.maint"),
+            ("build", "maint"),
+            _bench_csplit_split,
         ),
         "dedup_minhash_recall_sample": (
             ("calib.build", "calib.verify"),

@@ -346,6 +346,9 @@ def attach(
         )
     for t in (t_cent, *(f"{name}_{k}" for k in aux)):
         if not spark.catalog.tableExists(t):
+            # heal a crashed split_oversized centroid swap the same way
+            # (no-op when the live directory exists)
+            sinks.recover_swapped_location(_location(spark, t))
             spark.sql(
                 f"CREATE TABLE {t} USING parquet "
                 f"LOCATION '{_location(spark, t)}'"
@@ -534,7 +537,11 @@ def foreach_batch_ingest(
 
 
 def compact(
-    spark: SparkSession, name: str, *, num_buckets: int | None = None
+    spark: SparkSession,
+    name: str,
+    *,
+    num_buckets: int | None = None,
+    reclaim: bool = False,
 ) -> dict[str, int]:
     """Rewrite the cell table to one file per bucket — day-N hygiene
     after streaming/batch ingests (each append writes up to
@@ -542,8 +549,242 @@ def compact(
     own ``_bucket_spec.json`` (an explicit argument that contradicts
     it raises — see sinks.resolve_num_buckets). Same bucket spec after
     the rewrite, so probe search stays exchange-free; search results
-    are unchanged (both pinned in tests/test_state_compaction.py)."""
-    t_cells, _ = _tables(name)
+    are unchanged (both pinned in tests/test_state_compaction.py).
+
+    ``reclaim=True`` additionally drops DEAD rows — rows whose cid is
+    no longer in the centroid table, i.e. the tombstoned originals a
+    ``split_oversized`` retires (probe never selects a retired cid, so
+    they are invisible to serving either way; reclaim is purely a
+    space/scan-cost win, folded into the compaction rewrite the state
+    needs anyway — the LSM posture: logical delete now, physical
+    reclaim at the next maintenance window)."""
+    t_cells, t_cent = _tables(name)
     loc = _location(spark, t_cells)
     nb = sinks.resolve_num_buckets(loc, num_buckets, STATE_BUCKETS)
-    return sinks.compact_bucketed(spark, t_cells, ["cid"], nb, loc)
+    transform = None
+    if reclaim:
+        live = spark.table(t_cent).select("cid")
+
+        def transform(df: DataFrame) -> DataFrame:
+            # centroid table is k rows — broadcast semi-join, so the
+            # reclaim filter rides the compaction scan for free
+            return df.join(F.broadcast(live), "cid", "left_semi")
+
+    return sinks.compact_bucketed(
+        spark, t_cells, ["cid"], nb, loc, transform=transform
+    )
+
+
+def split_oversized(
+    spark: SparkSession,
+    name: str,
+    *,
+    cap: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_buckets: int | None = None,
+) -> dict[str, int]:
+    """Split every LIVE cell holding more than ``cap`` vectors into two
+    — the index-maintenance verb between ``ingest`` and a full rebuild.
+
+    Day-2 ingests follow the data, not the quantizer: a drifting
+    corpus piles new vectors into a few hot cells, and an oversized
+    cell is exactly an oversized probe — serving cost is O(sum of
+    probed cell sizes), so one 100×-mean cell makes every query that
+    probes it 100× slower (the hot-partition shape of skew). Retraining
+    the whole coarse quantizer is O(n·k) and invalidates every cell;
+    this localizes the fix: per oversized cell, a 2-means Lloyd over
+    ONLY that cell's members (deterministic: seeds are the cell's two
+    lowest ``id_col`` vectors, fixed ``iters``, DECIMAL-exact means —
+    the _lloyd_centroids discipline, so a DuckDB oracle replays it),
+    then the members move to two fresh cids. Cost is O(moved·2·iters):
+    proportional to the hot cells, never the corpus.
+
+    Write path is the tombstone (LSM) pattern, crash-safe by ordering:
+    (1) the reassigned rows APPEND to the bucketed cell table under
+    their new cids (idempotent: an anti-join on (cid, id) skips rows a
+    crashed prior attempt already landed); (2) the centroid table is
+    rewritten via a staged two-rename swap (split cids retired, the
+    2-per-cell sub-centroids added under fresh cids) — the commit
+    point. A crash before (2) leaves the new-cid rows DEAD (no live
+    centroid points at them): serving still probes the old cells,
+    answers unchanged; re-running split completes the job. After (2)
+    the OLD rows are the dead ones — equally invisible to serving,
+    since probe ranks only live centroids and the cell join is an
+    equi-join on cid. ``compact(reclaim=True)`` physically drops
+    dead rows at the next maintenance window.
+
+    Fresh cids allocate from the LIVE centroid table (max cid + 1):
+    allocation is monotone — every split adds cids above the max it
+    retires, so a retired cid is always below every later base and
+    dead rows can never silently rejoin a new cell — and REPLAY-STABLE:
+    a crashed run's appended rows sit at exactly the cids its replay
+    re-derives, so the vec_id anti-join against rows at/above base
+    skips them and the commit revives them instead of duplicating
+    them (a cell-table-max base would shift per replay and append a
+    second copy under fresh cids).
+
+    Requires a vector-bearing state (``store_vec=True``): a code-only
+    IVFPQ state cannot re-cluster from codes alone — rebuild those.
+    Hier-built states are fine: ``super_children`` derives the child
+    map from the LIVE centroid table on every ingest, so the new cells
+    route through the frozen supers automatically.
+
+    Returns counts: cells_split / rows_moved / cells_added /
+    cells_live_before / cells_live_after.
+    """
+    t_cells, t_cent = _tables(name)
+    cells = spark.table(t_cells)
+    if vec_col not in cells.columns:
+        raise ValueError(
+            f"state {name!r} does not store {vec_col!r} (store_vec="
+            "False / code-only): cannot re-cluster a cell from codes "
+            "— rebuild instead"
+        )
+    cent = spark.table(t_cent)
+    live = cells.join(F.broadcast(cent.select("cid")), "cid", "left_semi")
+    sizes = live.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    over = sizes.filter(F.col("n") > cap).select("cid")
+    n_live_before = cent.count()
+    n_split = over.count()
+    if n_split == 0:
+        return {
+            "cells_split": 0,
+            "rows_moved": 0,
+            "cells_added": 0,
+            "cells_live_before": n_live_before,
+            "cells_live_after": n_live_before,
+        }
+    # 0-based dense rank of each splitting cell by cid: the new-cid
+    # allocator. The global window runs over <= k rows by construction
+    # (cells, not vectors).
+    ranks = over.withColumn(
+        "_cr", F.row_number().over(Window.orderBy("cid")) - F.lit(1)
+    )
+    # fresh cids: monotone, replay-stable allocation off the LIVE
+    # centroid table (see docstring)
+    base = cent.agg(F.max("cid")).collect()[0][0] + 1
+    members = live.join(F.broadcast(over), "cid", "left_semi")
+    mv = members.select("cid", id_col, vec_col)
+    # per-cell 2-means, all splitting cells in one pass: seeds are the
+    # cell's two lowest-id vectors; then the fixed-iteration broadcast
+    # assign + DECIMAL-exact mean loop of _lloyd_centroids, keyed
+    # (cid, sub) instead of cid
+    seedw = Window.partitionBy("cid").orderBy(id_col)
+    subs = (
+        mv.withColumn("_rn", F.row_number().over(seedw))
+        .filter(F.col("_rn") <= 2)
+        .select(
+            "cid",
+            (F.col("_rn") - F.lit(1)).alias("sub"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("s_emb"),
+        )
+    )
+    w_asg = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), "sub")
+
+    def _assign_subs(sub_tbl: DataFrame) -> DataFrame:
+        cos = V.cosine(F.col(vec_col), F.col("s_emb"))
+        return (
+            mv.join(F.broadcast(sub_tbl), "cid")
+            .select("cid", id_col, vec_col, "sub", cos.alias("_cos"))
+            .withColumn("_rn", F.row_number().over(w_asg))
+            .filter(F.col("_rn") == 1)
+            .select("cid", id_col, vec_col, "sub")
+        )
+
+    for _ in range(iters):
+        asg = _assign_subs(subs)
+        pe = asg.select("cid", "sub", F.posexplode(vec_col).alias("pos", "x"))
+        sums = pe.groupBy("cid", "sub", "pos").agg(
+            F.sum(F.col("x").cast("double").cast("decimal(28,9)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        comp = sums.select(
+            "cid", "sub", "pos",
+            (F.col("s").cast("double") / F.col("n")).alias("v"),
+        )
+        subs = (
+            comp.groupBy("cid", "sub")
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "v"))).alias("pp"))
+            .select("cid", "sub", F.col("pp.v").alias("s_emb"))
+        )
+    subs = subs.localCheckpoint(eager=True)
+    newmap = subs.select("cid", "sub").join(F.broadcast(ranks), "cid").select(
+        "cid",
+        "sub",
+        (F.lit(base) + F.lit(2) * F.col("_cr") + F.col("sub")).alias("new_cid"),
+    )
+    final = _assign_subs(subs).select("cid", id_col, "sub")
+    moved = (
+        final.join(F.broadcast(newmap), ["cid", "sub"])
+        .join(members.withColumnRenamed("cid", "_old_cid"), id_col)
+        .select(
+            F.col("new_cid").alias("cid"),
+            *[c for c in cells.columns if c != "cid"],
+        )
+        .select(*cells.columns)
+    )
+    # idempotent append: a crashed prior attempt (same base, see the
+    # allocation note) may already have landed rows for some of these
+    # vectors — by vec_id, not (cid, vec_id): an ingest between crash
+    # and replay can shift the recomputed means enough to flip a
+    # member's sub, and a (cid, id) key would then append a SECOND
+    # copy under the other sub while the commit revives both
+    already = cells.filter(F.col("cid") >= base).select(id_col)
+    moved = moved.join(already, id_col, "left_anti")
+    moved = moved.localCheckpoint(eager=True)
+    n_moved = moved.count()
+    if n_moved:
+        nb = sinks.resolve_num_buckets(
+            _location(spark, t_cells), num_buckets, STATE_BUCKETS
+        )
+        moved.write.mode("append").format("parquet").bucketBy(
+            nb, "cid"
+        ).saveAsTable(t_cells)
+    # commit point: retire the split cids, add the sub-centroids —
+    # staged two-rename swap (the compact_bucketed pattern, so a crash
+    # at any instant leaves a complete copy recoverable by name, and
+    # attach()'s recover_swapped_location heals it)
+    add = subs.join(F.broadcast(newmap), ["cid", "sub"]).select(
+        F.col("new_cid").alias("cid"), F.col("s_emb").alias("c_emb")
+    )
+    n_added = add.count()
+    newcent = (
+        cent.join(F.broadcast(over), "cid", "left_anti")
+        .select("cid", "c_emb")
+        .unionByName(add)
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    _swap_table(spark, t_cent, newcent)
+    return {
+        "cells_split": n_split,
+        "rows_moved": n_moved,
+        "cells_added": n_added,
+        "cells_live_before": n_live_before,
+        "cells_live_after": n_live_before - n_split + n_added,
+    }
+
+
+def _swap_table(spark: SparkSession, table: str, df: DataFrame) -> None:
+    """Replace a small unbucketed state table's data via the staged
+    two-rename swap (stage at ``__compact`` — always complete before
+    the swap starts — live to ``__old``, stage to live): a crash at
+    any point leaves a full copy under a name
+    sinks.recover_swapped_location restores. ``df`` must be severed
+    from the table it replaces (localCheckpoint) before the call."""
+    import os
+    import shutil
+
+    loc = _location(spark, table)
+    staging, old_dir = f"{loc}__compact", f"{loc}__old"
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    df.write.mode("overwrite").parquet(staging)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    os.rename(loc, old_dir)
+    os.rename(staging, loc)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    spark.sql(f"CREATE TABLE {table} USING parquet LOCATION '{loc}'")
+    spark.catalog.refreshTable(table)

@@ -429,7 +429,17 @@ _PRIORITY = [
     #   ann_hier_assign additionally re-earns its row on changed
     #   semantics (the probe_supers dimension, r11 verdict #2).
     "ann_hier_recall",
-    "ann_ivf_cells", "ann_ivf_kmeans",
+    # - ann_cell_split: the cell-split rebalance maintenance verb
+    #   (ivf_state.split_oversized): localized 2-means over oversized
+    #   cells, tombstone writes, compact(reclaim=True) — the oracle
+    #   pins the physical table state (moved/dead/reclaimed row
+    #   counts) cross-engine. Slot funded by ann_ivf_cells rotating
+    #   out again (green r03/r04/r05/r10/r11, byte-stable; the IVF
+    #   serving shape keeps FOUR in-window forms: ann_ivf_kmeans — its
+    #   trained strict superset — ann_ivf_autok, ann_ivf_recall and
+    #   this maintenance chart over the same persisted layout).
+    "ann_cell_split",
+    "ann_ivf_kmeans",
     "ann_lsh_bucket", "ann_lsh_multiprobe", "ann_recall_report",
     "dedup_semantic", "dedup_embedding_cosine", "decontam_embedding",
     # the PQ serving pair rides along (single-green r08 each): the net

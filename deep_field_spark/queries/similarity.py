@@ -4530,3 +4530,268 @@ def ann_mips_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("avg_candidates"),
     )
+
+
+# --- cell-split rebalance: the index-maintenance verb ------------------
+CSPLIT_ITERS = 2  # fixed per-cell 2-means rounds (the KMEANS_ITERS pin)
+
+
+def _csplit_sub_ctes(iters: int = CSPLIT_ITERS) -> str:
+    """CTE chain replaying ivf_state.split_oversized's per-cell
+    2-means over the oversized-cell members (CTEs mem/over/ranks/basec
+    must precede): ssub0 seeds each splitting cell with its two
+    lowest-vec_id members, then ``iters`` rounds of the _kmeans_ctes
+    assign+DECIMAL-mean loop keyed (cid, sub) instead of cid; emits
+    ssub{iters} (final sub-centroids), spfa (final member→sub argmax)
+    and newmap (fresh-cid allocation: base + 2·rank(cid) + sub)."""
+    parts = [f"""ssub0 AS MATERIALIZED (
+      SELECT cid, rn - 1 AS sub,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+      FROM (SELECT cid, vec_id, embedding,
+                   row_number() OVER (PARTITION BY cid
+                                      ORDER BY vec_id) AS rn
+            FROM mem) WHERE rn <= 2)"""]
+    for it in range(1, iters + 1):
+        parts.append(f"""sps{it} AS (
+      SELECT v.cid, v.vec_id, s.sub, {_cos_vc_sql('v', 's')} AS cos
+      FROM mem v JOIN ssub{it - 1} s ON s.cid = v.cid),
+    spa{it} AS (
+      SELECT cid, vec_id, sub FROM (
+        SELECT cid, vec_id, sub,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, sub) AS rn
+        FROM sps{it}) WHERE rn = 1),
+    spm{it} AS (
+      SELECT cid, sub, i,
+             CAST(sum(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS v
+      FROM (SELECT a.cid, a.sub,
+                   unnest(range(1, {DIM} + 1)) AS i,
+                   unnest(list_transform(e.embedding,
+                                         y -> CAST(y AS DOUBLE))) AS x
+            FROM spa{it} a JOIN embeddings e USING (vec_id))
+      GROUP BY cid, sub, i),
+    ssub{it} AS MATERIALIZED (SELECT cid, sub, list(v ORDER BY i) AS c
+                 FROM spm{it} GROUP BY cid, sub)""")
+    parts.append(f"""spfs AS (
+      SELECT v.cid, v.vec_id, s.sub, {_cos_vc_sql('v', 's')} AS cos
+      FROM mem v JOIN ssub{iters} s ON s.cid = v.cid),
+    spfa AS MATERIALIZED (
+      SELECT cid, vec_id, sub FROM (
+        SELECT cid, vec_id, sub,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, sub) AS rn
+        FROM spfs) WHERE rn = 1),
+    newmap AS MATERIALIZED (
+      SELECT s.cid, s.sub, b.b + 2 * r.cr + s.sub AS new_cid
+      FROM ssub{iters} s JOIN ranks r USING (cid), basec b)""")
+    return ",\n    ".join(parts)
+
+
+def _csplit_cap(spark: SparkSession, sf_dir: str) -> int:
+    """The chart's deterministic split threshold: the cell size at
+    ascending rank ⌈3m/4⌉ of the m live cell sizes (ties broken by
+    cid) — a discrete p75, exact integer arithmetic both engines
+    replay, chosen so the split set is non-vacuous at every driver SF
+    (2-7 cells measured at sf0.001-0.1, the top quartile at most). A
+    production caller passes an explicit byte-budget cap instead; the
+    quantile is chart policy, not operator policy. All frames here are
+    k rows (cells, not vectors) — the global window is k-scale."""
+    sizes = (
+        _train_cell_asg(spark, sf_dir)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = sizes.count()
+    r = (3 * m + 3) // 4  # == ceil(3m/4), integer-exact
+    return (
+        sizes.withColumn(
+            "rn", F.row_number().over(Window.orderBy("n", "cid"))
+        )
+        .filter(F.col("rn") == r)
+        .collect()[0]["n"]
+    )
+
+
+def _csplit_build(spark: SparkSession, sf_dir: str) -> str:
+    """The hermetic day-1 state the maintenance chart splits: flat
+    build over the memoized lloyd_full centroids (the one-time cost;
+    bench reports it as csplit.build)."""
+    import hashlib
+
+    from ..operators import ivf_state
+
+    name = "csplit_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    n = scaling.corpus_count(spark, sf_dir, "embeddings")
+    ivf_state.build(
+        _emb_frame(spark, sf_dir),
+        _train_lloyd_full(spark, sf_dir),
+        name,
+        n_rows=n,
+    )
+    return name
+
+
+def _csplit_maint(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """The recurring maintenance leg: derive the cap, split the
+    oversized cells, measure the before/after geometry FROM THE REAL
+    TABLES (not the operator's return dict — the chart pins what is
+    physically on disk), then reclaim the tombstones via
+    compact(reclaim=True) and pin the post-compact row count. Each
+    phase's metrics are checkpointed before the next phase mutates the
+    tables it reads — lazy evaluation would otherwise measure the
+    post-compact state three times."""
+    from ..operators import ivf_state
+
+    n = scaling.corpus_count(spark, sf_dir, "embeddings")
+    k = _derived_cells(spark, sf_dir)
+    cap = _csplit_cap(spark, sf_dir)
+    t_cells = f"{name}_cells"
+    t_cent = f"{name}_centroids"
+
+    pre_sizes = (
+        spark.table(t_cells).groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    )
+    pre = (
+        pre_sizes.agg(
+            F.count(F.lit(1)).alias("n_cells_before"),
+            F.max("n").alias("max_before"),
+            F.max("cid").alias("_pre_max_cid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pre_max_cid = pre.collect()[0]["_pre_max_cid"]
+
+    rep = ivf_state.split_oversized(spark, name, cap=cap)
+
+    post_cells = spark.table(t_cells)
+    live = post_cells.join(
+        F.broadcast(spark.table(t_cent).select("cid")), "cid", "left_semi"
+    )
+    post = (
+        post_cells.agg(F.count(F.lit(1)).alias("_total"))
+        .crossJoin(live.agg(F.count(F.lit(1)).alias("_live")))
+        .crossJoin(
+            live.filter(F.col("cid") > pre_max_cid).agg(
+                F.count(F.lit(1)).alias("rows_moved")
+            )
+        )
+        .crossJoin(
+            live.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("max_after"))
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    ivf_state.compact(spark, name, reclaim=True)
+    after = spark.table(t_cells).agg(
+        F.count(F.lit(1)).alias("rows_after_compact")
+    )
+
+    return (
+        pre.crossJoin(post)
+        .crossJoin(after)
+        .select(
+            F.lit(n).cast("long").alias("n_corpus"),
+            F.lit(k).cast("long").alias("k_derived"),
+            F.col("n_cells_before").cast("long"),
+            F.lit(cap).cast("long").alias("cap"),
+            F.lit(rep["cells_split"]).cast("long").alias("cells_split"),
+            F.lit(rep["cells_added"]).cast("long").alias("cells_added"),
+            (
+                F.col("n_cells_before")
+                - F.lit(rep["cells_split"])
+                + F.lit(rep["cells_added"])
+            )
+            .cast("long")
+            .alias("n_cells_after"),
+            F.col("rows_moved").cast("long"),
+            (F.col("_total") - F.col("_live")).cast("long").alias("dead_rows"),
+            F.col("max_before").cast("long"),
+            F.col("max_after").cast("long"),
+            F.col("rows_after_compact").cast("long"),
+        )
+    )
+
+
+@register(
+    "ann_cell_split",
+    oracle=f"""
+    WITH {_kmeans_ctes("embeddings")},
+    cent AS (SELECT cid, c FROM cent{KMEANS_ITERS}),
+    s_all AS (SELECT v.vec_id, c.cid, {_cos_vc_sql('v', 'c')} AS cos
+              FROM embeddings v, cent c),
+    a_flat AS MATERIALIZED (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cos DESC, cid) AS rn
+                 FROM s_all) WHERE rn = 1),
+    sizes AS MATERIALIZED (SELECT cid, count(*) AS n FROM a_flat GROUP BY cid),
+    msz AS (SELECT count(*) AS m FROM sizes),
+    caprow AS MATERIALIZED (SELECT n AS cap FROM (
+                 SELECT n, cid,
+                        row_number() OVER (ORDER BY n, cid) AS rn
+                 FROM sizes) s, msz
+               WHERE s.rn = CAST(ceil(3.0 * msz.m / 4) AS BIGINT)),
+    over AS MATERIALIZED (SELECT s.cid FROM sizes s, caprow c WHERE s.n > c.cap),
+    ranks AS MATERIALIZED (SELECT cid, row_number() OVER (ORDER BY cid) - 1 AS cr
+              FROM over),
+    basec AS MATERIALIZED (SELECT max(cid) + 1 AS b FROM cent),
+    mem AS MATERIALIZED (SELECT a.cid, a.vec_id, e.embedding
+            FROM a_flat a
+            JOIN embeddings e USING (vec_id)
+            JOIN over o ON o.cid = a.cid),
+    {_csplit_sub_ctes()},
+    movedq AS MATERIALIZED (SELECT nm.new_cid, f.vec_id
+               FROM spfa f JOIN newmap nm
+                 ON nm.cid = f.cid AND nm.sub = f.sub),
+    post_sizes AS MATERIALIZED (
+      SELECT s.cid, s.n FROM sizes s
+      WHERE s.cid NOT IN (SELECT cid FROM over)
+      UNION ALL
+      SELECT new_cid, count(*) FROM movedq GROUP BY new_cid)
+    SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_corpus,
+           CAST({_K_CELLS_SQL} AS BIGINT) AS k_derived,
+           CAST((SELECT count(*) FROM sizes) AS BIGINT) AS n_cells_before,
+           CAST((SELECT cap FROM caprow) AS BIGINT) AS cap,
+           CAST((SELECT count(*) FROM over) AS BIGINT) AS cells_split,
+           CAST((SELECT count(*) FROM newmap) AS BIGINT) AS cells_added,
+           CAST((SELECT count(*) FROM sizes)
+                - (SELECT count(*) FROM over)
+                + (SELECT count(*) FROM newmap) AS BIGINT) AS n_cells_after,
+           CAST((SELECT count(*) FROM movedq) AS BIGINT) AS rows_moved,
+           CAST((SELECT count(*) FROM movedq) AS BIGINT) AS dead_rows,
+           CAST((SELECT max(n) FROM sizes) AS BIGINT) AS max_before,
+           CAST((SELECT max(n) FROM post_sizes) AS BIGINT) AS max_after,
+           CAST((SELECT count(*) FROM embeddings) AS BIGINT)
+             AS rows_after_compact
+    """,
+    doc="Cell-split rebalance — the index-MAINTENANCE verb between "
+        "day-2 ingest and a full O(n·k) retrain (ivf_state."
+        "split_oversized): day-2 ingests follow the data, not the "
+        "quantizer, so a drifting corpus piles new vectors into a few "
+        "hot cells, and an oversized cell is an oversized probe — "
+        "serving cost is the sum of probed cell sizes (the "
+        "hot-partition shape of skew). The fix is localized: per "
+        "oversized cell a deterministic 2-means over ONLY that cell's "
+        "members (seeds = two lowest vec_ids, fixed iterations, "
+        "DECIMAL-exact means — the Lloyd discipline), members move to "
+        "two fresh cids, cost O(moved·2·iters) regardless of corpus "
+        "size. Writes are the tombstone (LSM) pattern: append under "
+        "new cids, retire the old centroid (the commit point), dead "
+        "rows stay invisible to serving (probe ranks only live "
+        "centroids) until compact(reclaim=True) drops them in the "
+        "rewrite the state needs anyway. The chart pins the PHYSICAL "
+        "table state cross-engine: split set (size > the discrete-p75 "
+        "cap), per-cell sub-trainers, fresh-cid allocation, moved-row "
+        "count measured off the real bucketed table, dead-row count "
+        "(tombstones = moved originals), max cell size before/after, "
+        "and the post-reclaim row count returning to exactly "
+        "n_corpus. The oracle replays assignment, quantile, every "
+        "sub-trainer and the allocator, so a drift in any of them — "
+        "or a dead row surviving reclaim — flips the hash.",
+)
+def ann_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _csplit_maint(spark, sf_dir, _csplit_build(spark, sf_dir))

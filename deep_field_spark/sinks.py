@@ -683,6 +683,7 @@ def compact_bucketed(
     num_buckets: int,
     location: str,
     sort_cols: list[str] | None = None,
+    transform=None,
 ) -> dict[str, int]:
     """Small-file compaction for a BUCKETED external table — the day-N
     hygiene step the persisted-state ingests create a need for: every
@@ -752,9 +753,14 @@ def compact_bucketed(
     # while the runtime scan (auto-bucketed-scan disabled for a plain
     # read) actually produces file-split partitions, yielding one file
     # per (task, bucket) instead of one per bucket
-    df = spark.read.parquet(location).repartition(
-        num_buckets, *bucket_cols
-    )
+    df = spark.read.parquet(location)
+    if transform is not None:
+        # schema-preserving row filter/rewrite riding the compaction
+        # scan (e.g. ivf_state.compact(reclaim=True) dropping
+        # tombstoned rows) — the caller owns the correctness argument
+        # that the dropped rows were already invisible to readers
+        df = transform(df)
+    df = df.repartition(num_buckets, *bucket_cols)
     if sort_cols:
         df = df.sortWithinPartitions(*sort_cols)
     tmp_table = f"{table}__compact_tmp"

@@ -745,3 +745,153 @@ def test_hier_build_persists_probe_width_and_ingest_replays(
         .collect()
     }
     assert got == want
+
+
+def _skewed_state(spark, state_name, *, n_hot=40, n_cold=6):
+    """A deliberately skewed 3-cell state: centroids at e0/e1/e2,
+    n_hot vectors piled on the e0 cell (two sub-clusters hugging
+    +e0±e3 so a 2-means split has real structure), n_cold on each of
+    the others. Returns (vectors df, hot cid)."""
+    dim = 8
+
+    def vec(i, hot):
+        v = [0.0] * dim
+        if hot:
+            v[0] = 1.0
+            v[3] = 0.4 if i % 2 == 0 else -0.4
+            v[4] = 0.01 * (i % 5)  # small within-cluster scatter
+        else:
+            v[1 if i % 2 == 0 else 2] = 1.0
+        return v
+
+    rows = [(i, vec(i, True)) for i in range(n_hot)] + [
+        (i, vec(i, False)) for i in range(n_hot, n_hot + 2 * n_cold)
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cents = [[0.0] * dim for _ in range(3)]
+    cents[0][0] = 1.0
+    cents[1][1] = 1.0
+    cents[2][2] = 1.0
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cid long, c_emb array<double>",
+    )
+    ivf_state.build(vecs, cent, state_name, num_buckets=4)
+    return vecs, 0
+
+
+def test_split_oversized_rebalances_and_reclaims(spark, state_name):
+    vecs, hot = _skewed_state(spark, state_name)
+    n_total = vecs.count()
+    cells = spark.table(f"{state_name}_cells")
+    pre_ids = {r.vec_id for r in cells.select("vec_id").collect()}
+    pre_hot = cells.filter(F.col("cid") == hot).count()
+    assert pre_hot == 40
+
+    rep = ivf_state.split_oversized(spark, state_name, cap=20)
+    assert rep["cells_split"] == 1
+    assert rep["rows_moved"] == 40
+    assert rep["cells_added"] == 2
+    assert rep["cells_live_before"] == 3
+    assert rep["cells_live_after"] == 4
+
+    cent = spark.table(f"{state_name}_centroids")
+    live_cids = {r.cid for r in cent.select("cid").collect()}
+    # old hot cid retired; fresh cids start past every cid ever used
+    assert hot not in live_cids
+    assert live_cids == {1, 2, 3, 4}
+    post = spark.table(f"{state_name}_cells")
+    live = post.join(F.broadcast(cent.select("cid")), "cid", "left_semi")
+    # membership preserved exactly; tombstones = the moved originals
+    assert {r.vec_id for r in live.select("vec_id").collect()} == pre_ids
+    assert post.count() - live.count() == 40
+    # the 2-means found the ±e3 sub-structure: both new cells non-empty
+    # and the max live cell is now below the old hot size
+    new_sizes = {
+        r.cid: r["count"]
+        for r in live.groupBy("cid").count().collect()
+        if r.cid >= 3
+    }
+    assert set(new_sizes) == {3, 4} and all(v > 0 for v in new_sizes.values())
+    assert max(new_sizes.values()) < pre_hot
+
+    # serving invariance at full probe: every vector still retrievable
+    q = vecs.limit(5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    res = ivf_state.search(spark, state_name, q, k=3, nprobe=4)
+    assert res.groupBy("qid").count().filter(F.col("count") != 3).count() == 0
+
+    # reclaim drops the tombstones physically; answers unchanged
+    before = {(r.qid, r.rnk, r.neighbor_id) for r in res.collect()}
+    rep2 = ivf_state.compact(spark, state_name, reclaim=True)
+    assert rep2["files_after"] <= rep2["files_before"]
+    assert spark.table(f"{state_name}_cells").count() == n_total
+    res2 = ivf_state.search(spark, state_name, q, k=3, nprobe=4)
+    assert {(r.qid, r.rnk, r.neighbor_id) for r in res2.collect()} == before
+
+    # idempotence: nothing left over the cap -> loud no-op
+    rep3 = ivf_state.split_oversized(spark, state_name, cap=20)
+    assert rep3["cells_split"] == 0
+    assert rep3["cells_live_after"] == 4
+
+
+def test_split_crash_replay_is_idempotent(spark, state_name):
+    """Crash-sim: the appended new-cid rows landed but the centroid
+    swap (the commit point) did not. Serving still probes the OLD
+    cells (new rows are dead — no live centroid points at them), and
+    re-running split completes the job without duplicating rows."""
+    vecs, hot = _skewed_state(spark, state_name)
+    rep = ivf_state.split_oversized(spark, state_name, cap=20)
+    # reconstruct the pre-commit state: re-point the centroid table at
+    # the ORIGINAL centroids (old hot cid live again, new cids dead)
+    cent = spark.table(f"{state_name}_centroids")
+    old = cent.filter(F.col("cid").isin(1, 2)).unionByName(
+        spark.createDataFrame(
+            [(0, [1.0] + [0.0] * 7)], "cid long, c_emb array<double>"
+        )
+    ).coalesce(1).localCheckpoint(eager=True)
+    ivf_state._swap_table(spark, f"{state_name}_centroids", old)
+
+    # pre-commit serving: the old hot cell answers (dead rows invisible)
+    q = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    res = ivf_state.search(spark, state_name, q, k=3, nprobe=1)
+    assert res.count() == 3
+
+    n_rows_mid = spark.table(f"{state_name}_cells").count()
+    rep2 = ivf_state.split_oversized(spark, state_name, cap=20)
+    # same split recomputed, but the anti-join found every row already
+    # appended: nothing moved twice
+    assert rep2["cells_split"] == 1
+    assert rep2["rows_moved"] == 0
+    assert spark.table(f"{state_name}_cells").count() == n_rows_mid
+    post = spark.table(f"{state_name}_cells")
+    live = post.join(
+        F.broadcast(spark.table(f"{state_name}_centroids").select("cid")),
+        "cid",
+        "left_semi",
+    )
+    assert (
+        live.groupBy("vec_id").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+    assert rep["cells_live_after"] == rep2["cells_live_after"] == 4
+
+
+def test_split_requires_stored_vectors(spark, state_name):
+    vecs, _ = _skewed_state(spark, state_name)
+    # rebuild code-only (store_vec=False): split must refuse, loudly
+    cent = spark.table(f"{state_name}_centroids").localCheckpoint(eager=True)
+    ivf_state.build(
+        vecs.withColumn("codes", F.array(F.lit(1))),
+        cent,
+        state_name,
+        num_buckets=4,
+        store_vec=False,
+    )
+    with pytest.raises(ValueError, match="store_vec"):
+        ivf_state.split_oversized(spark, state_name, cap=5)

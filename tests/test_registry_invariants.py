@@ -24,6 +24,11 @@ REGISTRY = load_registry()
 _EXECUTING = {
     "scrape_star_plays", "scrape_star_games", "scrape_player_dim",
     "scrape_core_resolved_plays",
+    # state-maintenance lifecycle: build + split_oversized + reclaim
+    # all run before the metrics frame exists; its window discipline
+    # (every ordered window is k-scale — cells, not vectors) is pinned
+    # by tests/test_ivf_state.py's split suite instead
+    "ann_cell_split",
 } | {n for n in REGISTRY if n.startswith("streaming_")}
 
 # declared exceptions: tiny bounded inputs where a single-task window
@@ -69,18 +74,23 @@ def test_round12_window_slots():
     byte-stable; PSI keeps two in-window forms via the approx and
     streaming siblings). The r11 first-evidence trio stays in-window
     for a second row, and ann_hier_assign re-earns its row on changed
-    semantics (the probe_supers dimension, r11 verdict #2)."""
+    semantics (the probe_supers dimension, r11 verdict #2).
+    Mid-round addition: ann_cell_split (the cell-split rebalance
+    maintenance verb) joins as a second round-12 first-evidence row —
+    slot funded by ann_ivf_cells rotating out again (green r03/r04/
+    r05/r10/r11, byte-stable; the IVF serving shape keeps four
+    in-window forms: kmeans/autok/recall + the maintenance chart)."""
     names = list(REGISTRY)[:DRIVER_WINDOW]
     for q in (
         # round-12 first-evidence
-        "ann_hier_recall",
+        "ann_hier_recall", "ann_cell_split",
         # round-11 first-evidence keeps (ann_hier_assign:
         # changed-semantics re-earn)
         "ann_train_autocap", "ann_hier_assign", "decontam_bloom",
         # round-10 first-evidence / changed-semantics set
         "ann_ivf_autok", "dedup_minhash_autok",
         "streaming_dedup_ingest", "ann_mips_reduction",
-        "ann_ivf_cells", "ann_ivf_kmeans",
+        "ann_ivf_kmeans",
         "ann_lsh_bucket", "ann_lsh_multiprobe", "ann_recall_report",
         "dedup_semantic", "dedup_embedding_cosine", "decontam_embedding",
         "embedding_pq_codes", "ann_pq_adc_search",
@@ -110,6 +120,7 @@ def test_round12_window_slots():
     for gone in (
         "join_bloom_pruned", "dq_key_skew_profile",
         "corpus_stratified_quota", "dq_distribution_drift",
+        "ann_ivf_cells",
     ):
         assert gone not in names, f"{gone} should have rotated out"
 

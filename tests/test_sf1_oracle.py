@@ -53,6 +53,11 @@ SF1_QUERIES = [
     "ann_train_autocap",
     "ann_hier_assign",
     "ann_hier_recall",
+    # r12: cell-split rebalance — at this scale the split set is the
+    # top quartile of 128 live cells and the sub-trainers run over
+    # thousands of moved rows, the first scale where the maintenance
+    # verb's localized-cost claim is load-bearing
+    "ann_cell_split",
     "dedup_minhash_autok",
     "ann_ivf_kmeans",
     "ann_ivfpq_search",
