@@ -89,38 +89,50 @@ def minhash_params(n: int) -> tuple[int, int]:
 # Each returns a scalar-subquery SQL fragment deriving the SAME integer
 # from count(*) of the given relation. floor(log2(count)) == bit_length-1
 # (see module docstring), // is DuckDB integer division.
+#
+# Form note: the WHOLE derivation lives inside ONE uncorrelated scalar
+# subquery — ``(SELECT greatest(...) FROM src)`` — not an expression
+# wrapping an inner ``(SELECT count(*) ...)``. The two are
+# value-identical, but DuckDB executes the single-subquery form once
+# per query while the wrapped form re-evaluates per row wherever the
+# fragment is embedded in a per-row context (the _bucket_sql plane
+# gates measured 6.5 s -> 2.5 s at sf0.01 from this one change; values
+# pinned identical by tests/test_scaling.py's cross-engine sweep).
 
-def _floor_log2_sql(count_src: str) -> str:
-    return (
-        f"CAST(floor(log2(CAST((SELECT count(*) FROM {count_src}) "
-        f"AS DOUBLE))) AS BIGINT)"
-    )
+def _floor_log2_count_sql() -> str:
+    """floor(log2(count(*))) as an aggregate-context expression — for
+    use INSIDE a single-scalar-subquery twin (see form note)."""
+    return "CAST(floor(log2(CAST(count(*) AS DOUBLE))) AS BIGINT)"
 
 
 def n_cells_sql(count_src: str = "embeddings") -> str:
     return (
-        f"greatest({MIN_CELLS}, CAST(pow(2, {_floor_log2_sql(count_src)} "
-        f"// 2) AS BIGINT))"
+        f"(SELECT greatest({MIN_CELLS}, "
+        f"CAST(pow(2, {_floor_log2_count_sql()} // 2) AS BIGINT)) "
+        f"FROM {count_src})"
     )
 
 
 def n_planes_sql(count_src: str = "embeddings") -> str:
     return (
-        f"greatest({MIN_PLANES}, {_floor_log2_sql(count_src)} "
-        f"- {PLANES_LOG_OFFSET})"
+        f"(SELECT greatest({MIN_PLANES}, {_floor_log2_count_sql()} "
+        f"- {PLANES_LOG_OFFSET}) FROM {count_src})"
     )
 
 
 def _ladder_case_sql(count_src: str, idx: int) -> str:
     # branches generated FROM _MINHASH_LADDER (single definition — a
-    # rung edit cannot leave the SQL twins stale; review finding)
-    c = f"(SELECT count(*) FROM {count_src})"
+    # rung edit cannot leave the SQL twins stale; review finding);
+    # single-scalar-subquery form (see form note above)
     branches = " ".join(
-        f"WHEN {c} < {cutoff} THEN {br[idx]}"
+        f"WHEN count(*) < {cutoff} THEN {br[idx]}"
         for cutoff, br in _MINHASH_LADDER
         if cutoff is not None
     )
-    return f"(CASE {branches} ELSE {_MINHASH_LADDER[-1][1][idx]} END)"
+    return (
+        f"(SELECT CASE {branches} "
+        f"ELSE {_MINHASH_LADDER[-1][1][idx]} END FROM {count_src})"
+    )
 
 
 def minhash_bands_sql(count_src: str = "documents") -> str:

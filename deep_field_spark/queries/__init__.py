@@ -35,13 +35,43 @@ class Query:
     doc: str = ""
 
 
+def _materialize_ctes(sql: str) -> str:
+    """Rewrite every ``name AS (`` CTE head to ``name AS MATERIALIZED
+    (`` — a DuckDB-only evaluation hint (identical results, pinned by
+    the same oracle sweep that pins everything else). Without it
+    DuckDB re-INLINES a CTE at every reference, so an oracle whose
+    final SELECT reads a deep chain (the Lloyd/PQ trainers, the
+    recall pivots) re-runs the whole upstream pipeline once per
+    scalar subquery — ann_ivfpq_residual_recall measured 14.7 s -> 1.0
+    s and ann_cell_split 37 s -> 0.3 s at sf0.01 from this one hint.
+    Applied centrally so every oracle (and every future one) gets the
+    linear-evaluation behavior the Spark side already has; heads
+    already written MATERIALIZED are left untouched. The body
+    lookahead (SELECT/VALUES/FROM/WITH) is what distinguishes a CTE
+    head from a named-WINDOW definition (``WINDOW w AS (PARTITION
+    ...)``), which must NOT take the keyword."""
+    import re
+
+    return re.sub(
+        r"\b([A-Za-z_][A-Za-z0-9_]*\s+AS)\s+\(\s*(?=SELECT|VALUES|FROM|WITH)",
+        r"\1 MATERIALIZED (",
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
 def register(name: str, oracle: str | None = None, doc: str = ""):
     """Decorator: add a query to the registry."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        REGISTRY[name] = Query(
+            name=name,
+            fn=fn,
+            oracle=None if oracle is None else _materialize_ctes(oracle),
+            doc=doc or (fn.__doc__ or ""),
+        )
         return fn
 
     return deco

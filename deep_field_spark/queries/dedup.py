@@ -321,14 +321,25 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cos_pair_sql() -> str:
-    return (
-        "list_aggregate(list_transform(range(1, len(a.embedding) + 1), "
-        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum') "
-        "/ (sqrt(list_aggregate(list_transform(a.embedding, "
-        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) "
-        "* sqrt(list_aggregate(list_transform(b.embedding, "
-        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"
+    # explicit sums (the similarity._sum_sql discipline): identical
+    # sequential arithmetic, ~14x faster than the per-element lambda.
+    # Local copy rather than an import from .similarity — this runs at
+    # module import (oracle f-strings), and a cross-module import here
+    # would reorder query registration
+    dim = 64  # embeddings table width (similarity.DIM)
+    dot = " + ".join(
+        f"CAST(a.embedding[{i}] AS DOUBLE) * CAST(b.embedding[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
     )
+
+    def norm(t: str) -> str:
+        return "sqrt((" + " + ".join(
+            f"CAST({t}.embedding[{i}] AS DOUBLE) "
+            f"* CAST({t}.embedding[{i}] AS DOUBLE)"
+            for i in range(1, dim + 1)
+        ) + "))"
+
+    return f"({dot}) / ({norm('a')} * {norm('b')})"
 
 
 def _emb_bucket_sql() -> str:

@@ -895,3 +895,38 @@ def test_split_requires_stored_vectors(spark, state_name):
     )
     with pytest.raises(ValueError, match="store_vec"):
         ivf_state.split_oversized(spark, state_name, cap=5)
+
+
+def test_split_on_hier_built_state_routes_new_cells_through_supers(
+    spark, state_name
+):
+    """Splitting a hier-built state: the new sub-centroids join the
+    live centroid table, and day-2 hier ingest (super_children derived
+    from the LIVE table on every batch) routes a vector into a NEW
+    cell — the split integrates with the frozen two-level quantizer
+    without retraining supers."""
+    vecs, hot = _skewed_state(spark, state_name)
+    # rebuild the same state hier: one super per axis-ish — 2 supers
+    # trained as the e0 and (e1+e2)/2 directions
+    dim = 8
+    s0, s1 = [0.0] * dim, [0.0] * dim
+    s0[0] = 1.0
+    s1[1] = s1[2] = 0.7
+    sup = spark.createDataFrame(
+        [(0, s0), (1, s1)], "cid long, c_emb array<double>"
+    )
+    cent = spark.table(f"{state_name}_centroids").localCheckpoint(eager=True)
+    ivf_state.build(vecs, cent, state_name, num_buckets=4, supers=sup)
+    rep = ivf_state.split_oversized(spark, state_name, cap=20)
+    assert rep["cells_split"] == 1 and rep["cells_added"] == 2
+
+    # a fresh hot-cluster vector must absorb into one of the NEW cells
+    v = [0.0] * dim
+    v[0] = 1.0
+    v[3] = 0.4
+    batch = spark.createDataFrame(
+        [(999, v)], "vec_id long, embedding array<double>"
+    )
+    r = ivf_state.ingest(spark, state_name, batch)
+    row = r.collect()[0]
+    assert row.cid in (3, 4), row

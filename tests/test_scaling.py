@@ -30,12 +30,16 @@ def test_python_matches_duckdb_over_sweep():
     just to count it is not the point — the subquery plumbing itself is
     covered by the small-n view test below)."""
     con = duckdb.connect()
-    sub = "(SELECT count(*) FROM corpus)"
     for n in _SWEEP:
         cells, planes, bands, rows = con.execute(
             "SELECT "
             + ", ".join(
-                frag.replace(sub, str(n))
+                # the twins are single scalar subqueries over the
+                # counted relation (see scaling.py form note): swap the
+                # aggregate for the sweep literal and drop the FROM
+                frag.replace("count(*)", str(n)).replace(
+                    " FROM corpus)", ")"
+                )
                 for frag in (
                     SC.n_cells_sql("corpus"),
                     SC.n_planes_sql("corpus"),
