@@ -293,3 +293,35 @@ def corpus_count(spark, sf_dir: str, tbl: str = "embeddings") -> int:
     n = _table(spark, sf_dir, tbl).count()
     _COUNT_MEMO[key] = n
     return n
+
+
+# --- build-assignment plan (flat vs two-level) --------------------------
+# The round-12 serving-recall measurement (SCALE.md, ann_hier_recall):
+# a hier p=2 build serves at ZERO recall@5 loss for nprobe >= 2 on the
+# worst-case (near-uniform) corpus, while two-level assignment scores
+# (1+p)·√k centroids per vector instead of k. The saving factor is
+# (1+p)/√k — real at every k but only WORTH the second quantizer (a
+# super-table artifact, a persisted probe-width spec, a childless-super
+# guard) once it is large: at the k=1024 threshold p=2 cuts >= 90% of
+# build-assignment comparisons; below it flat assignment is cheap,
+# exact, and artifact-free. Serving is unaffected either way — the
+# persisted cell layout is identical; only cell MEMBERSHIP near
+# boundaries differs, which nprobe >= 2 absorbs (the measured zero).
+HIER_MIN_CELLS = 1024
+HIER_SUPER_PROBES = 2
+
+
+def assign_super_probes(k: int) -> int:
+    """Level-1 multi-probe width a k-cell build should assign with:
+    0 = flat exact assignment (the small-k default), else the
+    super_probes knob for ivf_state.build(supers=..., super_probes=p).
+    Single-probe hier (p=1) is never recommended — it measured a
+    −0.125 recall@5 cost even at nprobe 4 (ann_hier_recall)."""
+    return HIER_SUPER_PROBES if k >= HIER_MIN_CELLS else 0
+
+
+def assign_super_probes_sql(k_sql: str) -> str:
+    return (
+        f"(CASE WHEN ({k_sql}) >= {HIER_MIN_CELLS} "
+        f"THEN {HIER_SUPER_PROBES} ELSE 0 END)"
+    )

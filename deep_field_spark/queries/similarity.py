@@ -3645,6 +3645,8 @@ def ann_ivfpq_residual_recall(
     SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_corpus,
            CAST({_K_CELLS_SQL} AS BIGINT) AS n_cells_derived,
            CAST({_NPL_SQL} AS BIGINT) AS n_planes_derived,
+           CAST({scaling.assign_super_probes_sql(_K_CELLS_SQL)} AS BIGINT)
+             AS assign_super_probes,
            CAST(count(*) AS BIGINT) AS n_live_cells,
            CAST(max(n_rows) AS BIGINT) AS max_cell_rows,
            round(CAST(sum(CAST(n_rows AS DECIMAL(18,2))) AS DOUBLE)
@@ -3663,7 +3665,12 @@ def ann_ivfpq_residual_recall(
         "the full training loop, so a drift in either the derivation "
         "or the k it feeds flips the hash. At 500 rows this resolves "
         "to the historical floor (16 cells); at the sf1 replica it "
-        "resolves to 128 — same query, same oracle.",
+        "resolves to 128 — same query, same oracle. Round-12 column: "
+        "assign_super_probes, the measured build-assignment decision "
+        "rule (scaling.assign_super_probes — 0 = flat exact assign, "
+        "2 = flip to the two-level path at k >= 1024, where hier p=2 "
+        "cuts >= 90% of assignment comparisons at the ZERO serving-"
+        "recall cost ann_hier_recall measured for nprobe >= 2).",
 )
 def ann_ivf_autok(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = scaling.corpus_count(spark, sf_dir, "embeddings")
@@ -3676,6 +3683,9 @@ def ann_ivf_autok(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n).cast("long").alias("n_corpus"),
         F.lit(scaling.n_cells(n)).cast("long").alias("n_cells_derived"),
         F.lit(scaling.n_planes(n)).cast("long").alias("n_planes_derived"),
+        F.lit(scaling.assign_super_probes(scaling.n_cells(n)))
+        .cast("long")
+        .alias("assign_super_probes"),
         F.count(F.lit(1)).cast("long").alias("n_live_cells"),
         F.max("n_rows").cast("long").alias("max_cell_rows"),
         F.round(

@@ -142,3 +142,19 @@ def test_train_cap_binds_exactly_where_documented():
         assert n <= SC.train_cap(SC.n_cells(n))
     n_sf1 = 20_000
     assert n_sf1 > SC.train_cap(SC.n_cells(n_sf1))
+
+
+def test_assign_super_probes_rule_and_sql_twin():
+    """The round-12 build-assignment decision rule: flat (0) below
+    HIER_MIN_CELLS, hier p=2 at/above — and the SQL twin replays the
+    identical CASE for every k n_cells can produce."""
+    con = duckdb.connect()
+    assert SC.assign_super_probes(16) == 0
+    assert SC.assign_super_probes(512) == 0
+    assert SC.assign_super_probes(1024) == 2
+    assert SC.assign_super_probes(16384) == 2
+    for k in (16, 32, 128, 512, 1024, 4096, 16384):
+        (got,) = con.execute(
+            f"SELECT {SC.assign_super_probes_sql(str(k))}"
+        ).fetchone()
+        assert got == SC.assign_super_probes(k), k
