@@ -199,6 +199,9 @@ HEADLINE = [
     # + split_oversized + reclaim compaction; phase-split
     # csplit.build/csplit.maint)
     "ann_cell_split",
+    # r12: the symmetric merge verb (undersized cells retire into
+    # their nearest surviving cell; cmerge.build/cmerge.maint)
+    "ann_cell_merge",
     "ann_incremental_ivf",
     "ann_ivf_recall",
     "ann_ivfpq_search",
@@ -394,6 +397,25 @@ def _bench_csplit_split(spark, sf_dir: str) -> tuple[float, float, int]:
     return build_dt, maint_dt, n
 
 
+def _bench_cmerge_split(spark, sf_dir: str) -> tuple[float, float, int]:
+    """Time ann_cell_merge's two phases separately (the csplit.*
+    twin): hermetic day-1 build vs the recurring maintenance leg
+    (floor derivation + merge_undersized + geometry metrics + reclaim
+    compaction)."""
+    from deep_field_spark.queries.similarity import (
+        _cmerge_build,
+        _cmerge_maint,
+    )
+
+    t0 = time.perf_counter()
+    name = _cmerge_build(spark, sf_dir)
+    build_dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n = _cmerge_maint(spark, sf_dir, name).count()
+    maint_dt = time.perf_counter() - t0
+    return build_dt, maint_dt, n
+
+
 def _bench_ivfpq_split(spark, sf_dir: str) -> tuple[float, float, int]:
     """Time ann_ivfpq_search's two phases separately: the one-time
     index build (coarse k-means + PQ codebooks + persisted code-only
@@ -520,6 +542,11 @@ def main() -> None:
             ("csplit.build", "csplit.maint"),
             ("build", "maint"),
             _bench_csplit_split,
+        ),
+        "ann_cell_merge": (
+            ("cmerge.build", "cmerge.maint"),
+            ("build", "maint"),
+            _bench_cmerge_split,
         ),
         "dedup_minhash_recall_sample": (
             ("calib.build", "calib.verify"),

@@ -767,6 +767,146 @@ def split_oversized(
     }
 
 
+def merge_undersized(
+    spark: SparkSession,
+    name: str,
+    *,
+    floor: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_buckets: int | None = None,
+) -> dict[str, int]:
+    """Merge every LIVE cell holding fewer than ``floor`` vectors into
+    its nearest surviving cell — split_oversized's symmetric verb.
+
+    Cold cells are not free: every query ranks ALL k live centroids at
+    probe time, and a near-empty cell that ranks inside a query's
+    nprobe buys almost no candidates with that probe slot — recall
+    paid for, nothing received. Drift leaves such husks behind (the
+    data moved; the quantizer point stayed). The merge retires each
+    undersized cell into its nearest (cosine, ties to the lowest cid)
+    cell at-or-above the floor; the survivor keeps its centroid VECTOR
+    — re-fitting geometry is a trainer's job, not maintenance's — but
+    the union gets a FRESH cid, because the crash-safety invariant
+    demands it: appended rows must stay DEAD until the centroid-table
+    commit, and appending under the survivor's own (live) cid would
+    serve a vector from two cells between append and commit. Cost is
+    O(moved) where moved = members of the undersized cells PLUS their
+    targets (the price of the fresh-cid posture — targets are
+    re-labeled, not re-scored).
+
+    Same write discipline as split_oversized: monotone replay-stable
+    cid allocation off the live centroid table, vec_id anti-join
+    against rows at/above base for idempotent crash-replay, staged
+    two-rename centroid swap as the commit point, dead rows reclaimed
+    by compact(reclaim=True). Raises if no cell reaches the floor
+    (nothing to merge into — rebuild instead).
+
+    Returns counts: cells_merged / merge_targets / rows_moved /
+    cells_live_before / cells_live_after.
+    """
+    t_cells, t_cent = _tables(name)
+    cells = spark.table(t_cells)
+    cent = spark.table(t_cent)
+    live = cells.join(F.broadcast(cent.select("cid")), "cid", "left_semi")
+    sizes = live.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    under = sizes.filter(F.col("n") < floor).select("cid")
+    n_live_before = cent.count()
+    n_under = under.count()
+    if n_under == 0:
+        return {
+            "cells_merged": 0,
+            "merge_targets": 0,
+            "rows_moved": 0,
+            "cells_live_before": n_live_before,
+            "cells_live_after": n_live_before,
+        }
+    survivors = cent.join(
+        F.broadcast(sizes.filter(F.col("n") >= floor).select("cid")),
+        "cid",
+        "left_semi",
+    )
+    if survivors.isEmpty():
+        raise ValueError(
+            f"every live cell of {name!r} is below floor={floor} — "
+            "nothing to merge into; rebuild the state"
+        )
+    # nearest surviving centroid per undersized centroid (k x k over
+    # two broadcast k-row tables — cell-scale, never the corpus)
+    uc = cent.join(F.broadcast(under), "cid", "left_semi").select(
+        F.col("cid").alias("u_cid"), F.col("c_emb").alias("u_emb")
+    )
+    sc = survivors.select(
+        F.col("cid").alias("t_cid"), F.col("c_emb").alias("t_emb")
+    )
+    cosuv = V.cosine(F.col("u_emb"), F.col("t_emb"))
+    w_t = Window.partitionBy("u_cid").orderBy(F.col("_cos").desc(), "t_cid")
+    pairing = (
+        uc.crossJoin(F.broadcast(sc))
+        .select("u_cid", "t_cid", cosuv.alias("_cos"))
+        .withColumn("_rn", F.row_number().over(w_t))
+        .filter(F.col("_rn") == 1)
+        .select("u_cid", "t_cid")
+    )
+    targets = pairing.select("t_cid").distinct()
+    n_targets = targets.count()
+    # fresh cid per TARGET (0-based rank by t_cid; the split allocator)
+    ranks = targets.withColumn(
+        "_cr", F.row_number().over(Window.orderBy("t_cid")) - F.lit(1)
+    )
+    base = cent.agg(F.max("cid")).collect()[0][0] + 1
+    newmap = ranks.select(
+        "t_cid", (F.lit(base) + F.col("_cr")).alias("new_cid")
+    )
+    # old cid -> new cid for every retiring cell (unders AND targets)
+    relabel = (
+        pairing.join(F.broadcast(newmap), "t_cid")
+        .select(F.col("u_cid").alias("cid"), "new_cid")
+        .unionByName(
+            newmap.select(F.col("t_cid").alias("cid"), "new_cid")
+        )
+    )
+    moved = (
+        live.join(F.broadcast(relabel), "cid")
+        .withColumn("cid", F.col("new_cid"))
+        .select(*cells.columns)
+    )
+    already = cells.filter(F.col("cid") >= base).select(id_col)
+    moved = moved.join(already, id_col, "left_anti")
+    moved = moved.localCheckpoint(eager=True)
+    n_moved = moved.count()
+    if n_moved:
+        nb = sinks.resolve_num_buckets(
+            _location(spark, t_cells), num_buckets, STATE_BUCKETS
+        )
+        moved.write.mode("append").format("parquet").bucketBy(
+            nb, "cid"
+        ).saveAsTable(t_cells)
+    # commit: retire unders and targets, add the unions (the target's
+    # centroid vector under the fresh cid)
+    retired = relabel.select("cid")
+    add = newmap.join(
+        cent.withColumnRenamed("cid", "t_cid"), "t_cid"
+    ).select(F.col("new_cid").alias("cid"), "c_emb")
+    newcent = (
+        cent.join(F.broadcast(retired), "cid", "left_anti")
+        .select("cid", "c_emb")
+        .unionByName(add)
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    _swap_table(spark, t_cent, newcent)
+    return {
+        "cells_merged": n_under,
+        "merge_targets": n_targets,
+        "rows_moved": n_moved,
+        "cells_live_before": n_live_before,
+        # each under retires; each target retires but is replaced by
+        # exactly one union cell -> net -n_under
+        "cells_live_after": n_live_before - n_under,
+    }
+
+
 def _swap_table(spark: SparkSession, table: str, df: DataFrame) -> None:
     """Replace a small unbucketed state table's data via the staged
     two-rename swap (stage at ``__compact`` — always complete before

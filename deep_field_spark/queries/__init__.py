@@ -469,9 +469,18 @@ _PRIORITY = [
     #   trained strict superset — ann_ivf_autok, ann_ivf_recall and
     #   this maintenance chart over the same persisted layout).
     "ann_cell_split",
+    # - ann_cell_merge: the symmetric maintenance verb (undersized
+    #   cells retire into their nearest surviving cell; fresh-cid
+    #   unions keep the crash-safety invariant). Slot funded by
+    #   dedup_embedding_cosine rotating out (green r01/r03-r06/r10/
+    #   r11 — the registry's most over-evidenced row; the bucketed
+    #   embedding near-dup machinery stays in-window four ways:
+    #   dedup_semantic, decontam_embedding, embedding_hard_negatives
+    #   and the exact-twin recall check in pytest).
+    "ann_cell_merge",
     "ann_ivf_kmeans",
     "ann_lsh_bucket", "ann_lsh_multiprobe", "ann_recall_report",
-    "dedup_semantic", "dedup_embedding_cosine", "decontam_embedding",
+    "dedup_semantic", "decontam_embedding",
     # the PQ serving pair rides along (single-green r08 each): the net
     # -2 of this rotation would otherwise promote the no-oracle scrape
     # fixtures into the top-50 budget window

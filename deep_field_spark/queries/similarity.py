@@ -4830,3 +4830,220 @@ def _csplit_maint(
 )
 def ann_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _csplit_maint(spark, sf_dir, _csplit_build(spark, sf_dir))
+
+
+# --- cell-merge rebalance: the symmetric maintenance verb --------------
+
+
+def _cos_cc_sql(a: str, b: str) -> str:
+    """cos(double-list a.c, double-list b.c) — centroid-vs-centroid,
+    explicit sums (the _sum_sql discipline)."""
+    num = _sum_sql(f"{a}.c[{{i}}] * {b}.c[{{i}}]", DIM)
+    na = "sqrt(" + _sum_sql(f"{a}.c[{{i}}] * {a}.c[{{i}}]", DIM) + ")"
+    nb = "sqrt(" + _sum_sql(f"{b}.c[{{i}}] * {b}.c[{{i}}]", DIM) + ")"
+    return f"{num} / ({na} * {nb})"
+
+
+def _cmerge_floor(spark: SparkSession, sf_dir: str) -> int:
+    """The chart's deterministic merge threshold: the cell size at
+    ascending rank ⌈m/4⌉ (discrete p25, ties by cid) — cells strictly
+    below it merge. Non-vacuous at every driver SF (3/3/7 cells at
+    sf0.001/0.01/0.1). Production passes an explicit occupancy floor
+    (e.g. a fraction of the mean) instead; the quantile is chart
+    policy. k-scale frames throughout."""
+    sizes = (
+        _train_cell_asg(spark, sf_dir)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = sizes.count()
+    r = (m + 3) // 4  # == ceil(m/4), integer-exact
+    return (
+        sizes.withColumn(
+            "rn", F.row_number().over(Window.orderBy("n", "cid"))
+        )
+        .filter(F.col("rn") == r)
+        .collect()[0]["n"]
+    )
+
+
+def _cmerge_build(spark: SparkSession, sf_dir: str) -> str:
+    """The hermetic day-1 state the merge chart maintains (the
+    _csplit_build twin; bench phase cmerge.build)."""
+    import hashlib
+
+    from ..operators import ivf_state
+
+    name = "cmerge_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    n = scaling.corpus_count(spark, sf_dir, "embeddings")
+    ivf_state.build(
+        _emb_frame(spark, sf_dir),
+        _train_lloyd_full(spark, sf_dir),
+        name,
+        n_rows=n,
+    )
+    return name
+
+
+def _cmerge_maint(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """The recurring maintenance leg (the _csplit_maint twin): derive
+    the floor, merge the undersized cells, measure the before/after
+    geometry from the REAL tables, reclaim, pin the post-compact row
+    count."""
+    from ..operators import ivf_state
+
+    n = scaling.corpus_count(spark, sf_dir, "embeddings")
+    k = _derived_cells(spark, sf_dir)
+    floor = _cmerge_floor(spark, sf_dir)
+    t_cells = f"{name}_cells"
+    t_cent = f"{name}_centroids"
+
+    pre_sizes = (
+        spark.table(t_cells).groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    )
+    pre = (
+        pre_sizes.agg(
+            F.count(F.lit(1)).alias("n_cells_before"),
+            F.min("n").alias("min_before"),
+            F.max("cid").alias("_pre_max_cid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pre_max_cid = pre.collect()[0]["_pre_max_cid"]
+
+    rep = ivf_state.merge_undersized(spark, name, floor=floor)
+
+    post_cells = spark.table(t_cells)
+    live = post_cells.join(
+        F.broadcast(spark.table(t_cent).select("cid")), "cid", "left_semi"
+    )
+    post = (
+        post_cells.agg(F.count(F.lit(1)).alias("_total"))
+        .crossJoin(live.agg(F.count(F.lit(1)).alias("_live")))
+        .crossJoin(
+            live.filter(F.col("cid") > pre_max_cid).agg(
+                F.count(F.lit(1)).alias("rows_moved")
+            )
+        )
+        .crossJoin(
+            live.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.min("n").alias("min_after"))
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    ivf_state.compact(spark, name, reclaim=True)
+    after = spark.table(t_cells).agg(
+        F.count(F.lit(1)).alias("rows_after_compact")
+    )
+
+    return (
+        pre.crossJoin(post)
+        .crossJoin(after)
+        .select(
+            F.lit(n).cast("long").alias("n_corpus"),
+            F.lit(k).cast("long").alias("k_derived"),
+            F.col("n_cells_before").cast("long"),
+            F.lit(floor).cast("long").alias("floor"),
+            F.lit(rep["cells_merged"]).cast("long").alias("cells_merged"),
+            F.lit(rep["merge_targets"]).cast("long").alias("merge_targets"),
+            (F.col("n_cells_before") - F.lit(rep["cells_merged"]))
+            .cast("long")
+            .alias("n_cells_after"),
+            F.col("rows_moved").cast("long"),
+            (F.col("_total") - F.col("_live")).cast("long").alias("dead_rows"),
+            F.col("min_before").cast("long"),
+            F.col("min_after").cast("long"),
+            F.col("rows_after_compact").cast("long"),
+        )
+    )
+
+
+@register(
+    "ann_cell_merge",
+    oracle=f"""
+    WITH {_kmeans_ctes("embeddings")},
+    cent AS (SELECT cid, c FROM cent{KMEANS_ITERS}),
+    s_all AS (SELECT v.vec_id, c.cid, {_cos_vc_sql('v', 'c')} AS cos
+              FROM embeddings v, cent c),
+    a_flat AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cos DESC, cid) AS rn
+                 FROM s_all) WHERE rn = 1),
+    sizes AS (SELECT cid, count(*) AS n FROM a_flat GROUP BY cid),
+    msz AS (SELECT count(*) AS m FROM sizes),
+    floorrow AS (SELECT n AS fl FROM (
+                   SELECT n, cid,
+                          row_number() OVER (ORDER BY n, cid) AS rn
+                   FROM sizes) s, msz
+                 WHERE s.rn = CAST(ceil(msz.m / 4.0) AS BIGINT)),
+    under AS (SELECT s.cid FROM sizes s, floorrow f WHERE s.n < f.fl),
+    surv AS (SELECT s.cid FROM sizes s, floorrow f WHERE s.n >= f.fl),
+    pairing AS (SELECT u_cid, t_cid FROM (
+                  SELECT cu.cid AS u_cid, ct.cid AS t_cid,
+                         row_number() OVER (
+                           PARTITION BY cu.cid
+                           ORDER BY {_cos_cc_sql('cu', 'ct')} DESC,
+                                    ct.cid) AS rn
+                  FROM cent cu
+                  JOIN under u ON cu.cid = u.cid,
+                       cent ct JOIN surv sv ON ct.cid = sv.cid)
+                WHERE rn = 1),
+    targets AS (SELECT DISTINCT t_cid FROM pairing),
+    ranks AS (SELECT t_cid, row_number() OVER (ORDER BY t_cid) - 1 AS cr
+              FROM targets),
+    basec AS (SELECT max(cid) + 1 AS b FROM cent),
+    newmap AS (SELECT r.t_cid, b.b + r.cr AS new_cid
+               FROM ranks r, basec b),
+    relabel AS (SELECT p.u_cid AS cid, nm.new_cid
+                FROM pairing p JOIN newmap nm USING (t_cid)
+                UNION ALL
+                SELECT t_cid, new_cid FROM newmap),
+    movedq AS (SELECT rl.new_cid, a.vec_id
+               FROM a_flat a JOIN relabel rl ON rl.cid = a.cid),
+    post_sizes AS (
+      SELECT s.cid, s.n FROM sizes s
+      WHERE s.cid NOT IN (SELECT cid FROM relabel)
+      UNION ALL
+      SELECT new_cid, count(*) FROM movedq GROUP BY new_cid)
+    SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_corpus,
+           CAST({_K_CELLS_SQL} AS BIGINT) AS k_derived,
+           CAST((SELECT count(*) FROM sizes) AS BIGINT) AS n_cells_before,
+           CAST((SELECT fl FROM floorrow) AS BIGINT) AS floor,
+           CAST((SELECT count(*) FROM under) AS BIGINT) AS cells_merged,
+           CAST((SELECT count(*) FROM targets) AS BIGINT) AS merge_targets,
+           CAST((SELECT count(*) FROM sizes)
+                - (SELECT count(*) FROM under) AS BIGINT) AS n_cells_after,
+           CAST((SELECT count(*) FROM movedq) AS BIGINT) AS rows_moved,
+           CAST((SELECT count(*) FROM movedq) AS BIGINT) AS dead_rows,
+           CAST((SELECT min(n) FROM sizes) AS BIGINT) AS min_before,
+           CAST((SELECT min(n) FROM post_sizes) AS BIGINT) AS min_after,
+           CAST((SELECT count(*) FROM embeddings) AS BIGINT)
+             AS rows_after_compact
+    """,
+    doc="Cell-merge rebalance — split_oversized's symmetric "
+        "maintenance verb (ivf_state.merge_undersized): drift leaves "
+        "near-empty cells behind, and a cold cell is a wasted probe — "
+        "every query ranks all k live centroids, and a husk that ranks "
+        "inside nprobe buys a probe slot's cost for almost no "
+        "candidates. Each cell below the floor (here the discrete p25 "
+        "of live sizes; production passes an occupancy floor) retires "
+        "into its nearest surviving cell: the survivor keeps its "
+        "centroid VECTOR (re-fitting geometry is the trainer's job) "
+        "but the union takes a FRESH cid — appending under the "
+        "survivor's live cid would serve a vector from two cells "
+        "between append and commit, exactly the crash-safety window "
+        "the tombstone pattern closes. Same write discipline as the "
+        "split chart (monotone cid allocation, idempotent append, "
+        "staged centroid swap, compact(reclaim=True)); the chart "
+        "hash-pins the pairing (nearest-survivor by centroid cosine), "
+        "fresh-cid allocation, moved/dead rows measured off the real "
+        "bucketed table, min cell size before/after, and the "
+        "post-reclaim count returning to exactly n_corpus.",
+)
+def ann_cell_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cmerge_maint(spark, sf_dir, _cmerge_build(spark, sf_dir))

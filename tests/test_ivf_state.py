@@ -930,3 +930,94 @@ def test_split_on_hier_built_state_routes_new_cells_through_supers(
     r = ivf_state.ingest(spark, state_name, batch)
     row = r.collect()[0]
     assert row.cid in (3, 4), row
+
+
+def test_merge_undersized_retires_cold_cells_and_reclaims(
+    spark, state_name
+):
+    vecs, hot = _skewed_state(spark, state_name)  # 40 hot, 6+6 cold
+    n_total = vecs.count()
+    pre_ids = {
+        r.vec_id
+        for r in spark.table(f"{state_name}_cells").select("vec_id").collect()
+    }
+
+    rep = ivf_state.merge_undersized(spark, state_name, floor=10)
+    assert rep["cells_merged"] == 2
+    assert rep["merge_targets"] == 1
+    # both cold cells AND their target re-label -> all rows moved
+    assert rep["rows_moved"] == n_total
+    assert rep["cells_live_before"] == 3
+    assert rep["cells_live_after"] == 1
+
+    cent = spark.table(f"{state_name}_centroids")
+    assert {r.cid for r in cent.collect()} == {3}
+    post = spark.table(f"{state_name}_cells")
+    live = post.join(F.broadcast(cent.select("cid")), "cid", "left_semi")
+    assert {r.vec_id for r in live.select("vec_id").collect()} == pre_ids
+    assert post.count() - live.count() == n_total  # tombstones
+
+    # full-probe serving still answers over the single union cell
+    q = vecs.limit(4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    res = ivf_state.search(spark, state_name, q, k=3, nprobe=1)
+    before = {(r.qid, r.rnk, r.neighbor_id) for r in res.collect()}
+    assert len(before) == 12
+
+    ivf_state.compact(spark, state_name, reclaim=True)
+    assert spark.table(f"{state_name}_cells").count() == n_total
+    res2 = ivf_state.search(spark, state_name, q, k=3, nprobe=1)
+    assert {(r.qid, r.rnk, r.neighbor_id) for r in res2.collect()} == before
+
+    # idempotence: the union is comfortably above the floor
+    rep2 = ivf_state.merge_undersized(spark, state_name, floor=10)
+    assert rep2["cells_merged"] == 0
+
+
+def test_merge_crash_replay_is_idempotent(spark, state_name):
+    """Crash-sim: merged rows appended, centroid swap (the commit)
+    lost. Pre-commit the OLD cells still serve (new rows dead — no
+    live centroid at cid >= base); the replay moves 0 rows and the
+    commit revives the crashed append."""
+    vecs, _ = _skewed_state(spark, state_name)
+    ivf_state.merge_undersized(spark, state_name, floor=10)
+    # reconstruct pre-commit: original 3-centroid table live again
+    dim = 8
+    cents = [[0.0] * dim for _ in range(3)]
+    cents[0][0] = 1.0
+    cents[1][1] = 1.0
+    cents[2][2] = 1.0
+    old = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cid long, c_emb array<double>",
+    ).coalesce(1).localCheckpoint(eager=True)
+    ivf_state._swap_table(spark, f"{state_name}_centroids", old)
+
+    q = vecs.filter(F.col("vec_id") == 45).select(  # a cold vector
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    assert ivf_state.search(spark, state_name, q, k=2, nprobe=1).count() == 2
+
+    n_mid = spark.table(f"{state_name}_cells").count()
+    rep2 = ivf_state.merge_undersized(spark, state_name, floor=10)
+    assert rep2["cells_merged"] == 2
+    assert rep2["rows_moved"] == 0
+    assert spark.table(f"{state_name}_cells").count() == n_mid
+    live = spark.table(f"{state_name}_cells").join(
+        F.broadcast(
+            spark.table(f"{state_name}_centroids").select("cid")
+        ),
+        "cid",
+        "left_semi",
+    )
+    assert (
+        live.groupBy("vec_id").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+
+
+def test_merge_refuses_when_no_cell_reaches_floor(spark, state_name):
+    _skewed_state(spark, state_name)
+    with pytest.raises(ValueError, match="floor"):
+        ivf_state.merge_undersized(spark, state_name, floor=1000)

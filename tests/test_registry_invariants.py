@@ -24,11 +24,12 @@ REGISTRY = load_registry()
 _EXECUTING = {
     "scrape_star_plays", "scrape_star_games", "scrape_player_dim",
     "scrape_core_resolved_plays",
-    # state-maintenance lifecycle: build + split_oversized + reclaim
-    # all run before the metrics frame exists; its window discipline
+    # state-maintenance lifecycle: build + split/merge + reclaim all
+    # run before the metrics frame exists; their window discipline
     # (every ordered window is k-scale — cells, not vectors) is pinned
-    # by tests/test_ivf_state.py's split suite instead
+    # by tests/test_ivf_state.py's split/merge suites instead
     "ann_cell_split",
+    "ann_cell_merge",
 } | {n for n in REGISTRY if n.startswith("streaming_")}
 
 # declared exceptions: tiny bounded inputs where a single-task window
@@ -82,8 +83,12 @@ def test_round12_window_slots():
     in-window forms: kmeans/autok/recall + the maintenance chart)."""
     names = list(REGISTRY)[:DRIVER_WINDOW]
     for q in (
-        # round-12 first-evidence
-        "ann_hier_recall", "ann_cell_split",
+        # round-12 first-evidence (ann_cell_merge's slot funded by
+        # dedup_embedding_cosine rotating out — green r01/r03-r06/
+        # r10/r11; the bucketed embedding near-dup machinery keeps
+        # dedup_semantic / decontam_embedding / embedding_hard_
+        # negatives in-window)
+        "ann_hier_recall", "ann_cell_split", "ann_cell_merge",
         # round-11 first-evidence keeps (ann_hier_assign:
         # changed-semantics re-earn)
         "ann_train_autocap", "ann_hier_assign", "decontam_bloom",
@@ -92,7 +97,7 @@ def test_round12_window_slots():
         "streaming_dedup_ingest", "ann_mips_reduction",
         "ann_ivf_kmeans",
         "ann_lsh_bucket", "ann_lsh_multiprobe", "ann_recall_report",
-        "dedup_semantic", "dedup_embedding_cosine", "decontam_embedding",
+        "dedup_semantic", "decontam_embedding",
         "embedding_pq_codes", "ann_pq_adc_search",
         # round-9 first-evidence keeps (single-green each)
         "ann_ivfpq_incremental", "streaming_ann_serve",
@@ -120,7 +125,7 @@ def test_round12_window_slots():
     for gone in (
         "join_bloom_pruned", "dq_key_skew_profile",
         "corpus_stratified_quota", "dq_distribution_drift",
-        "ann_ivf_cells",
+        "ann_ivf_cells", "dedup_embedding_cosine",
     ):
         assert gone not in names, f"{gone} should have rotated out"
 

@@ -58,6 +58,9 @@ SF1_QUERIES = [
     # thousands of moved rows, the first scale where the maintenance
     # verb's localized-cost claim is load-bearing
     "ann_cell_split",
+    # r12: the symmetric merge verb at the same binding scale (the
+    # bottom quartile of 128 live cells retires into survivors)
+    "ann_cell_merge",
     "dedup_minhash_autok",
     "ann_ivf_kmeans",
     "ann_ivfpq_search",
