@@ -60,14 +60,17 @@ def assign(
     columns on ``vecs`` (e.g. PQ codes) ride along untouched — the
     cell table is the natural home for per-vector serving payload."""
     payload = [c for c in vecs.columns if c not in (id_col, vec_col)]
-    cos = V.cosine(F.col(vec_col), F.col("c_emb"))
-    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), "cid")
-    return (
-        vecs.crossJoin(F.broadcast(centroids.select("cid", "c_emb")))
-        .select(id_col, vec_col, *payload, "cid", cos.alias("_cos"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("cid", id_col, vec_col, *payload)
+    # per-row HOF argmax over the collected centroid array: zero
+    # Exchange (the window form shuffled n·k scored rows carrying the
+    # vector payload k times; guide §2.4). Tie discipline identical
+    # (cos DESC, lowest cid — see functions/vectors.py).
+    return vecs.crossJoin(
+        F.broadcast(V.centroid_struct_array(centroids.select("cid", "c_emb")))
+    ).select(
+        V.argmax_cos_cid(F.col(vec_col), F.col("_cents")).alias("cid"),
+        id_col,
+        vec_col,
+        *payload,
     )
 
 
@@ -90,16 +93,27 @@ def super_probe(
     (the chart computes the ranking once, not once per rung). Same
     ranking discipline as assign_hier's internal level-1 pass; the
     oracle pins both against one SQL chain."""
-    sup = supers.select(F.col("cid").alias("scid"), F.col("c_emb").alias("_sc"))
-    cos = V.cosine(F.col(vec_col), F.col("_sc"))
-    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), "scid")
+    # per-row HOF top-p over the collected super array: zero Exchange
+    # (the window form shuffled n·g scored rows; guide §2.4). Ranking
+    # discipline identical (cos DESC, lowest scid — see vectors.py).
     return (
         vecs.select(id_col, vec_col)
-        .crossJoin(F.broadcast(sup))
-        .select(id_col, "scid", cos.alias("_cos"))
-        .withColumn("probe_rn", F.row_number().over(w))
-        .filter(F.col("probe_rn") <= probes)
-        .select(id_col, "scid", *(["probe_rn"] if with_rank else []))
+        .crossJoin(F.broadcast(V.centroid_struct_array(supers)))
+        .select(
+            id_col,
+            F.posexplode(
+                V.top_cos_structs(F.col(vec_col), F.col("_cents"), probes)
+            ).alias("_p", "_t"),
+        )
+        .select(
+            id_col,
+            (-F.col("_t.nc")).alias("scid"),
+            *(
+                [(F.col("_p") + 1).cast("int").alias("probe_rn")]
+                if with_rank
+                else []
+            ),
+        )
     )
 
 
@@ -109,16 +123,13 @@ def super_children(centroids: DataFrame, supers: DataFrame) -> DataFrame:
     coarse quantizer. ``supers`` is a (cid, c_emb) table as produced by
     the same Lloyd trainer run over the centroid table
     (queries/similarity._train_lloyd_super)."""
-    sup = supers.select(F.col("cid").alias("scid"), F.col("c_emb").alias("_sc"))
-    cos = V.cosine(F.col("c_emb"), F.col("_sc"))
-    w = Window.partitionBy("cid").orderBy(F.col("_cos").desc(), "scid")
     return (
         centroids.select("cid", "c_emb")
-        .crossJoin(F.broadcast(sup))
-        .select("cid", "scid", cos.alias("_cos"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("cid", "scid")
+        .crossJoin(F.broadcast(V.centroid_struct_array(supers)))
+        .select(
+            "cid",
+            V.argmax_cos_cid(F.col("c_emb"), F.col("_cents")).alias("scid"),
+        )
     )
 
 
@@ -148,26 +159,59 @@ def assign_hier(
     probed-super set use ``super_probe`` — at p>1 a single winning
     scid column would under-state the probe set."""
     payload = [c for c in vecs.columns if c not in (id_col, vec_col)]
-    sup = supers.select(F.col("cid").alias("scid"), F.col("c_emb").alias("_sc"))
-    cos_vs = V.cosine(F.col(vec_col), F.col("_sc"))
-    w_v = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), "scid")
-    vs = (
-        vecs.crossJoin(F.broadcast(sup))
-        .select(id_col, vec_col, *payload, "scid", cos_vs.alias("_cos"))
-        .withColumn("_rn", F.row_number().over(w_v))
-        .filter(F.col("_rn") <= super_probes)
-        .select(id_col, vec_col, *payload, "scid")
-    )
+    # Both levels are per-row HOF passes over broadcast one-row
+    # artifacts (guide §2.4): level 1 ranks the g-row super array and
+    # keeps the top ``super_probes`` scids; level 2 argmaxes over the
+    # UNION of those supers' child-centroid arrays, looked up in a
+    # scid → children map (children sets are disjoint — each centroid
+    # maps to exactly ONE super). Zero Exchange; the window form
+    # shuffled n·(g + p·√k) scored rows twice. A childless probed
+    # super contributes no candidates (element_at → NULL, filtered) —
+    # the same drop the old inner join on the child map produced,
+    # which build()'s post-write count guard turns into a loud error.
     cm = super_children(centroids, supers)
-    cos_vc = V.cosine(F.col(vec_col), F.col("c_emb"))
-    w_h = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), "cid")
+    cmap = (
+        cm.join(centroids.select("cid", "c_emb"), "cid")
+        .groupBy("scid")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("cid"), F.col("c_emb")))
+            ).alias("_ch")
+        )
+        .agg(
+            F.map_from_entries(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("scid"), F.col("_ch")))
+                )
+            ).alias("_cmap")
+        )
+    )
+    probed = F.transform(
+        V.top_cos_structs(F.col(vec_col), F.col("_cents"), super_probes),
+        lambda t: -t["nc"],
+    )
+    kids = F.flatten(
+        F.filter(
+            F.transform(probed, lambda s: F.element_at(F.col("_cmap"), s)),
+            lambda a: a.isNotNull(),
+        )
+    )
     return (
-        vs.join(F.broadcast(cm), "scid")
-        .join(F.broadcast(centroids.select("cid", "c_emb")), "cid")
-        .select(id_col, vec_col, *payload, "cid", cos_vc.alias("_cos"))
-        .withColumn("_rn", F.row_number().over(w_h))
-        .filter(F.col("_rn") == 1)
-        .select("cid", id_col, vec_col, *payload)
+        vecs.crossJoin(F.broadcast(V.centroid_struct_array(supers)))
+        .crossJoin(F.broadcast(cmap))
+        .select(
+            id_col,
+            vec_col,
+            *payload,
+            kids.alias("_kids"),
+        )
+        .filter(F.size("_kids") > 0)
+        .select(
+            V.argmax_cos_cid(F.col(vec_col), F.col("_kids")).alias("cid"),
+            id_col,
+            vec_col,
+            *payload,
+        )
     )
 
 
@@ -435,15 +479,21 @@ def probe(
     from. Queries must carry (qid, q_emb); ``keep`` names the query
     columns to carry through to the cell join."""
     cent = spark.table(_tables(name)[1])
-    pcos = V.cosine(F.col("q_emb"), F.col("c_emb"))
-    wp = Window.partitionBy("qid").orderBy(F.col("_pcos").desc(), "cid")
+    # per-row HOF top-nprobe over the collected centroid array: zero
+    # Exchange (the window form shuffled |q|·k scored rows carrying
+    # q_emb; guide §2.4). Ranking identical (cos DESC, lowest cid).
     return (
-        queries.crossJoin(F.broadcast(cent))
-        .select("qid", *[c for c in keep if c != "qid"], "cid",
-                pcos.alias("_pcos"))
-        .withColumn("_rn", F.row_number().over(wp))
-        .filter(F.col("_rn") <= nprobe)
-        .drop("_pcos", "_rn")
+        queries.crossJoin(F.broadcast(V.centroid_struct_array(cent)))
+        .select(
+            "qid",
+            *[c for c in keep if c != "qid"],
+            F.explode(
+                F.transform(
+                    V.top_cos_structs(F.col("q_emb"), F.col("_cents"), nprobe),
+                    lambda t: -t["nc"],
+                )
+            ).alias("cid"),
+        )
     )
 
 

@@ -108,39 +108,60 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(SUPP_OFFSET) + F.col("s")).alias("src"), F.col("c").alias("dst")
         )
     )
-    edges = iter_checkpoint(edges)
-
-    deg = iter_checkpoint(edges.groupBy("src").agg(F.count("*").alias("deg")))
+    # Loop-partitioning discipline (guide §2.4): the edge table is
+    # hash-partitioned AND sorted on the per-round join key ONCE, at
+    # build time, and checkpoint preserves both (LogicalRDD keeps the
+    # physical plan's outputPartitioning/outputOrdering) — so every
+    # round's edges⋈state sort-merge join re-shuffles and re-sorts
+    # only the node-sized state, never the edge payload. The explicit
+    # partition count pins the layout across rounds (an AQE-coalesced
+    # count would be decided per materialization).
+    n_part = spark.sparkContext.defaultParallelism
+    edges = iter_checkpoint(
+        edges.repartition(n_part, "src").sortWithinPartitions("src")
+    )
+    # One static node table carrying every per-node constant the loop
+    # and the final projection need: degree, the teleport term 0.15/N
+    # and N itself — computed once instead of a broadcast crossJoin
+    # per round (same doubles: 0.15/n was a per-row double division
+    # before too). Co-partitioned and pre-sorted like edges.
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     n_df = iter_checkpoint(deg.agg(F.count("*").alias("n")))
-    ranks = deg.crossJoin(F.broadcast(n_df)).select(
+    nodes = iter_checkpoint(
+        deg.crossJoin(F.broadcast(n_df))
+        .select(
+            "src",
+            "deg",
+            (F.lit(0.15) / F.col("n")).alias("tele"),
+            "n",
+        )
+        .repartition(n_part, "src")
+        .sortWithinPartitions("src")
+    )
+    state = nodes.select(
         F.col("src").alias("node"),
+        "deg",
         (F.lit(1.0) / F.col("n")).alias("rank"),
     )
     for _ in range(PR_ITERS):
-        msg = (
-            edges.join(ranks, edges.src == F.col("node"))
-            .join(deg, "src")
-            .select("dst", (F.col("rank") / F.col("deg")).alias("contrib"))
+        # state carries (node, deg, rank), so contrib = rank/deg needs
+        # no second join against deg inside the round
+        msg = edges.join(state, edges.src == F.col("node")).select(
+            "dst", (F.col("rank") / F.col("deg")).alias("contrib")
         )
         agg = msg.groupBy("dst").agg(
             F.sum(F.col("contrib").cast("decimal(38,18)")).cast("double").alias("s")
         )
-        ranks = (
-            deg.join(agg, deg.src == agg.dst, "left")
-            .crossJoin(F.broadcast(n_df))
-            .select(
-                F.col("src").alias("node"),
-                (
-                    F.lit(0.15) / F.col("n")
-                    + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
-                )
-                .cast("decimal(38,18)")
-                .cast("double")
-                .alias("rank"),
-            )
+        state = nodes.join(agg, nodes.src == agg.dst, "left").select(
+            F.col("src").alias("node"),
+            "deg",
+            (F.col("tele") + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0)))
+            .cast("decimal(38,18)")
+            .cast("double")
+            .alias("rank"),
         )
-        ranks = iter_checkpoint(ranks)
-    return ranks.crossJoin(F.broadcast(n_df)).select(
+        state = iter_checkpoint(state)
+    return state.crossJoin(F.broadcast(n_df)).select(
         "node",
         F.when(F.col("node") >= SUPP_OFFSET, "supplier")
         .otherwise("customer")

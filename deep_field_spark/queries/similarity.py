@@ -194,18 +194,33 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") < _derived_cells(spark, sf_dir)).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
-    cos_c = vectors.cosine(F.col("embedding"), F.col("c_emb"))
-    scores = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "embedding", "cid", cos_c.alias("cos")
+    # per-row HOF argmax / top-N_PROBE over the broadcast centroid
+    # array — zero Exchange (guide §2.4; ranking identical to the old
+    # window form: cos DESC, ties to the lowest cid)
+    carr = vectors.centroid_struct_array(cent)
+    assign = emb.crossJoin(F.broadcast(carr)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        vectors.argmax_cos_cid(F.col("embedding"), F.col("_cents")).alias(
+            "cid"
+        ),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
-    ranked = scores.withColumn("rn", F.row_number().over(w))
-    assign = ranked.filter(F.col("rn") == 1).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"), "cid"
+    probes = (
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .crossJoin(F.broadcast(carr))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(
+                F.transform(
+                    vectors.top_cos_structs(
+                        F.col("embedding"), F.col("_cents"), N_PROBE
+                    ),
+                    lambda t: -t["nc"],
+                )
+            ).alias("cid"),
+        )
     )
-    probes = ranked.filter(
-        (F.col("rn") <= N_PROBE) & (F.col("vec_id") % QUERY_MOD == 0)
-    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "cid")
     cos_qn = vectors.cosine(F.col("q_emb"), F.col("n_emb"))
     scored = (
         probes.join(assign, "cid")
@@ -824,33 +839,48 @@ def _lloyd_centroids(
     Returns cid → c_emb (array<double>). Cells that lose all members
     disappear (standard Lloyd's degeneracy; deterministic here).
     """
+    dim = DIM  # every trainer family feeds 64-dim vectors (pinned by
+    # the oracle replay; _sem_augmented twins stay 64-dim)
     cent = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"),
         F.transform("embedding", lambda x: x.cast("double")).alias("c_emb"),
     )
     for _ in range(iters):
-        cos = vectors.cosine(F.col("embedding"), F.col("c_emb"))
-        scores = emb.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "embedding", "cid", cos.alias("cos")
+        # per-row argmax over the broadcast centroid ARRAY (one row):
+        # zero Exchange, zero Sort — the window form shuffled n·k
+        # scored rows carrying the vector payload (guide §2.4). Tie
+        # discipline identical (cos DESC, lowest cid; see vectors.py).
+        assign = emb.crossJoin(
+            F.broadcast(vectors.centroid_struct_array(cent))
+        ).select(
+            "vec_id",
+            "embedding",
+            vectors.argmax_cos_cid(F.col("embedding"), F.col("_cents")).alias(
+                "cid"
+            ),
         )
-        w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cid")
-        assign = (
-            scores.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "embedding", "cid")
+        # per-cell component means as ONE wide hash agg (dim decimal
+        # sums + a count) instead of posexplode → groupBy(cid, pos) →
+        # groupBy(cid)+collect_list: one Exchange instead of two, no
+        # n·dim row blow-up, and decimal addition is exactly
+        # associative so each component's sum is bit-identical.
+        sums = assign.groupBy("cid").agg(
+            F.count("*").alias("_n"),
+            *[
+                F.sum(
+                    F.col("embedding")[i].cast("double").cast("decimal(28,9)")
+                ).alias(f"_s{i}")
+                for i in range(dim)
+            ],
         )
-        pe = assign.select("cid", F.posexplode("embedding").alias("pos", "x"))
-        sums = pe.groupBy("cid", "pos").agg(
-            F.sum(F.col("x").cast("double").cast("decimal(28,9)")).alias("s"),
-            F.count("*").alias("n"),
-        )
-        comp = sums.select(
-            "cid", "pos", (F.col("s").cast("double") / F.col("n")).alias("v")
-        )
-        cent = (
-            comp.groupBy("cid")
-            .agg(F.sort_array(F.collect_list(F.struct("pos", "v"))).alias("pp"))
-            .select("cid", F.col("pp.v").alias("c_emb"))
+        cent = sums.select(
+            "cid",
+            F.array(
+                *[
+                    (F.col(f"_s{i}").cast("double") / F.col("_n"))
+                    for i in range(dim)
+                ]
+            ).alias("c_emb"),
         )
     return cent
     # Lineage note: iteration N's plan contains iterations 1..N-1 as
@@ -970,18 +1000,20 @@ def _kmeans_ctes(
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     cent = _train_lloyd_full(spark, sf_dir)
-    cos = vectors.cosine(F.col("embedding"), F.col("c_emb"))
-    scores = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cid", cos.alias("cos")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cid")
+    # per-row HOF argmax (zero Exchange, guide §2.4) — the winning
+    # struct carries both the cid and its cosine
     return (
-        scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        emb.crossJoin(F.broadcast(vectors.centroid_struct_array(cent)))
         .select(
             "vec_id",
-            F.col("cid").cast("long").alias("cid"),
-            F.round("cos", 4).alias("cos_sim"),
+            F.array_max(
+                vectors.scored_cents(F.col("embedding"), F.col("_cents"))
+            ).alias("_b"),
+        )
+        .select(
+            "vec_id",
+            (-F.col("_b.nc")).cast("long").alias("cid"),
+            F.round(F.col("_b.s"), 4).alias("cos_sim"),
         )
     )
 
@@ -1066,15 +1098,15 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     aug = _sem_augmented(emb)
     cent = _train_lloyd_sem_aug(spark, sf_dir)
-    cos_c = vectors.cosine(F.col("embedding"), F.col("c_emb"))
-    fs = aug.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "embedding", "cid", cos_c.alias("cos")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cid")
-    af = (
-        fs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cid")
+    # per-row HOF argmax (zero Exchange, guide §2.4)
+    af = aug.crossJoin(
+        F.broadcast(vectors.centroid_struct_array(cent))
+    ).select(
+        "vec_id",
+        "embedding",
+        vectors.argmax_cos_cid(F.col("embedding"), F.col("_cents")).alias(
+            "cid"
+        ),
     )
     a = af.select(
         F.col("cid"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a")
@@ -1484,14 +1516,20 @@ def _pq_codebooks(sv: DataFrame, k: int = PQ_K) -> DataFrame:
         "sub", F.col("vec_id").alias("cid"), F.col("sv").alias("c")
     )
     for _ in range(PQ_ITERS):
-        scores = sv.join(F.broadcast(cent), "sub").select(
-            "vec_id", "sub", "sv", "cid", _pq_d().alias("d")
+        # per-(row, sub) argmin over that subspace's collected codebook
+        # array (broadcast m-row side): no n·m·k scored rows, no
+        # window Exchange+Sort (guide §2.4). Tie discipline identical
+        # (d ASC, lowest cid; see vectors.py).
+        carr = cent.groupBy("sub").agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("cid"), F.col("c")))
+            ).alias("_codes")
         )
-        w = Window.partitionBy("vec_id", "sub").orderBy("d", "cid")
-        assign = (
-            scores.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "sub", "sv", "cid")
+        assign = sv.join(F.broadcast(carr), "sub").select(
+            "vec_id",
+            "sub",
+            "sv",
+            vectors.argmin_l2_cid(F.col("sv"), F.col("_codes")).alias("cid"),
         )
         pe = assign.select("sub", "cid", F.posexplode("sv").alias("pos", "x"))
         sums = pe.groupBy("sub", "cid", "pos").agg(
@@ -1510,15 +1548,18 @@ def _pq_codebooks(sv: DataFrame, k: int = PQ_K) -> DataFrame:
 
 
 def _pq_assign(sv: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, sub, cid): nearest code per subspace (ties to low cid)."""
-    final = sv.join(F.broadcast(cent), "sub").select(
-        "vec_id", "sub", "cid", _pq_d().alias("d")
+    """(vec_id, sub, cid): nearest code per subspace (ties to low cid).
+    Per-row HOF argmin over the broadcast per-sub codebook arrays —
+    zero window Exchange (guide §2.4)."""
+    carr = cent.groupBy("sub").agg(
+        F.sort_array(F.collect_list(F.struct(F.col("cid"), F.col("c")))).alias(
+            "_codes"
+        )
     )
-    w = Window.partitionBy("vec_id", "sub").orderBy("d", "cid")
-    return (
-        final.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "sub", "cid")
+    return sv.join(F.broadcast(carr), "sub").select(
+        "vec_id",
+        "sub",
+        vectors.argmin_l2_cid(F.col("sv"), F.col("_codes")).alias("cid"),
     )
 
 
@@ -2307,26 +2348,12 @@ def _calibration_queries(emb: DataFrame) -> DataFrame:
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     cent = _train_lloyd_full(spark, sf_dir)
-    cos_vc = vectors.cosine(F.col("embedding"), F.col("c_emb"))
-    w_asg = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), "cid")
-    asg = (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", cos_vc.alias("_cos"))
-        .withColumn("rn", F.row_number().over(w_asg))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
-    )
+    asg = _assign_cells(emb, cent)
     # fixed-size calibration sample: md5-ranked top-N (a per-partition
     # heap via TakeOrderedAndProject); q is bounded by a CONSTANT, so
     # the forced broadcasts below are policy-compliant
     q = _calibration_queries(emb)
-    qcos = vectors.cosine(F.col("q_emb"), F.col("c_emb"))
-    w_cell = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), "cid")
-    pr = (
-        q.crossJoin(F.broadcast(cent))
-        .select("qid", "cid", qcos.alias("_cos"))
-        .withColumn("cell_rn", F.row_number().over(w_cell))
-    )
+    pr = _ranked_cells(q, cent, max(IVF_NPROBES))
     np_df = spark.createDataFrame([(n,) for n in IVF_NPROBES], "nprobe int")
     probes = pr.join(
         F.broadcast(np_df), F.col("cell_rn") <= F.col("nprobe")
@@ -2975,26 +3002,20 @@ def ann_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vecs = emb.select("vec_id", "embedding")
     cent = _train_lloyd_full(spark, sf_dir)
-    cos_vc = vectors.cosine(F.col("embedding"), F.col("c_emb"))
-    w_asg = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), "cid")
-    asg = (
-        vecs.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", cos_vc.alias("_cos"))
-        .withColumn("rn", F.row_number().over(w_asg))
-        .filter(F.col("rn") == 1)
-        .join(emb.select("vec_id", "label"), "vec_id")
-        .select("vec_id", "cid", "label")
+    # per-row HOF argmax with the label riding along — the old window
+    # form also re-joined the label back by vec_id afterwards; the
+    # per-row form keeps it in place (zero Exchange, guide §2.4)
+    asg = emb.crossJoin(
+        F.broadcast(vectors.centroid_struct_array(cent))
+    ).select(
+        "vec_id",
+        vectors.argmax_cos_cid(F.col("embedding"), F.col("_cents")).alias(
+            "cid"
+        ),
+        "label",
     )
     q = _calibration_queries(emb)
-    qcos = vectors.cosine(F.col("q_emb"), F.col("c_emb"))
-    w_cell = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), "cid")
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .select("qid", "cid", qcos.alias("_cos"))
-        .withColumn("rn", F.row_number().over(w_cell))
-        .filter(F.col("rn") <= IVF_FILT_NPROBE)
-        .select("qid", "cid")
-    )
+    probes = _ranked_cells(q, cent, IVF_FILT_NPROBE).select("qid", "cid")
     fr = spark.createDataFrame(list(FILT_RANGES), "lo int, hi int")
     cand = (
         probes.join(asg, "cid")
@@ -3171,25 +3192,9 @@ PQR_K = 5
 def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     cent = _train_lloyd_full(spark, sf_dir)
-    cos_vc = vectors.cosine(F.col("embedding"), F.col("c_emb"))
-    w_asg = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), "cid")
-    asg = (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", cos_vc.alias("_cos"))
-        .withColumn("rn", F.row_number().over(w_asg))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
-    )
+    asg = _assign_cells(emb, cent)
     q = _calibration_queries(emb)
-    qcos = vectors.cosine(F.col("q_emb"), F.col("c_emb"))
-    w_cell = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), "cid")
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .select("qid", "cid", qcos.alias("_cos"))
-        .withColumn("rn", F.row_number().over(w_cell))
-        .filter(F.col("rn") <= IVFPQ_NPROBE)
-        .select("qid", "cid")
-    )
+    probes = _ranked_cells(q, cent, IVFPQ_NPROBE).select("qid", "cid")
     cand = probes.join(asg, "cid").filter(
         F.col("vec_id") != F.col("qid")
     ).select("qid", "vec_id")
@@ -3265,15 +3270,40 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _assign_cells(emb: DataFrame, cent: DataFrame) -> DataFrame:
     """(vec_id, cid): nearest-centroid argmax over the broadcast k-row
     table — the shared coarse-assignment step of every IVF query here
-    (ties to the lowest cid, the trainer's discipline)."""
-    cos_vc = vectors.cosine(F.col("embedding"), F.col("c_emb"))
-    w = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), "cid")
+    (ties to the lowest cid, the trainer's discipline). Per-row HOF
+    argmax over the collected centroid array: zero Exchange (the
+    window form shuffled n·k scored rows; guide §2.4)."""
+    return emb.crossJoin(
+        F.broadcast(vectors.centroid_struct_array(cent))
+    ).select(
+        "vec_id",
+        vectors.argmax_cos_cid(F.col("embedding"), F.col("_cents")).alias(
+            "cid"
+        ),
+    )
+
+
+def _ranked_cells(
+    q: DataFrame, cent: DataFrame, p: int, qid_col: str = "qid",
+    emb_col: str = "q_emb",
+) -> DataFrame:
+    """(qid, cid, cell_rn): each query's p best cells by (cos DESC,
+    cid ASC), cell_rn 1-based — per-row HOF top-p over the broadcast
+    centroid array (zero Exchange; same ranking as the old
+    row_number() window, guide §2.4)."""
     return (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", cos_vc.alias("_cos"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
+        q.crossJoin(F.broadcast(vectors.centroid_struct_array(cent)))
+        .select(
+            qid_col,
+            F.posexplode(
+                vectors.top_cos_structs(F.col(emb_col), F.col("_cents"), p)
+            ).alias("_p", "_t"),
+        )
+        .select(
+            qid_col,
+            (-F.col("_t.nc")).alias("cid"),
+            (F.col("_p") + 1).alias("cell_rn"),
+        )
     )
 
 
@@ -3489,15 +3519,7 @@ def ann_ivfpq_residual_recall(
         "cid", "code"
     )
     q = _calibration_queries(emb)
-    qcos = vectors.cosine(F.col("q_emb"), F.col("c_emb"))
-    w_cell = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), "cid")
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .select("qid", "cid", qcos.alias("_cos"))
-        .withColumn("rn", F.row_number().over(w_cell))
-        .filter(F.col("rn") <= IVFPQ_NPROBE)
-        .select("qid", "cid")
-    )
+    probes = _ranked_cells(q, cent, IVFPQ_NPROBE).select("qid", "cid")
     cand = (
         probes.join(asg, "cid")
         .filter(F.col("vec_id") != F.col("qid"))
@@ -4208,12 +4230,8 @@ def _hrec_serve(
     # table by construction) and fans out to every nprobe via the
     # 3-row broadcast — the ann_ivf_recall sweep pattern
     q = _calibration_queries(emb)
-    qcos = vectors.cosine(F.col("q_emb"), F.col("c_emb"))
-    w_cell = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), "cid")
-    pr = (
-        q.crossJoin(F.broadcast(spark.table(f"{states[0][1]}_centroids")))
-        .select("qid", "cid", qcos.alias("_cos"))
-        .withColumn("cell_rn", F.row_number().over(w_cell))
+    pr = _ranked_cells(
+        q, spark.table(f"{states[0][1]}_centroids"), max(IVF_NPROBES)
     )
     np_df = spark.createDataFrame([(n,) for n in IVF_NPROBES], "nprobe int")
     probes = pr.join(
