@@ -687,7 +687,7 @@ def _train_pq_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo_train(
         spark,
         ("pq_raw", sf_dir, PQ_M, PQ_K),
-        lambda: _pq_codebooks(_pq_subvectors(base)),
+        lambda: _pq_codebooks(_pq_subvectors(base), subdim=PQ_SUBDIM),
     )
 
 
@@ -704,7 +704,8 @@ def _train_pq_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         ("pq_norm", sf_dir, IVFPQ_M, IVFPQ_K),
         lambda: _pq_codebooks(
-            _pq_subvectors(base, m=IVFPQ_M), k=IVFPQ_K
+            _pq_subvectors(base, m=IVFPQ_M), k=IVFPQ_K,
+            subdim=DIM // IVFPQ_M,
         ),
     )
 
@@ -715,7 +716,8 @@ def _train_pq_norm_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         ("pq_norm_prefix", sf_dir, IVFPQ_M, IVFPQ_K, EMB_INCR_MIN),
         lambda: _pq_codebooks(
-            _pq_subvectors(_l2_normalized(base), m=IVFPQ_M), k=IVFPQ_K
+            _pq_subvectors(_l2_normalized(base), m=IVFPQ_M), k=IVFPQ_K,
+            subdim=DIM // IVFPQ_M,
         ),
     )
 
@@ -783,7 +785,8 @@ def _train_pq_resid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo_train(
         spark,
         ("pq_resid", sf_dir, IVFPQ_M, IVFPQ_K),
-        lambda: _pq_codebooks(_pq_subvectors(base, m=IVFPQ_M), k=IVFPQ_K),
+        lambda: _pq_codebooks(_pq_subvectors(base, m=IVFPQ_M), k=IVFPQ_K,
+                              subdim=DIM // IVFPQ_M),
     )
 
 
@@ -1537,41 +1540,68 @@ def _pq_d():
     )
 
 
-def _pq_codebooks(sv: DataFrame, k: int = PQ_K) -> DataFrame:
+def _pq_codebooks(
+    sv: DataFrame, k: int = PQ_K, *, subdim: int | None = None
+) -> DataFrame:
     """(sub, cid, c): per-subspace codebooks — fixed-PQ_ITERS Lloyd's,
-    first-k init, DECIMAL-exact mean updates (oracle-unrolled)."""
-    cent = sv.filter(F.col("vec_id") < k).select(
-        "sub", F.col("vec_id").alias("cid"), F.col("sv").alias("c")
+    first-k init, DECIMAL-exact mean updates (oracle-unrolled).
+    ``subdim`` (the subvector width the wide-agg update needs) defaults
+    to a one-row probe of ``sv`` — production call sites pass it to
+    skip that job."""
+    # One spark.sql statement per iteration over temp views (the
+    # _lloyd_centroids discipline): per-(row, sub) argmin over that
+    # subspace's collected codebook array (broadcast m-row side — no
+    # n·m·k scored rows, no window Exchange+Sort, guide §2.4; tie
+    # discipline d ASC then lowest cid, identical to vectors.py), then
+    # the centroid update as ONE wide hash agg of subdim decimal sums +
+    # a count per (sub, cid) — one Exchange instead of the previous
+    # posexplode → groupBy(sub,cid,pos) → groupBy(sub,cid)+collect_list
+    # two-Exchange chain with its n·subdim row blow-up. Decimal
+    # addition is exactly associative, so every component sum (and so
+    # the codebooks) is bit-identical — byte-compared old vs new for
+    # all four PQ families.
+    spark = sv.sparkSession
+    if subdim is None:
+        subdim = len(sv.select("sv").head()[0])
+    global _LLOYD_VIEW_SEQ
+    _LLOYD_VIEW_SEQ += 1
+    v_sv = f"_pq_sv_{_LLOYD_VIEW_SEQ}"
+    v_cent = f"_pq_cent_{_LLOYD_VIEW_SEQ}"
+    sv.createOrReplaceTempView(v_sv)
+    cent = spark.sql(
+        f"SELECT sub, vec_id AS cid, sv AS c FROM {v_sv}"
+        f" WHERE vec_id < {int(k)}"
     )
+    sum_cols = ", ".join(
+        f"sum(cast(sv[{i}] as decimal(28,9))) as _s{i}" for i in range(subdim)
+    )
+    mean_arr = ", ".join(
+        f"cast(_s{i} as double) / _n" for i in range(subdim)
+    )
+    iter_sql = f"""
+WITH asg AS (
+  SELECT /*+ BROADCAST(a) */ v.vec_id, v.sub, v.sv,
+         array_min(transform(a._codes, c -> struct(
+           aggregate(zip_with(v.sv, c.c, (x, y) -> (x - y) * (x - y)),
+                     cast(0.0 as double), (acc, t) -> acc + t) AS d,
+           c.cid AS cid))).cid AS cid
+  FROM {v_sv} v JOIN (
+    SELECT sub, sort_array(collect_list(struct(cid, c))) AS _codes
+    FROM {v_cent} GROUP BY sub
+  ) a ON v.sub = a.sub
+),
+sums AS (
+  SELECT sub, cid, count(*) AS _n, {sum_cols} FROM asg GROUP BY sub, cid
+)
+SELECT sub, cid, array({mean_arr}) AS c FROM sums
+"""
     for _ in range(PQ_ITERS):
-        # per-(row, sub) argmin over that subspace's collected codebook
-        # array (broadcast m-row side): no n·m·k scored rows, no
-        # window Exchange+Sort (guide §2.4). Tie discipline identical
-        # (d ASC, lowest cid; see vectors.py).
-        carr = cent.groupBy("sub").agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("cid"), F.col("c")))
-            ).alias("_codes")
-        )
-        assign = sv.join(F.broadcast(carr), "sub").select(
-            "vec_id",
-            "sub",
-            "sv",
-            vectors.argmin_l2_cid(F.col("sv"), F.col("_codes")).alias("cid"),
-        )
-        pe = assign.select("sub", "cid", F.posexplode("sv").alias("pos", "x"))
-        sums = pe.groupBy("sub", "cid", "pos").agg(
-            F.sum(F.col("x").cast("decimal(28,9)")).alias("s"),
-            F.count("*").alias("n"),
-        )
-        comp = sums.select(
-            "sub", "cid", "pos", (F.col("s").cast("double") / F.col("n")).alias("v")
-        )
-        cent = (
-            comp.groupBy("sub", "cid")
-            .agg(F.sort_array(F.collect_list(F.struct("pos", "v"))).alias("pp"))
-            .select("sub", "cid", F.col("pp.v").alias("c"))
-        )
+        cent.createOrReplaceTempView(v_cent)
+        cent = spark.sql(iter_sql)
+    # spark.sql resolves views eagerly at call time, so the returned
+    # plan survives the drop
+    spark.catalog.dropTempView(v_sv)
+    spark.catalog.dropTempView(v_cent)
     return cent
 
 
