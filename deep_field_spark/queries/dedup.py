@@ -1525,9 +1525,13 @@ def dedup_minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     docs = table(spark, sf_dir, "documents")
-    shf = D.shingled(docs, "text", "doc_id", NGRAM).filter(
-        F.size("shingles") > 0
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # persist BELOW the non-empty filter — one tokenize pass, not two
+    # (the _mrs_frames / exploded_shingles plan note)
+    shf = (
+        D.shingled(docs, "text", "doc_id", NGRAM)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .filter(F.size("shingles") > 0)
+    )
     # truth: exact Jaccard via inverted-index join
     inv = shf.select("doc_id", F.explode("shingles").alias("shingle"))
     a = inv.select(F.col("doc_id").alias("id_a"), "shingle")
@@ -1659,9 +1663,18 @@ def _mrs_frames(
     from pyspark import StorageLevel
 
     docs = table(spark, sf_dir, "documents")
-    shf = D.shingled(docs, "text", "doc_id", NGRAM).filter(
-        F.size("shingles") > 0
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # persist BELOW the non-empty filter: filtering the aliased array
+    # makes PushDownPredicate inline the whole tokenize+shingle
+    # expression into a scan-level filter, so the corpus is tokenized
+    # TWICE per materialization (the exploded_shingles plan note). The
+    # cache boundary keeps one evaluation; the filter then runs over
+    # the cached arrays (same rows downstream — only the handful of
+    # empty-shingle docs are additionally cached).
+    shf = (
+        D.shingled(docs, "text", "doc_id", NGRAM)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .filter(F.size("shingles") > 0)
+    )
     anchors = (
         shf.select(
             "doc_id",
@@ -1707,21 +1720,31 @@ def _mrs_frames(
     truth = truth.persist(StorageLevel.MEMORY_AND_DISK)
     sig = D.minhash_signatures(inv, "doc_id", num_hashes=NUM_HASHES)
     banded = D.band_keyed(sig, "doc_id", bands=BANDS, rows=NUM_HASHES // BANDS)
-    cd = D.bucket_pairs(banded, "doc_id").select("id_a", "id_b")
-    # anchor-oriented candidates: both orientations of the a<b pair set
+    # anchor-oriented candidates DIRECTLY: broadcast the anchors' band
+    # keys against the corpus banding — {(a, b): a anchor, b ≠ a,
+    # some band bucket holds both}, the exact set the previous form
+    # computed by generating ALL bucket pairs (collect_set per bucket +
+    # pair explosion + dropDuplicates + two anchor joins + union +
+    # distinct: three corpus/pair-scale Exchanges) and then discarding
+    # everything not touching an anchor. The anchors' band keys come
+    # from their OWN postings (the a_inv leg truth already uses — an
+    # anchor's MinHash signature depends only on its own shingles), so
+    # the corpus-wide signature pass runs exactly once, on the probe
+    # side. Both orientations fall out of the join itself (an anchor
+    # pair (a1,a2) matches on either side), and pair volume is
+    # |anchors|-bounded at every corpus size.
+    a_sig = D.minhash_signatures(
+        a_inv.select(F.col("id_a").alias("doc_id"), "shingle"),
+        "doc_id",
+        num_hashes=NUM_HASHES,
+    )
+    a_band = D.band_keyed(
+        a_sig, "doc_id", bands=BANDS, rows=NUM_HASHES // BANDS
+    ).select(F.col("doc_id").alias("id_a"), "band", "key")
     cda = (
-        cd.join(
-            F.broadcast(anchors.select(F.col("doc_id").alias("id_a"))), "id_a"
-        )
-        .select("id_a", "id_b")
-        .unionByName(
-            cd.join(
-                F.broadcast(anchors.select(F.col("doc_id").alias("id_b"))),
-                "id_b",
-            ).select(
-                F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
-            )
-        )
+        banded.join(F.broadcast(a_band), ["band", "key"])
+        .filter(F.col("id_a") != F.col("doc_id"))
+        .select("id_a", F.col("doc_id").alias("id_b"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -1785,10 +1785,12 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded, not zero
     from pyspark import StorageLevel
 
+    # persist BELOW the non-empty filter — one tokenize pass, not two
+    # (the _mrs_frames / exploded_shingles plan note)
     shf = (
         D.shingled(docs, "text", "doc_id", 3)
-        .filter(F.size("shingles") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
+        .filter(F.size("shingles") > 0)
     )
     shx = shf.select("doc_id", F.explode("shingles").alias("s"))
     nsh = shf.select("doc_id", F.size("shingles").cast("long").alias("nsh"))
