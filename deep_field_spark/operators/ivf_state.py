@@ -459,9 +459,11 @@ def ingest(
             _location(spark, t_cells), num_buckets, STATE_BUCKETS
         )
         assigned = assigned.localCheckpoint(eager=True)
-        assigned.write.mode("append").format("parquet").bucketBy(
-            nb, "cid"
-        ).saveAsTable(t_cells)
+        # one file per bucket, not one per (task x bucket) — see
+        # sinks.write_bucketed; day-2 appends are the file-count leak
+        assigned.repartition(nb, "cid").write.mode("append").format(
+            "parquet"
+        ).bucketBy(nb, "cid").saveAsTable(t_cells)
     return assigned.select("cid", id_col)
 
 
@@ -574,9 +576,9 @@ def foreach_batch_ingest(
             ingest_kwargs.get("num_buckets"),
             STATE_BUCKETS,
         )
-        absorbed.write.mode("append").format("parquet").bucketBy(
-            nb, "cid"
-        ).saveAsTable(_tables(name)[0])
+        absorbed.repartition(nb, "cid").write.mode("append").format(
+            "parquet"
+        ).bucketBy(nb, "cid").saveAsTable(_tables(name)[0])
 
     return (
         stream_df.writeStream.foreachBatch(_apply)
@@ -837,9 +839,9 @@ SELECT cid, sub, array({mean_arr}) AS s_emb FROM sums
         nb = sinks.resolve_num_buckets(
             _location(spark, t_cells), num_buckets, STATE_BUCKETS
         )
-        moved.write.mode("append").format("parquet").bucketBy(
-            nb, "cid"
-        ).saveAsTable(t_cells)
+        moved.repartition(nb, "cid").write.mode("append").format(
+            "parquet"
+        ).bucketBy(nb, "cid").saveAsTable(t_cells)
     # commit point: retire the split cids, add the sub-centroids —
     # staged two-rename swap (the compact_bucketed pattern, so a crash
     # at any instant leaves a complete copy recoverable by name, and
@@ -986,9 +988,9 @@ def merge_undersized(
         nb = sinks.resolve_num_buckets(
             _location(spark, t_cells), num_buckets, STATE_BUCKETS
         )
-        moved.write.mode("append").format("parquet").bucketBy(
-            nb, "cid"
-        ).saveAsTable(t_cells)
+        moved.repartition(nb, "cid").write.mode("append").format(
+            "parquet"
+        ).bucketBy(nb, "cid").saveAsTable(t_cells)
     # commit: retire unders and targets, add the unions (the target's
     # centroid vector under the fresh cid)
     retired = relabel.select("cid")

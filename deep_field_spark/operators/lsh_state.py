@@ -31,7 +31,7 @@ surface (MinHash/LSH family, SURVEY §2 additions).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import sinks
@@ -250,13 +250,28 @@ def ingest(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("jaccard"), F.asc("_state_id"))
+    # best match per doc as ONE hash aggregation with map-side partial
+    # combine (min of a struct ordered lexicographically: -jaccard
+    # puts the highest Jaccard first, _state_id breaks ties upward —
+    # the row_number window this replaces needed Exchange+Sort and
+    # shipped every candidate row to one task per doc)
     best = (
-        pair.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, F.col("_state_id").alias("dup_of"), "jaccard")
+        pair.groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("jaccard")).alias("nj"),
+                    F.col("_state_id").alias("sid"),
+                    F.col("jaccard").alias("j"),
+                )
+            ).alias("m")
+        )
+        .select(id_col, F.col("m.sid").alias("dup_of"), F.col("m.j").alias("jaccard"))
     )
-    report = new.select(id_col).join(best, id_col, "left").select(
+    # the report's id spine is new_sh (row-preserving shingle of
+    # `new`, already checkpointed) — re-using `new` here would replay
+    # the known-ids anti-join against the full state shingle table
+    report = new_sh.select(id_col).join(best, id_col, "left").select(
         id_col, "dup_of", F.round("jaccard", 6).alias("jaccard")
     )
 
@@ -282,12 +297,18 @@ def ingest(
         nb_sh = sinks.resolve_num_buckets(
             _location(spark, t_shingles), num_buckets, STATE_BUCKETS
         )
-        new_banded.write.mode("append").format("parquet").bucketBy(
-            nb_bands, "band", "key"
-        ).saveAsTable(t_bands)
-        new_sh.write.mode("append").format("parquet").bucketBy(
-            nb_sh, id_col
-        ).saveAsTable(t_shingles)
+        # repartition onto the bucket columns so each append lands ONE
+        # file per bucket instead of one per (task x bucket) — without
+        # it every day-2 ingest adds up to 32xnb KB-sized files and
+        # every subsequent read of the state pays the footer overhead
+        # (the write_bucketed/compact_bucketed invariant: bucket id
+        # and shuffle hash are the same Murmur3 mod nb)
+        new_banded.repartition(nb_bands, "band", "key").write.mode(
+            "append"
+        ).format("parquet").bucketBy(nb_bands, "band", "key").saveAsTable(t_bands)
+        new_sh.repartition(nb_sh, id_col).write.mode("append").format(
+            "parquet"
+        ).bucketBy(nb_sh, id_col).saveAsTable(t_shingles)
         new_sh.unpersist()
     # append=False leaves new_sh cached for the caller's consumption
     # of the report (the session's clearCache-between-queries

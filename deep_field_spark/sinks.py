@@ -210,7 +210,18 @@ def write_bucketed(
     (proof: tests/test_bucketed_join.py asserts the exchange-free
     plan). Sorting within buckets additionally enables sort-merge
     join without a sort step.
+
+    The frame is hash-repartitioned on the bucket columns into
+    ``num_buckets`` tasks before the write: Spark's bucket id and its
+    shuffle hash are the same Murmur3 function with the same modulus
+    (the compact_bucketed invariant), so each task holds exactly one
+    bucket's rows and emits ONE file per bucket — without it every
+    write task emits a file per bucket it touches, and the table is
+    born needing compaction (measured 32 tasks x 8 buckets = 256
+    KB-sized files per build at sf0.1; every subsequent scan of the
+    state pays the footer overhead).
     """
+    df = df.repartition(num_buckets, *bucket_cols)
     w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
@@ -760,9 +771,9 @@ def compact_bucketed(
         # tombstoned rows) — the caller owns the correctness argument
         # that the dropped rows were already invisible to readers
         df = transform(df)
-    df = df.repartition(num_buckets, *bucket_cols)
-    if sort_cols:
-        df = df.sortWithinPartitions(*sort_cols)
+    # write_bucketed repartitions onto the bucket columns itself (one
+    # task per bucket -> one file per bucket) and its sortBy makes the
+    # bucketed writer sort within each task, so no pre-shaping here
     tmp_table = f"{table}__compact_tmp"
     spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
     write_bucketed(
