@@ -458,14 +458,24 @@ def test_length_buckets_two_aggs_one_broadcast(spark, sf_dir):
 def test_incremental_minhash_id_only_candidates(spark, sf_dir):
     """dedup_incremental_minhash: the batch⋈corpus-state join is a
     hash equi-join on (band, key) with id-only payload; shingle
-    arrays re-join only on candidates; per-batch-doc best-match rank
-    is keyed by doc_id; no nested loop, no cartesian."""
+    arrays re-join only on candidates; per-batch-doc best-match is a
+    doc_id-keyed min(struct) AGGREGATION with map-side partial combine
+    (the row_number Window it replaced shipped every candidate pair to
+    one task per doc — Exchange+Sort+Window, zero partial reduction);
+    no window, no nested loop, no cartesian."""
     import re
     plan = _plan(spark, sf_dir, "dedup_incremental_minhash")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
-    wins = [l for l in plan.splitlines() if re.search(r"\bWindow\b", l)]
-    assert wins and all("doc_id" in w for w in wins), plan
+    assert not re.search(r"\bWindow\b", plan), plan
+    best = [
+        l
+        for l in plan.splitlines()
+        if "Aggregate" in l and "min(" in l and "doc_id" in l
+    ]
+    assert best, plan
+    # partial (map-side) half of the best-match agg must exist too
+    assert any("partial_min" in l or "partial min" in l for l in plan.splitlines()), plan
 
 
 def test_bpe_train_rounds_are_aggs_plus_broadcast(spark, sf_dir):
