@@ -295,6 +295,32 @@ def corpus_count(spark, sf_dir: str, tbl: str = "embeddings") -> int:
     return n
 
 
+# --- iterative-loop layout ----------------------------------------------
+# Partition count for a loop's pinned state/edge layout (PageRank-style
+# rounds re-join the same table every iteration). A constant tuned for
+# either local mode or a cluster is wrong at the other end: 32 partitions
+# of a 23 MB edge table cost ~6 scheduled stages x 32 tasks per round in
+# pure overhead (measured: the sf0.1 PageRank loop ran ~40% faster at 5
+# partitions than at 32), while one partition of a 10 TB edge table is a
+# single-task straggler. Derive from the data: enough partitions to give
+# every core ~LOOP_MIN_ROWS_PER_TASK rows while the data is small, and at
+# least one partition per LOOP_TARGET_PARTITION_BYTES once it is big.
+LOOP_TARGET_PARTITION_BYTES = 64 * 1024 * 1024
+LOOP_MIN_ROWS_PER_TASK = 250_000
+
+
+def loop_partitions(spark, n_rows: int, row_bytes: int) -> int:
+    """Scale-adaptive partition count for an iterative loop's pinned
+    layout: max(rows-per-core floor capped at the core count, bytes /
+    64 MB). ``n_rows`` may be a cheap upper bound (e.g. a parquet
+    metadata count of the pre-join input); partitioning affects only
+    cost, never results."""
+    cores = spark.sparkContext.defaultParallelism
+    by_rows = min(cores, -(-n_rows // LOOP_MIN_ROWS_PER_TASK))
+    by_bytes = -(-(n_rows * row_bytes) // LOOP_TARGET_PARTITION_BYTES)
+    return max(1, by_rows, by_bytes)
+
+
 # --- build-assignment plan (flat vs two-level) --------------------------
 # The round-12 serving-recall measurement (SCALE.md, ann_hier_recall):
 # a hier p=2 build serves at ZERO recall@5 loss for nprobe >= 2 on the

@@ -115,8 +115,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round's edges⋈state sort-merge join re-shuffles and re-sorts
     # only the node-sized state, never the edge payload. The explicit
     # partition count pins the layout across rounds (an AQE-coalesced
-    # count would be decided per materialization).
-    n_part = spark.sparkContext.defaultParallelism
+    # count would be decided per materialization) and is derived from
+    # the edge volume (scaling.loop_partitions) — |edges| <= 2x the
+    # lineitem metadata count, ~24 B/row (two packed longs): a count
+    # pinned to the core count paid ~6 stages x 32 tasks of scheduling
+    # per round on a 23 MB edge table at sf0.1.
+    from ..functions import scaling
+
+    n_part = scaling.loop_partitions(
+        spark, 2 * scaling.corpus_count(spark, sf_dir, "lineitem"), 24
+    )
     edges = iter_checkpoint(
         edges.repartition(n_part, "src").sortWithinPartitions("src")
     )

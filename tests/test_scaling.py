@@ -120,6 +120,23 @@ def test_state_bucket_layout_derivation():
         prev = b
 
 
+def test_loop_partitions_scale_adaptive(spark):
+    """Pure layout knob (no SQL twin — partition count never changes
+    results): fills the cores at a 250k-row floor per task while data
+    is small, grows with bytes/64MB once data is big, never below 1."""
+    cores = spark.sparkContext.defaultParallelism
+    # tiny loop state: one partition, not one per core
+    assert SC.loop_partitions(spark, 1_000, 24) == 1
+    # the sf0.1 PageRank shape: ~1.2M edge rows -> a handful of tasks
+    assert SC.loop_partitions(spark, 1_200_000, 24) == min(cores, 5)
+    # big data: bytes term dominates and exceeds the core count
+    big = 10**10  # 10B rows x 24B = 240 GB -> 3750 partitions
+    assert SC.loop_partitions(spark, big, 24) == -(
+        -(big * 24) // SC.LOOP_TARGET_PARTITION_BYTES
+    )
+    assert SC.loop_partitions(spark, big, 24) > cores
+
+
 def test_n_super_python_matches_duckdb():
     """Two-level assignment's g = 2^(floor(log2 k)//2): Python ==
     DuckDB over every attainable k (n_cells outputs are powers of two,
