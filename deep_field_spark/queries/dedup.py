@@ -1207,14 +1207,29 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs the symmetric bands can't reach
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     dfq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
-    w_anchor = Window.partitionBy("doc_id").orderBy(
-        F.md5(F.concat(F.lit("a|"), F.col("shingle"))), F.col("shingle")
-    )
-    anch = (
-        ex.withColumn("rn", F.row_number().over(w_anchor))
-        .filter(F.col("rn") <= CONT_ANCHOR_K)
-        .select(F.col("doc_id").alias("a_id"), "shingle")
-    )
+    # bottom-K per doc as a per-row HOF over the persisted shingle
+    # array (sort struct(md5, shingle), slice K, explode) — zero
+    # Exchange/Sort/Window; equivalent to row_number<=K over
+    # (md5, shingle) order because shingles are distinct within a doc
+    # (shingle_expr array_distinct / the oracle's list_distinct)
+    anch = sh.select(
+        F.col("doc_id").alias("a_id"),
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        "shingles",
+                        lambda s: F.struct(
+                            F.md5(F.concat(F.lit("a|"), s)).alias("h"),
+                            s.alias("s"),
+                        ),
+                    )
+                ),
+                1,
+                CONT_ANCHOR_K,
+            )
+        ).alias("a"),
+    ).select("a_id", F.col("a.s").alias("shingle"))
     post = ex.join(dfq.filter(F.col("df") <= CONT_ANCHOR_DF_CAP), "shingle", "left_semi")
     cand_anchor = (
         anch.join(post, "shingle")
@@ -1264,14 +1279,27 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("d.doc_id", "d.other_id", "d.containment").filter(
         F.col("containment") >= CONTAINMENT_THRESHOLD
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("containment"), F.asc("other_id"))
+    # best container per doc as ONE hash aggregation with map-side
+    # partial combine (min of a lexicographic struct: -containment
+    # sorts the highest containment first, other_id breaks ties
+    # upward — identical to the row_number window it replaces, which
+    # needed Exchange+Sort and shipped every scored row to one task
+    # per doc)
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        scored.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("containment")).alias("nc"),
+                    F.col("other_id").alias("oid"),
+                    F.col("containment").alias("c"),
+                )
+            ).alias("m")
+        )
         .select(
             "doc_id",
-            F.col("other_id").alias("contained_in"),
-            F.round("containment", 6).alias("containment"),
+            F.col("m.oid").alias("contained_in"),
+            F.round(F.col("m.c"), 6).alias("containment"),
         )
     )
 
