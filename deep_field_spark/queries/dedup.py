@@ -1052,14 +1052,26 @@ def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= COSINE_THRESHOLD)
         .select("train_id", "test_id", cos.alias("cos"))
     )
-    w = Window.partitionBy("train_id").orderBy(F.desc("cos"), F.asc("test_id"))
+    # best contaminating test doc per train doc as ONE aggregation with
+    # map-side partial combine (min of lexicographic struct: -cos puts
+    # the highest cosine first, test_id breaks ties upward — identical
+    # to the row_number window it replaces, which needed Exchange+Sort
+    # and shipped every scored pair to one task per train doc)
     return (
-        v.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        v.groupBy("train_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cos")).alias("nc"),
+                    F.col("test_id").alias("tid"),
+                    F.col("cos").alias("c"),
+                )
+            ).alias("m")
+        )
         .select(
             F.col("train_id").alias("doc_id"),
-            F.col("test_id").alias("contaminated_by"),
-            F.round("cos", 4).alias("cos_sim"),
+            F.col("m.tid").alias("contaminated_by"),
+            F.round(F.col("m.c"), 4).alias("cos_sim"),
         )
     )
 
