@@ -4264,9 +4264,18 @@ def _hrec_builds(
     # childless-super guards — no build re-counts the vector frame
     n = scaling.corpus_count(spark, sf_dir, "embeddings")
     nb = scaling.n_state_buckets(n)
-    states = []
-    for tag, p in _HREC_BUILDS:
+
+    # the three builds are INDEPENDENT jobs over shared read-only
+    # inputs (memoized centroids/supers, distinct state tables) — run
+    # them from a small thread pool so each build's straggler tail
+    # back-fills with the next build's tasks (guide §2.6 overlap;
+    # Spark's scheduler runs concurrent jobs FIFO, which is exactly
+    # the back-fill behavior). Job descriptions are thread-local, so
+    # the UI stays attributable.
+    def _one(tag_p: tuple[str, int]) -> tuple[str, str]:
+        tag, p = tag_p
         name = f"hrec_{tag}_{sfx}"
+        spark.sparkContext.setJobDescription(f"hrec build {tag}")
         if p == 0:
             ivf_state.build(emb, cent, name, num_buckets=nb)
         else:
@@ -4274,7 +4283,13 @@ def _hrec_builds(
                 emb, cent, name, supers=sup, super_probes=p,
                 num_buckets=nb, n_rows=n,
             )
-        states.append((tag, name))
+        return tag, name
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(_HREC_BUILDS)) as pool:
+        states = list(pool.map(_one, _HREC_BUILDS))
+    spark.sparkContext.setJobDescription(None)
     return states
 
 
