@@ -115,15 +115,36 @@ def build(
         shutil.rmtree(_location(spark, t), ignore_errors=True)
     # tokenize+shingle ONCE: the persisted frame feeds both state
     # writes (bands derive from it too), so the corpus text is read a
-    # single time per build
+    # single time per build. Materialize it eagerly (count) BEFORE the
+    # writes so the two can run concurrently off the cache — they are
+    # independent jobs (distinct tables, shared read-only input), so a
+    # small thread pool lets the shingle write's straggler tail
+    # back-fill with the band signature tasks (guide §2.6 overlap).
     sh = D.shingled(docs, text_col, id_col, ngram).persist()
-    sinks.write_bucketed(
-        sh, t_shingles, [id_col], num_buckets, path=_location(spark, t_shingles)
-    )
-    banded = _banded_from_shingles(sh, id_col, num_hashes, bands)
-    sinks.write_bucketed(
-        banded, t_bands, ["band", "key"], num_buckets, path=_location(spark, t_bands)
-    )
+    sh.count()
+
+    def _write_shingles() -> None:
+        spark.sparkContext.setJobDescription(f"lsh build {name}: shingles")
+        sinks.write_bucketed(
+            sh, t_shingles, [id_col], num_buckets,
+            path=_location(spark, t_shingles),
+        )
+
+    def _write_bands() -> None:
+        spark.sparkContext.setJobDescription(f"lsh build {name}: bands")
+        banded = _banded_from_shingles(sh, id_col, num_hashes, bands)
+        sinks.write_bucketed(
+            banded, t_bands, ["band", "key"], num_buckets,
+            path=_location(spark, t_bands),
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(_write_shingles), pool.submit(_write_bands)]
+        for f in futs:
+            f.result()
+    spark.sparkContext.setJobDescription(None)
     sh.unpersist()
 
 
