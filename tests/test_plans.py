@@ -479,21 +479,51 @@ def test_incremental_minhash_id_only_candidates(spark, sf_dir):
 
 
 def test_bpe_train_rounds_are_aggs_plus_broadcast(spark, sf_dir):
-    """text_bpe_train: every merge round is a pair-count agg feeding a
-    1-row TakeOrdered winner broadcast back onto the corpus recode —
-    no window, no cartesian, and the per-round winner joins are 1-row
-    nested-loop broadcasts at most (one per merge)."""
+    """text_bpe_train: the merge rounds checkpoint per round (severed
+    loop — the final plan is a union of winner checkpoint scans, no
+    nested round subtrees). Each ROUND is a pair-count partial/final
+    agg feeding a 1-row TakeOrdered winner broadcast back onto the
+    corpus recode — pinned by rebuilding one round (the pagerank-test
+    convention for severed loops)."""
     import re
-    from deep_field_spark.queries.text import BPE_MERGES
+
+    from pyspark.sql import functions as F
+
+    from deep_field_spark.queries.text import (
+        _bpe_corpus_strings,
+        _bpe_recode,
+    )
+
     plan = _plan(spark, sf_dir, "text_bpe_train")
     assert not re.search(r"\bWindow\b", plan), plan
     assert "CartesianProduct" not in plan, plan
-    # every nested-loop is the 1-row winner broadcast (BuildRight
-    # cross); the printed count exceeds BPE_MERGES only because cached
-    # lineage subtrees render once per consumer
-    bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
-    assert bnlj and all("BuildRight" in l for l in bnlj), plan
-    assert "TakeOrderedAndProject" in plan, plan
+    assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan, plan
+
+    s = _bpe_corpus_strings(spark, sf_dir).select("s")
+    w = F.split(F.trim("s"), " ")
+    pairs = s.select(
+        F.explode(
+            F.when(
+                F.size(w) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda j: F.concat(
+                        F.element_at(w, j), F.lit(" "), F.element_at(w, j + 1)
+                    ),
+                ),
+            )
+        ).alias("pair")
+    )
+    m = (
+        pairs.groupBy("pair").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair")).limit(1)
+    )
+    rec = s.crossJoin(F.broadcast(m)).select(_bpe_recode(F.col("s")).alias("s"))
+    round_plan = rec._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in round_plan, round_plan
+    bnlj = [l for l in round_plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert bnlj and all("BuildRight" in l for l in bnlj), round_plan
+    assert "HashAggregate" in round_plan and "partial" in round_plan, round_plan
 
 
 def test_bpe_apply_is_broadcast_recode_no_shuffle_on_apply(spark, sf_dir):
