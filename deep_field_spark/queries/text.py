@@ -778,10 +778,19 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
         "qid int, term string",
     )
+    from pyspark import StorageLevel
+
     d = docs.filter(texting.has_tokens("text")).select(
         "doc_id", texting.tokens(F.col("text")).alias("toks")
     )
-    dl = d.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
+    # persist the NARROW per-doc length table (16 B/row), not the toks
+    # arrays: dl feeds the corpus stats broadcast AND the per-posting
+    # score join, and without the cache each consumer re-tokenizes the
+    # corpus (3 tokenize passes -> 2; the st broadcast is built before
+    # the main job, so it populates the cache the score join reads)
+    dl = d.select("doc_id", F.size("toks").cast("bigint").alias("dl")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # the term restriction goes BELOW the tf aggregation: only tokens
     # matching a query term survive the explode, so the (doc, term)
     # shuffle carries the postings of |Q| terms, never the corpus
