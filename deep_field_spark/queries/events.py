@@ -899,8 +899,21 @@ def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.applicationId,
         uuid.uuid4().hex[:10],
     )
-    drift.freeze_reference(ref, f"{root}/ref")
-    cur.write.mode("overwrite").parquet(f"{root}/cur")
+    # the reference freeze and the arrivals staging write are
+    # independent jobs over disjoint halves of the events table — run
+    # them concurrently so one job's tail back-fills with the other's
+    # tasks (guide §2.6 overlap)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(drift.freeze_reference, ref, f"{root}/ref"),
+            pool.submit(
+                lambda: cur.write.mode("overwrite").parquet(f"{root}/cur")
+            ),
+        ]
+        for f in futs:
+            f.result()
     stream = spark.readStream.schema(cur.schema).parquet(f"{root}/cur")
     try:
         q = drift.foreach_batch_psi(
