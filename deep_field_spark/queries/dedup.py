@@ -588,17 +588,30 @@ def _anchor_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_islands_of(spread(table(spark, sf_dir, "documents")))
 
 
-def anchor_islands_of(docs: DataFrame, k: int = ANCHOR_K,
-                      max_df: int = RUN_MAX_DF) -> DataFrame:
-    """Spark twin of _ANCHOR_CTES over any (doc_id, text) DataFrame:
-    maximal aligned anchor runs between doc pairs as
-    (id_a, id_b, diag, grp, n, s) — n consecutive anchors starting at
-    token s of doc a (s + diag of doc b) certify a verbatim common
-    substring of n + k - 1 tokens."""
+def _anchor_frames(
+    docs: DataFrame, k: int = ANCHOR_K, max_df: int = RUN_MAX_DF
+) -> tuple[DataFrame, DataFrame]:
+    """(t, islands): the persisted (doc_id, toks) table and the maximal
+    aligned anchor runs derived from it.
+
+    Persistence (the minhash_lsh_pairs lesson): ``t`` feeds the gram
+    explode AND dup_span_removal's per-doc token counts — and even
+    single-use, PushDownPredicate inlines the ``size(toks) >= k``
+    filter below the projection with the tokenize expression
+    duplicated, so the persist (BELOW the filter) also collapses that
+    double evaluation. ``gg`` (the capped gram table) is persisted
+    because the diagonal self-join consumes it on BOTH sides — without
+    it the tokenize+posexplode chain ran three times (cap pass + each
+    join side). Lifecycle: lazy builder, cache cleared per query by
+    the driver entry / bench rerun (the text_tfidf_topk convention)."""
+    from pyspark import StorageLevel
+
     from ..functions import texting
     toks = texting.tokens(F.col("text"))
-    t = docs.select("doc_id", toks.alias("toks")).filter(
-        F.size("toks") >= k
+    t = (
+        docs.select("doc_id", toks.alias("toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .filter(F.size("toks") >= k)
     )
     g = t.select(
         "doc_id",
@@ -612,7 +625,7 @@ def anchor_islands_of(docs: DataFrame, k: int = ANCHOR_K,
         .filter(F.col("d") <= max_df)
         .select("gram")
     )
-    gg = g.join(capped, "gram")
+    gg = g.join(capped, "gram").persist(StorageLevel.MEMORY_AND_DISK)
     a = gg.select(
         F.col("gram"), F.col("doc_id").alias("id_a"), F.col("pos").alias("pa")
     )
@@ -630,9 +643,20 @@ def anchor_islands_of(docs: DataFrame, k: int = ANCHOR_K,
         "id_a", "id_b", "diag", "pa",
         (F.col("pa") - F.row_number().over(w)).alias("grp"),
     )
-    return runs.groupBy("id_a", "id_b", "diag", "grp").agg(
+    islands = runs.groupBy("id_a", "id_b", "diag", "grp").agg(
         F.count("*").alias("n"), F.min("pa").alias("s")
     )
+    return t, islands
+
+
+def anchor_islands_of(docs: DataFrame, k: int = ANCHOR_K,
+                      max_df: int = RUN_MAX_DF) -> DataFrame:
+    """Spark twin of _ANCHOR_CTES over any (doc_id, text) DataFrame:
+    maximal aligned anchor runs between doc pairs as
+    (id_a, id_b, diag, grp, n, s) — n consecutive anchors starting at
+    token s of doc a (s + diag of doc b) certify a verbatim common
+    substring of n + k - 1 tokens."""
+    return _anchor_frames(docs, k, max_df)[1]
 
 
 @register(
@@ -724,9 +748,10 @@ def dedup_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import spread
-    from ..functions import texting
 
-    islands = _anchor_islands(spark, sf_dir)
+    # share the persisted (doc_id, toks) table with the island pass —
+    # the per-doc token counts below read it instead of re-tokenizing
+    t, islands = _anchor_frames(spread(table(spark, sf_dir, "documents")))
     spans = islands.filter(
         (F.col("n") + (ANCHOR_K - 1)) >= MIN_RUN_TOKENS
     ).select(
@@ -756,12 +781,8 @@ def dedup_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("int").alias("n_spans"),
         F.sum(F.col("en") - F.col("st") + 1).cast("int").alias("dup_tokens"),
     )
-    docs = spread(table(spark, sf_dir, "documents"))
-    tok = docs.filter(
-        F.size(texting.tokens(F.col("text"))) >= ANCHOR_K
-    ).select(
-        "doc_id", F.size(texting.tokens(F.col("text"))).cast("int").alias("n_tokens")
-    )
+    # t is already filtered to size(toks) >= ANCHOR_K
+    tok = t.select("doc_id", F.size("toks").cast("int").alias("n_tokens"))
     return perdoc.join(tok, "doc_id").select(
         "doc_id",
         "n_spans",

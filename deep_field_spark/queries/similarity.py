@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import spread, table
 from ..functions import scaling, vectors
+from ..operators.iterate import iter_checkpoint
 from . import register
 
 DIM = 64
@@ -1335,9 +1336,15 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double") / F.count("*")
             ).alias("w")
         )
-        wa = w.groupBy().agg(
-            F.sort_array(F.collect_list(F.struct("pos0", "w"))).alias("pp")
-        ).select(F.col("pp.w").alias("w"))
+        # sever the round's lineage at the 1-row w vector (the
+        # curation_quality_train / BPE loop discipline): without it
+        # round N's plan nests rounds 1..N-1 as broadcast subtrees and
+        # the driver re-analyzes the whole pyramid per round
+        wa = iter_checkpoint(
+            w.groupBy().agg(
+                F.sort_array(F.collect_list(F.struct("pos0", "w"))).alias("pp")
+            ).select(F.col("pp.w").alias("w"))
+        )
         nrm = F.sqrt(
             F.aggregate(F.col("w"), F.lit(0.0), lambda a, y: a + y * y)
         )

@@ -494,7 +494,12 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(table(spark, sf_dir, "documents"))
     toks = texting.tokens(F.col("text"))
-    tk = docs.select("doc_id", toks.alias("toks"))
+    # tk feeds BOTH the unigram counts and the doc-bigram counts — one
+    # tokenize pass over the corpus instead of two (the
+    # minhash_lsh_pairs persist lesson; lifecycle as uc/dbc below)
+    tk = docs.select("doc_id", toks.alias("toks")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     uc = (
         tk.select(F.explode("toks").alias("w"))
         .groupBy("w")
