@@ -1734,6 +1734,41 @@ def _rrf_oracle() -> str:
     """
 
 
+def _rrf_sem_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic leg's top-RRF_POOL ranking (qid, did, r), persisted:
+    retrieval_rrf_fusion consumes it for the fusion and
+    retrieval_eval_ndcg's 'semantic' system is its r <= EVAL_K prefix —
+    sharing the frame removes a second broadcast-crossJoin + window
+    pass over the corpus (the two calls dedupe to one cache entry via
+    CacheManager logical-plan matching). |queries| x RRF_POOL rows —
+    bounded at any corpus size."""
+    from pyspark import StorageLevel
+
+    emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.select(F.col("vec_id").alias("did"), F.col("embedding").alias("c_emb"))
+    sem_scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("qid") != F.col("did"))
+        .select("qid", "did", vectors.cosine(F.col("q_emb"), F.col("c_emb")).alias("cos"))
+    )
+    return (
+        sem_scored.withColumn(
+            "r",
+            F.row_number()
+            .over(Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("did")))
+            .cast("long"),
+        )
+        .filter(F.col("r") <= RRF_POOL)
+        .select("qid", "did", "r")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+
 @register(
     "retrieval_rrf_fusion",
     oracle=None,  # assigned below (needs dedup's shingle CTE at import)
@@ -1760,24 +1795,8 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
     )
-    corpus = emb.select(F.col("vec_id").alias("did"), F.col("embedding").alias("c_emb"))
-    sem_scored = (
-        F.broadcast(queries)
-        .crossJoin(corpus)
-        .filter(F.col("qid") != F.col("did"))
-        .select("qid", "did", vectors.cosine(F.col("q_emb"), F.col("c_emb")).alias("cos"))
-    )
     wq = Window.partitionBy("qid")
-    sem = (
-        sem_scored.withColumn(
-            "r",
-            F.row_number()
-            .over(wq.orderBy(F.col("cos").desc(), F.col("did")))
-            .cast("long"),
-        )
-        .filter(F.col("r") <= RRF_POOL)
-        .select("qid", "did", "r")
-    )
+    sem = _rrf_sem_pool(spark, sf_dir)
 
     docs = table(spark, sf_dir, "documents")
     # shingling feeds THREE consumers (the query-side postings, the
@@ -1947,26 +1966,16 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"),
         F.col("label").alias("q_label"),
     )
-    corpus = emb.select(
-        F.col("vec_id").alias("did"), F.col("embedding").alias("c_emb")
-    )
-    wq = Window.partitionBy("system", "qid")
+    # the 'semantic' system is the r <= EVAL_K prefix of the shared
+    # semantic pool (EVAL_K <= RRF_POOL; same window, same tie order) —
+    # no second crossJoin + window pass over the corpus
     sem = (
-        F.broadcast(queries.select("qid", "q_emb"))
-        .crossJoin(corpus)
-        .filter(F.col("qid") != F.col("did"))
+        _rrf_sem_pool(spark, sf_dir)
+        .filter(F.col("r") <= EVAL_K)
         .select(
-            "qid", "did",
-            vectors.cosine(F.col("q_emb"), F.col("c_emb")).alias("cos"),
+            F.lit("semantic").alias("system"), "qid", "did",
+            F.col("r").alias("rnk"),
         )
-        .withColumn(
-            "rnk",
-            F.row_number()
-            .over(Window.partitionBy("qid").orderBy(F.col("cos").desc(), "did"))
-            .cast("long"),
-        )
-        .filter(F.col("rnk") <= EVAL_K)
-        .select(F.lit("semantic").alias("system"), "qid", "did", "rnk")
     )
     rrf = retrieval_rrf_fusion(spark, sf_dir).select(
         F.lit("rrf").alias("system"),
