@@ -2546,7 +2546,7 @@ def _ivfpq_build(spark: SparkSession, sf_dir: str) -> str:
     # coarse quantizer is cosine and therefore norm-invariant already
     pq = _train_pq_norm(spark, sf_dir)
     ivf_state.build(
-        emb.join(_ivfpq_codes(emb, pq), "vec_id"),
+        _ivfpq_coded(emb, pq),
         coarse,
         name,
         store_vec=False,
@@ -2704,18 +2704,72 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_serve(spark, sf_dir, _ivfpq_build(spark, sf_dir))
 
 
+def _ivfpq_coded(vecs: DataFrame, pq: DataFrame) -> DataFrame:
+    """(vec_id, embedding, codes): the raw vectors with their FROZEN-
+    codebook PQ codes attached, computed PER ROW — the build-time and
+    day-2 encode step share this (the batch never retrains anything).
+
+    Per-row HOF form (guide §2.4): the per-sub codebooks ride as ONE
+    broadcast row (an array indexed by sub) and each vector derives its
+    M argmin codes in a single projection — no M-way subvector explode,
+    no groupBy Exchange, and no corpus self-join to re-attach the codes
+    to the vectors (the previous shape paid all three). Arithmetic is
+    identical to the exploded _pq_assign path: same component
+    cast-to-double / L2-norm divide, same slice boundaries, same
+    index-ordered squared-distance fold and (d, cid) tie order inside
+    argmin_l2_cid — codes byte-compared identical at sf0.01 and sf0.1.
+    Zero-norm vectors drop with the normalization filter
+    (cosine-undefined, unsearchable — same both engines)."""
+    subdim = DIM // IVFPQ_M
+    bysub = (
+        pq.groupBy("sub")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("cid"), F.col("c")))
+            ).alias("_codes")
+        )
+        .groupBy()
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("sub"), F.col("_codes")))
+            ).alias("_s")
+        )
+        .select(F.col("_s._codes").alias("_bysub"))
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                "embedding", lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda a, t: a + t,
+        )
+    )
+    return (
+        vecs.withColumn("_n", nrm)
+        .filter(F.col("_n") > 0)
+        .crossJoin(F.broadcast(bysub))
+        .select(
+            "vec_id",
+            "embedding",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(IVFPQ_M - 1)),
+                lambda sub: vectors.argmin_l2_cid(
+                    F.transform(
+                        F.slice(F.col("embedding"), sub * subdim + 1, subdim),
+                        lambda x: x.cast("double") / F.col("_n"),
+                    ),
+                    F.col("_bysub")[sub],
+                ),
+            ).cast("array<int>").alias("codes"),
+        )
+    )
+
+
 def _ivfpq_codes(vecs: DataFrame, pq: DataFrame) -> DataFrame:
     """(vec_id, codes): each vector encoded against FROZEN codebooks —
-    the build-time and day-2 encode step share this (the batch never
-    retrains anything). Zero-norm vectors drop with the normalization
-    filter (cosine-undefined, unsearchable — same both engines)."""
-    sv = _pq_subvectors(_l2_normalized(vecs), m=IVFPQ_M)
-    return (
-        _pq_assign(sv, pq)
-        .groupBy("vec_id")
-        .agg(F.sort_array(F.collect_list(F.struct("sub", "cid"))).alias("sc"))
-        .select("vec_id", F.col("sc.cid").cast("array<int>").alias("codes"))
-    )
+    see _ivfpq_coded (this is its id+codes projection)."""
+    return _ivfpq_coded(vecs, pq).select("vec_id", "codes")
 
 
 @register(
@@ -2809,15 +2863,13 @@ def ann_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse = _train_lloyd_prefix(spark, sf_dir)
     pq = _train_pq_norm_prefix(spark, sf_dir)
     ivf_state.build(
-        base.join(_ivfpq_codes(base, pq), "vec_id"),
+        _ivfpq_coded(base, pq),
         coarse,
         name,
         store_vec=False,
         aux_tables={"pq": pq},
     )
-    ivf_state.ingest(
-        spark, name, batch.join(_ivfpq_codes(batch, pq), "vec_id")
-    )
+    ivf_state.ingest(spark, name, _ivfpq_coded(batch, pq))
     ivf_state.compact(spark, name)
     q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
