@@ -2068,14 +2068,24 @@ def _minhash_autok_oracle() -> str:
 def dedup_minhash_autok(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import scaling
 
+    from pyspark import StorageLevel
+
     docs = table(spark, sf_dir, "documents")
     n = scaling.corpus_count(spark, sf_dir, "documents")
     b, r = scaling.minhash_params(n)
+    # one tokenize+shingle pass feeding signature AND verify legs (the
+    # minhash_lsh_pairs persist lesson; lifecycle as there)
+    sh = (
+        D.shingled(docs, "text", "doc_id", NGRAM)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .filter(F.size("shingles") > 0)
+    )
     sig = D.minhash_signatures(
-        D.exploded_shingles(docs, "text", "doc_id", NGRAM), "doc_id", b * r
+        sh.select("doc_id", F.explode("shingles").alias("shingle")),
+        "doc_id",
+        b * r,
     )
     cand = D.bucket_pairs(D.band_keyed(sig, "doc_id", b, r), "doc_id")
-    sh = D.shingled(docs, "text", "doc_id", NGRAM)
     scored = (
         cand.join(
             sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")),
