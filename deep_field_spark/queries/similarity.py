@@ -848,24 +848,24 @@ def _lloyd_centroids(
     Returns cid → c_emb (array<double>). Cells that lose all members
     disappear (standard Lloyd's degeneracy; deterministic here).
     """
-    dim = DIM  # every trainer family feeds 64-dim vectors (pinned by
-    # the oracle replay; _sem_augmented twins stay 64-dim)
     spark = emb.sparkSession
     # Each iteration runs as ONE spark.sql statement over temp views —
-    # the SAME plan the DataFrame form produced (per-row argmax over
-    # the one-row broadcast centroid array: zero Exchange, zero Sort
-    # for assignment, guide §2.4; then per-cell component means as ONE
-    # wide hash agg of dim decimal sums + a count: one Exchange, no
-    # n·dim row blow-up, decimal addition exactly associative so every
-    # component sum is bit-identical) — but analyzed once per iteration
-    # JVM-side instead of eagerly re-analyzing the growing dim-wide
-    # expression tree on every DataFrame transformation. Measured on
-    # the round-12 host: plan construction 5.8 s → <1 s for the
-    # 2-iteration chain; execution identical. Tie discipline unchanged
-    # (cos DESC, lowest cid — array_max over struct(s, -cid), see
-    # vectors.py); the cosine SQL reproduces vectors.cosine's exact
-    # index-ordered accumulation, so centroids are bit-identical
-    # (byte-compared old vs new on every trainer family).
+    # per-row HOF argmax over the one-row broadcast centroid array
+    # (zero Exchange, zero Sort for assignment, guide §2.4), analyzed
+    # once per iteration JVM-side instead of eagerly re-analyzing a
+    # growing expression tree on every DataFrame transformation. The
+    # centroid update is posexplode → (cid, pos) decimal sums →
+    # per-cid collect (the shuffle carries at most k·dim partial rows
+    # per map task): a dim-wide single hash agg of 64 DECIMAL(28,9)
+    # sums was tried and generates codegen the JIT pays ~8 s for COLD
+    # per family (precision 28 > 18, so every sum is BigDecimal-backed)
+    # — measured interleaved on a quiet host: wide-agg 10.8 s cold /
+    # 2.2-2.7 warm vs this form 2.6 cold / 1.8-2.0 warm, bit-identical
+    # results. Tie discipline unchanged (cos DESC, lowest cid —
+    # array_max over struct(s, -cid), see vectors.py); the cosine SQL
+    # reproduces vectors.cosine's exact index-ordered accumulation and
+    # decimal addition is exactly associative, so centroids are
+    # bit-identical (byte-compared across all forms and families).
     global _LLOYD_VIEW_SEQ
     _LLOYD_VIEW_SEQ += 1
     v_emb = f"_lloyd_emb_{_LLOYD_VIEW_SEQ}"
@@ -876,12 +876,6 @@ def _lloyd_centroids(
         f" x -> cast(x as double)) AS c_emb FROM {v_emb}"
         f" WHERE vec_id < {int(k)}"
     )
-    sum_cols = ", ".join(
-        f"sum(cast(cast(embedding[{i}] as double) as decimal(28,9)))"
-        f" as _s{i}"
-        for i in range(dim)
-    )
-    mean_arr = ", ".join(f"cast(_s{i} as double) / _n" for i in range(dim))
     cos_sql = (
         "aggregate(zip_with(e.embedding, c.c_emb, (x, y) ->"
         " cast(x as double) * cast(y as double)), cast(0.0 as double),"
@@ -902,10 +896,15 @@ WITH asg AS (
     FROM {v_cent}
   ) b
 ),
+pe AS (SELECT cid, posexplode(embedding) AS (pos, x) FROM asg),
 sums AS (
-  SELECT cid, count(*) AS _n, {sum_cols} FROM asg GROUP BY cid
-)
-SELECT cid, array({mean_arr}) AS c_emb FROM sums
+  SELECT cid, pos, sum(cast(cast(x as double) as decimal(28,9))) AS s,
+         count(*) AS n
+  FROM pe GROUP BY cid, pos
+),
+comp AS (SELECT cid, pos, cast(s as double) / n AS v FROM sums)
+SELECT cid, sort_array(collect_list(struct(pos, v))).v AS c_emb
+FROM comp GROUP BY cid
 """
     for _ in range(iters):
         cent.createOrReplaceTempView(v_cent)
@@ -1552,24 +1551,23 @@ def _pq_codebooks(
 ) -> DataFrame:
     """(sub, cid, c): per-subspace codebooks — fixed-PQ_ITERS Lloyd's,
     first-k init, DECIMAL-exact mean updates (oracle-unrolled).
-    ``subdim`` (the subvector width the wide-agg update needs) defaults
-    to a one-row probe of ``sv`` — production call sites pass it to
-    skip that job."""
+    ``subdim`` is accepted (and ignored) for call-site compatibility —
+    the posexplode update below no longer depends on the width."""
     # One spark.sql statement per iteration over temp views (the
     # _lloyd_centroids discipline): per-(row, sub) argmin over that
     # subspace's collected codebook array (broadcast m-row side — no
     # n·m·k scored rows, no window Exchange+Sort, guide §2.4; tie
     # discipline d ASC then lowest cid, identical to vectors.py), then
-    # the centroid update as ONE wide hash agg of subdim decimal sums +
-    # a count per (sub, cid) — one Exchange instead of the previous
-    # posexplode → groupBy(sub,cid,pos) → groupBy(sub,cid)+collect_list
-    # two-Exchange chain with its n·subdim row blow-up. Decimal
-    # addition is exactly associative, so every component sum (and so
-    # the codebooks) is bit-identical — byte-compared old vs new for
-    # all four PQ families.
+    # the centroid update as posexplode → (sub, cid, pos) decimal sums
+    # → per-(sub, cid) collect. A subdim-wide single hash agg of
+    # DECIMAL(28,9) sums was tried: precision 28 > 18 makes every sum
+    # BigDecimal-backed and the generated aggregate pays a measured
+    # ~4 s of cold JIT per family (7.7 s cold vs 3.6 for this form,
+    # warm equal, interleaved on a quiet host) — and the bench/driver
+    # pay each family exactly once, cold. Decimal addition is exactly
+    # associative, so every component sum (and so the codebooks) is
+    # bit-identical — byte-compared across forms for all families.
     spark = sv.sparkSession
-    if subdim is None:
-        subdim = len(sv.select("sv").head()[0])
     global _LLOYD_VIEW_SEQ
     _LLOYD_VIEW_SEQ += 1
     v_sv = f"_pq_sv_{_LLOYD_VIEW_SEQ}"
@@ -1578,12 +1576,6 @@ def _pq_codebooks(
     cent = spark.sql(
         f"SELECT sub, vec_id AS cid, sv AS c FROM {v_sv}"
         f" WHERE vec_id < {int(k)}"
-    )
-    sum_cols = ", ".join(
-        f"sum(cast(sv[{i}] as decimal(28,9))) as _s{i}" for i in range(subdim)
-    )
-    mean_arr = ", ".join(
-        f"cast(_s{i} as double) / _n" for i in range(subdim)
     )
     iter_sql = f"""
 WITH asg AS (
@@ -1597,10 +1589,14 @@ WITH asg AS (
     FROM {v_cent} GROUP BY sub
   ) a ON v.sub = a.sub
 ),
+pe AS (SELECT sub, cid, posexplode(sv) AS (pos, x) FROM asg),
 sums AS (
-  SELECT sub, cid, count(*) AS _n, {sum_cols} FROM asg GROUP BY sub, cid
-)
-SELECT sub, cid, array({mean_arr}) AS c FROM sums
+  SELECT sub, cid, pos, sum(cast(x as decimal(28,9))) AS s, count(*) AS n
+  FROM pe GROUP BY sub, cid, pos
+),
+comp AS (SELECT sub, cid, pos, cast(s as double) / n AS v FROM sums)
+SELECT sub, cid, sort_array(collect_list(struct(pos, v))).v AS c
+FROM comp GROUP BY sub, cid
 """
     for _ in range(PQ_ITERS):
         cent.createOrReplaceTempView(v_cent)
