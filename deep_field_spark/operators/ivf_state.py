@@ -747,8 +747,6 @@ def split_oversized(
             F.transform(vec_col, lambda x: x.cast("double")).alias("s_emb"),
         )
     )
-    # vector width for the wide-agg mean (k-row centroid table probe)
-    dim = len(cent.select("c_emb").head()[0])
     # The assign+update round runs as ONE spark.sql statement per
     # iteration over temp views. Two independent wins, both measured:
     # (1) per-row HOF argmax over the cell's (<= 2) sub-centroids
@@ -756,21 +754,19 @@ def split_oversized(
     #     zero Sort over the member rows (the window form shuffled +
     #     sorted members·2 scored rows carrying the vector payload;
     #     ties cos DESC, lowest sub — bit-identical, see vectors.py),
-    #     and ONE wide hash agg (dim decimal sums + count) instead of
-    #     posexplode → two grouped aggs — one Exchange, no moved·dim
-    #     row blow-up; decimal addition is exactly associative so
-    #     every component sum is bit-identical.
+    #     with the mean update as posexplode → (cid, sub, pos) decimal
+    #     sums → per-(cid, sub) collect: a dim-wide single hash agg of
+    #     DECIMAL(28,9) sums was tried, but precision 28 > 18 makes
+    #     every sum BigDecimal-backed and the generated aggregate pays
+    #     seconds of cold JIT (the _lloyd_centroids lesson — measured
+    #     ~4x cold there, bit-identical results; decimal addition is
+    #     exactly associative so every component sum matches).
     # (2) one JVM-side parse/analyze per iteration instead of eager
     #     re-analysis of the growing dim-wide expression tree on every
     #     DataFrame transformation (construction cost measured 2.6 s →
     #     0.9 s for the 2-iteration loop at sf0.1).
     v_mv, v_subs = f"_split_mv_{name}", f"_split_subs_{name}"
     mv.createOrReplaceTempView(v_mv)
-    sum_cols = ", ".join(
-        f"sum(cast(cast({vec_col}[{i}] as double) as decimal(28,9))) as _s{i}"
-        for i in range(dim)
-    )
-    mean_arr = ", ".join(f"cast(_s{i} as double) / _n" for i in range(dim))
     # cosine with V.cosine's exact accumulation order (index-ordered
     # double adds), so the DuckDB oracle replay stays bit-identical
     cos_sql = (
@@ -795,11 +791,15 @@ def split_oversized(
   ) a ON a.cid = m.cid"""
     iter_sql = f"""
 WITH asg AS ({asg_sql}),
+pe AS (SELECT cid, sub, posexplode({vec_col}) AS (pos, x) FROM asg),
 sums AS (
-  SELECT cid, sub, count(*) AS _n, {sum_cols}
-  FROM asg GROUP BY cid, sub
-)
-SELECT cid, sub, array({mean_arr}) AS s_emb FROM sums
+  SELECT cid, sub, pos,
+         sum(cast(cast(x as double) as decimal(28,9))) AS s, count(*) AS n
+  FROM pe GROUP BY cid, sub, pos
+),
+comp AS (SELECT cid, sub, pos, cast(s as double) / n AS v FROM sums)
+SELECT cid, sub, sort_array(collect_list(struct(pos, v))).v AS s_emb
+FROM comp GROUP BY cid, sub
 """
     for _ in range(iters):
         subs.createOrReplaceTempView(v_subs)
