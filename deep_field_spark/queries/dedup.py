@@ -1309,27 +1309,24 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("d.doc_id", "d.other_id", "d.containment").filter(
         F.col("containment") >= CONTAINMENT_THRESHOLD
     )
-    # best container per doc as ONE hash aggregation with map-side
-    # partial combine (min of a lexicographic struct: -containment
-    # sorts the highest containment first, other_id breaks ties
-    # upward — identical to the row_number window it replaces, which
-    # needed Exchange+Sort and shipped every scored row to one task
-    # per doc)
+    # best container per doc via the doc_id-keyed window. A
+    # min(struct(-containment, other_id)) aggregation was tried
+    # (map-side partial combine): struct buffers can't hash-aggregate,
+    # so it compiles to SortAggregate pairs whose generated code pays
+    # several seconds of cold JIT per query shape (14.3 s vs 7.8 s
+    # cold end-to-end, warm equal — interleaved quiet-host A/B), and
+    # the query runs once per bench/driver session. Window partitions
+    # are candidate-bounded per doc, so the sort stays balanced.
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("containment"), F.asc("other_id")
+    )
     return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.min(
-                F.struct(
-                    (-F.col("containment")).alias("nc"),
-                    F.col("other_id").alias("oid"),
-                    F.col("containment").alias("c"),
-                )
-            ).alias("m")
-        )
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
         .select(
             "doc_id",
-            F.col("m.oid").alias("contained_in"),
-            F.round(F.col("m.c"), 6).alias("containment"),
+            F.col("other_id").alias("contained_in"),
+            F.round("containment", 6).alias("containment"),
         )
     )
 

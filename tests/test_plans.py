@@ -704,18 +704,20 @@ def test_decontam_embedding_no_cross_product(spark, sf_dir):
 def test_containment_no_cross_product(spark, sf_dir):
     """dedup_containment: candidates via band-key equi-joins, verify
     joins on ids; never a doc x doc product. Anchor selection is a
-    per-row HOF over the persisted shingle arrays and the best
-    container a doc_id-keyed min(struct) aggregation — no Window
-    (each one replaced an Exchange+Sort over corpus-scale rows)."""
+    per-row HOF over the persisted shingle arrays (no Window — it
+    replaced an Exchange+Sort over corpus-scale exploded rows); the
+    best-container pick is the ONLY window, keyed by doc_id
+    (candidate-bounded partitions; the min(struct) aggregation
+    alternative compiles to SortAggregate whose codegen pays seconds
+    of cold JIT, measured — see the query's tail comment)."""
     import re
     plan = _plan(spark, sf_dir, "dedup_containment")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
-    assert not re.search(r"\bWindow\b", plan), plan
-    assert any(
-        "Aggregate" in l and "partial_min" in l and "containment" in l
-        for l in plan.splitlines()
-    ), plan
+    wins = [l for l in plan.splitlines() if re.search(r"\bWindow\b", l)]
+    assert wins, plan
+    for w in wins:
+        assert "doc_id" in w, plan
 
 
 def test_gapfill_window_is_user_keyed(spark, sf_dir):
