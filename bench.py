@@ -251,18 +251,17 @@ def _bench_lsh_split(spark, sf_dir: str) -> tuple[float, float, int]:
         MINHASH_THRESHOLD,
         NGRAM,
         NUM_HASHES,
+        _memo_lsh_base,
     )
 
     docs = table(spark, sf_dir, "documents")
     name = "bench_lsh_split"
     t0 = time.perf_counter()
-    lsh_state.build(
-        docs.filter(F.col("doc_id") < INCR_BATCH_MIN_ID),
-        name,
-        ngram=NGRAM,
-        num_hashes=NUM_HASHES,
-        bands=BANDS,
-    )
+    # the memoized clone-or-build path the registered query itself
+    # takes (queries/dedup._memo_lsh_base): the FIRST consumer in the
+    # session pays the real build here; streaming_dedup_ingest's
+    # lshing.build row later clones the same bytes
+    _memo_lsh_base(spark, sf_dir, name)
     build_dt = time.perf_counter() - t0
     t0 = time.perf_counter()
     report = lsh_state.ingest(
@@ -613,6 +612,14 @@ def main() -> None:
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # One compact JSON line per row (r12 verdict #1, option B): a
+    # full-stdout scraper gets every per-query timing even though the
+    # driver's bounded tail cannot hold them all. Printed as a block
+    # right before the contract line so the per-run stdout ordering is
+    # deterministic; these lines sit ABOVE the tail window and never
+    # displace the parseable lines below.
+    for k, v in timings.items():
+        print(json.dumps({"q": k, "s": v}, separators=(",", ":")))
     print(
         json.dumps(
             {
@@ -622,6 +629,27 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
             }
+        )
+    )
+    # Per-query values INSIDE the driver's 2000-char stdout tail (r12
+    # verdict #1): the full named map is ~4.7 KB and can never fit, so
+    # the values ride positionally — the order is the `queries` key
+    # order of the full line above (dict insertion order: cal.*,
+    # train.*, then HEADLINE with each split query's phase rows
+    # immediately before its own entry), which is deterministic per
+    # code version and recoverable from any committed full-line
+    # artifact (plans/r13/bench_*.json) or from bench.py itself. At
+    # ~6 chars/value this line is ~1.2 KB: it and the final line below
+    # both survive the tail intact.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_per_query_sec",
+                "n": len(timings),
+                "order": "queries key order of the full line",
+                "values": list(timings.values()),
+            },
+            separators=(",", ":"),
         )
     )
     # Tail-proof headline: the full per-query line above exceeds the
@@ -644,6 +672,10 @@ def main() -> None:
                 # .ingest phase-split rows are informational, not queries
                 "n_queries": len(HEADLINE),
                 "sf": sf_val,
+                # scaling input (r12 verdict #1): each artifact
+                # self-describes the core count it ran at, so the
+                # driver's 8-core run is attributable from the tail
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
                 "cal.cpu": round(cal_cpu, 3),
                 "cal.spark": round(cal_spark, 3),
                 # one-time training block (counts toward the headline

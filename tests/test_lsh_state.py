@@ -394,3 +394,33 @@ def test_streaming_lifecycle_ingest_compact_ingest(
         **KW,
     ).count() == 0
     assert spark.table(f"{state_name}_bands").count() == n_bands
+
+
+def test_clone_is_byte_identical_and_independent(spark, sf_dir, state_name):
+    """lsh_state.clone (behind the day-1 base-state session memo) must
+    return exactly the source's rows under the new name and stay fully
+    independent: an absorbing ingest on the clone never moves the
+    source tables."""
+    from deep_field_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    bkw = {k: v for k, v in KW.items() if k != "threshold"}
+    lsh_state.build(docs.filter(F.col("doc_id") < 300), state_name, **bkw)
+    dst = f"{state_name}_c"
+    try:
+        lsh_state.clone(spark, state_name, dst)
+        for suffix in ("bands", "shingles"):
+            s = spark.table(f"{state_name}_{suffix}")
+            d = spark.table(f"{dst}_{suffix}")
+            assert s.exceptAll(d).count() == 0
+            assert d.exceptAll(s).count() == 0
+        n_sh = spark.table(f"{state_name}_shingles").count()
+        lsh_state.ingest(
+            spark, dst,
+            docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 350)),
+            **KW,
+        )
+        assert spark.table(f"{dst}_shingles").count() == n_sh + 50
+        assert spark.table(f"{state_name}_shingles").count() == n_sh
+    finally:
+        lsh_state.drop(spark, dst)

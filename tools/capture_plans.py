@@ -23,7 +23,11 @@ def main() -> int:
     spark = get_spark("capture_plans")
     spark.sparkContext.setLogLevel("ERROR")
     reg = load_registry()
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         try:
