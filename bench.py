@@ -435,6 +435,29 @@ def _bench_ivfpq_split(spark, sf_dir: str) -> tuple[float, float, int]:
     return build_dt, serve_dt, n
 
 
+def _bench_scrape_star_split(
+    spark, sf_dir: str
+) -> tuple[float, float, int]:
+    """Time scrape_star_plays's two phases separately: the page-scan +
+    parse-UDF + player-dim materialization (scrape.parse) vs the star
+    build + FK-resolution joins (scrape.star) — r12 verdict #3's
+    phase-row ask, so round-over-round reads can attribute parse-cost
+    vs star-build drift."""
+    from deep_field_spark.queries.scrape import _ssp_parse, _ssp_star
+
+    t0 = time.perf_counter()
+    parsed, players = _ssp_parse(spark)
+    parse_dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = _ssp_star(spark, parsed, players)
+    n = out.count()
+    star_dt = time.perf_counter() - t0
+    parsed.unpersist()
+    players.unpersist()
+    out.unpersist()
+    return parse_dt, star_dt, n
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -556,6 +579,11 @@ def main() -> None:
             ("ivfpq.build", "ivfpq.serve"),
             ("build", "serve"),
             _bench_ivfpq_split,
+        ),
+        "scrape_star_plays": (
+            ("scrape.parse", "scrape.star"),
+            ("parse", "star"),
+            _bench_scrape_star_split,
         ),
     }
     for name in HEADLINE:

@@ -90,6 +90,37 @@ def appearance_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fixture_pages(
+    spark: SparkSession,
+    kind: str,
+    names: list[str] | None = None,
+    limit: int | None = None,
+) -> DataFrame:
+    """(name_id, html) fixture pages as a pure-JVM wholetext file scan.
+
+    The old form (driver reads files → spark.createDataFrame) made the
+    page frame a Python-backed local RDD: EVERY scan of that leaf pays
+    a driver-Python pickle pass plus a Python-worker round trip before
+    the parse UDF even starts — an identity mapInPandas over the same
+    3 pages measured 1.7-2.0 s vs ~0.6 s off this scan (quiet host,
+    interleaved; parse output byte-identical). A file scan is also the
+    honest 100k-page-backfill shape: pages come from storage, the
+    driver never holds them. name_id = basename minus extension, the
+    name_id_of/pages.py:42-44 rule, applied to input_file_name()."""
+    import glob as g
+
+    if names is not None:
+        paths = [f"{FIXTURES}/{kind}/{n}.shtml" for n in names]
+    else:
+        paths = sorted(g.glob(f"{FIXTURES}/{kind}/*.shtml"))[:limit]
+    return spark.read.text(paths, wholetext=True).select(
+        F.regexp_replace(
+            F.element_at(F.split(F.input_file_name(), "/"), -1), r"\.[^.]*$", ""
+        ).alias("name_id"),
+        F.col("value").alias("html"),
+    )
+
+
 def _sq(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
@@ -290,26 +321,39 @@ def scrape_core_resolved_plays(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tests/test_scrape_pipeline.py.",
 )
 def scrape_star_plays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed, players = _ssp_parse(spark)
+    out = _ssp_star(spark, parsed, players)
+    parsed.unpersist()
+    players.unpersist()
+    return out
+
+
+def _ssp_parse(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    """Phase 1 of scrape_star_plays (bench row scrape.parse): page scan
+    + game-page parse UDF + roster-derived player dim, both cached and
+    eagerly materialized — the parse output feeds the player dim, the
+    star build and the final joins; without materializing first the
+    branches of the single final job would each re-run the UDF (cache
+    population races within one job)."""
     from ..scraping import pipeline as P
 
-    rows = []
-    for nid in STAR_GAMES:
-        with open(f"{FIXTURES}/GamePage/{nid}.shtml", encoding="utf-8") as f:
-            rows.append((nid, f.read()))
-    pages = spark.createDataFrame(rows, "name_id string, html string").coalesce(
-        max(1, len(rows))
-    )  # local lists land in 32 slices, mostly empty; an empty
-    # partition still costs a Python-worker spin-up + module import
-    # in the parse mapInPandas (~4 s across 29 empty workers measured)
+    pages = _fixture_pages(spark, "GamePage", STAR_GAMES)
     with P.fixture_scale(spark):
-        # cache + eager count: the parse UDF output feeds the player dim,
-        # the star build and the final joins — without materializing first,
-        # the branches of the single final job would each re-run the UDF
-        # (cache population races within one job)
         parsed = P.parse_game_pages(pages).cache()
         parsed.count()
         players = P.mock_players_from_games(parsed).cache()
         players.count()
+    return parsed, players
+
+
+def _ssp_star(
+    spark: SparkSession, parsed: DataFrame, players: DataFrame
+) -> DataFrame:
+    """Phase 2 (bench row scrape.star): dim upserts + resolve_plays +
+    surrogate ids + the FK-resolution joins back to name_ids."""
+    from ..scraping import pipeline as P
+
+    with P.fixture_scale(spark):
         star = P.build_star(spark, parsed, players)
         nid = players.select(F.col("id"), F.col("name_id"))
         b = nid.select(F.col("id").alias("batter_id"), F.col("name_id").alias("batter_name_id"))
@@ -339,23 +383,10 @@ def scrape_star_plays(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scrape_star_games(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..scraping import pipeline as P
 
-    rows = []
-    for nid in STAR_GAMES:
-        with open(f"{FIXTURES}/GamePage/{nid}.shtml", encoding="utf-8") as f:
-            rows.append((nid, f.read()))
-    pages = spark.createDataFrame(rows, "name_id string, html string").coalesce(
-        max(1, len(rows))
-    )  # local lists land in 32 slices, mostly empty; an empty
-    # partition still costs a Python-worker spin-up + module import
-    # in the parse mapInPandas (~4 s across 29 empty workers measured)
+    # same JVM page scan + eager parse/players materialization as
+    # scrape_star_plays (see _ssp_parse for why)
+    parsed, players = _ssp_parse(spark)
     with P.fixture_scale(spark):
-        # eager counts for the same reason as scrape_star_plays: the
-        # final job's dim/plays branches all consume parsed + players,
-        # and cache population races within one job
-        parsed = P.parse_game_pages(pages).cache()
-        parsed.count()
-        players = P.mock_players_from_games(parsed).cache()
-        players.count()
         star = P.build_star(spark, parsed, players)
         v = star["venue"].select(F.col("id").alias("venue_id"), F.col("name").alias("venue_name"))
         ta = star["team"].select(F.col("id").alias("away_team_id"), F.col("abbreviation").alias("away_abbr"))
@@ -372,6 +403,8 @@ def scrape_star_games(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cache()
         out.count()
+    parsed.unpersist()
+    players.unpersist()
     return out
 
 
@@ -382,20 +415,11 @@ def scrape_star_games(spark: SparkSession, sf_dir: str) -> DataFrame:
         "handedness enum encode + name_id-keyed dim upsert.",
 )
 def scrape_player_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
-    import os
-
     from ..scraping import pipeline as P
 
-    rows = []
-    for f in sorted(glob.glob(f"{FIXTURES}/PlayerPage/*.shtml"))[:20]:
-        with open(f, encoding="utf-8") as fh:
-            rows.append((os.path.basename(f)[:-6], fh.read()))
-    pages = spark.createDataFrame(rows, "name_id string, html string").coalesce(
-        max(1, len(rows))
-    )  # local lists land in 32 slices, mostly empty; an empty
-    # partition still costs a Python-worker spin-up + module import
-    # in the parse mapInPandas (~4 s across 29 empty workers measured)
+    # JVM wholetext scan (see _fixture_pages): same name_id derivation
+    # as the old driver-side basename[:-6] read
+    pages = _fixture_pages(spark, "PlayerPage", limit=20)
     with P.fixture_scale(spark):
         parsed = P.parse_player_pages(pages)
         out = P.players_dim_from_parsed(parsed).select(

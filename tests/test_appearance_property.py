@@ -86,6 +86,7 @@ def games(draw):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(game=games())
+@pytest.mark.slow
 def test_windows_match_reference_simulation(spark, game):
     expected = simulate(game)
 

@@ -74,6 +74,7 @@ class TestArgValidation:
         assert "Ending scrape" in capsys.readouterr().err
 
 
+@pytest.mark.slow
 def test_cli_year_scoped_run(spark, tmp_path):
     """The CLI's orchestration path: fixture cache → year filter →
     star → SQLite, with the 2017 filter excluding other years' games."""

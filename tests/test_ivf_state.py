@@ -598,6 +598,7 @@ def test_hier_state_ingests_hier(spark, sf_dir, state_name):
     assert ivf_state.ingest(spark, state_name, b2).count() == 20
 
 
+@pytest.mark.slow
 def test_hier_multiprobe_probes_all_supers_equals_flat(spark, sf_dir):
     """The multi-probe contract's boundary invariant: probing EVERY
     super (super_probes >= g) makes the level-2 candidate set the full

@@ -49,6 +49,7 @@ def test_sqlite_loaded(run):
         con.close()
 
 
+@pytest.mark.slow
 def test_resume_is_noop(spark, run):
     star, _, _ = run
     star2, counters2 = O.scrape_from_cache(spark, RES, existing=star)
@@ -103,6 +104,7 @@ def _make_fetch(log_path: str, serve_game: bool):
     return fetch
 
 
+@pytest.mark.slow
 class TestOnlineMode:
     def test_online_fetches_schedule_and_games(self, spark, tmp_path):
         """Online mode against an EMPTY cache: the fake network serves

@@ -79,6 +79,7 @@ class TestParseUdfs:
         assert "MissingPlayDataError" in rows["PIT196507020"].error
         assert rows["WAS201710120"].error is None
 
+    @pytest.mark.slow
     def test_schedule_stage(self, spark):
         parsed = P.parse_schedule_pages(
             _pages_df(spark, "SchedulePage", ["2016-schedule"])
@@ -140,6 +141,7 @@ ALL_PARSEABLE = sorted(
 )
 
 
+@pytest.mark.slow
 class TestAppearanceSemantics:
     """W1-W4 vs the literal reference-code simulation, every play of
     every fixture game."""
@@ -189,6 +191,7 @@ class TestAppearanceSemantics:
         assert by_num[84] == "griffke02"
 
 
+@pytest.mark.slow
 class TestUpsertResume:
     def test_dim_upsert_idempotent(self, spark, was_star):
         """Re-running the build against the existing star adds nothing
@@ -217,6 +220,7 @@ class TestUpsertResume:
         assert star2["play"].select("id").distinct().count() == 97 + 80
 
 
+@pytest.mark.slow
 class TestSqliteSink:
     def test_round_trip(self, spark, was_star, tmp_path):
         db = str(tmp_path / "deepfield.db")
@@ -357,6 +361,7 @@ class TestStarPlanShape:
         for name, df in was_star.items():
             self._assert_no_global_window(df)
 
+    @pytest.mark.slow
     def test_incremental_build_has_no_global_window(self, spark, was_star):
         parsed = P.parse_game_pages(_pages_df(spark, "GamePage", ["CHN201710110"]))
         players2 = P.mock_players_from_games(parsed, existing=was_star["player"])

@@ -56,6 +56,7 @@ def test_dims_deduplicate_across_copies(star):
     assert star["_players"].select("name_id").distinct().count() == n_players
 
 
+@pytest.mark.slow
 def test_surrogate_ids_unique_and_dense(star):
     for name in ("game", "venue", "team", "play"):
         df = star[name]

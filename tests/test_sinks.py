@@ -5,6 +5,8 @@ from __future__ import annotations
 import glob
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from deep_field_spark import sinks
@@ -264,6 +266,7 @@ def test_foreach_batch_merge_upsert_cdc_apply(spark, sf_dir, tmp_path):
     assert sorted((r.doc_id, r.text) for r in again.collect()) == state1
 
 
+@pytest.mark.slow
 def test_merge_upsert_property_vs_model(spark, sf_dir, tmp_path):
     """Property: for arbitrary update/delete batches (existing keys,
     new keys, moved partitions, emptied partitions), merge_upsert with

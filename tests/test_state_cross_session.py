@@ -17,6 +17,8 @@ from __future__ import annotations
 import json
 import subprocess
 import sys
+
+import pytest
 import uuid
 
 from pyspark.sql import functions as F
@@ -93,6 +95,7 @@ print(json.dumps({"rows": rows, "bands": n_bands,
 """
 
 
+@pytest.mark.slow
 def test_state_attaches_in_fresh_process(spark, sf_dir, tmp_path):
     name = f"xsess_{uuid.uuid4().hex[:8]}"
     root = str(tmp_path / "stateroot")

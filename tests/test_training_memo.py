@@ -4,6 +4,7 @@ contract a memo hit promises."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from deep_field_spark.catalog import spread, table
@@ -13,6 +14,7 @@ from deep_field_spark.queries import similarity as S
 REGISTRY = load_registry()
 
 
+@pytest.mark.slow
 def test_warm_covers_every_training_family(spark, sf_dir):
     """warm_training_memo must train EVERY family the registered
     queries consume — a consumer training a key the warm-up missed
