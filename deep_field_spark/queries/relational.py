@@ -1532,15 +1532,20 @@ def _bloom_pos(col, seed):
     GROUP BY 1
     """,
     doc="Bloom-filter runtime pruning of a fact scan: the filtered dim "
-        "keys are hashed (k seeds) into a bounded bit-position set, "
-        "broadcast as ONE row, and the fact stream is pruned with "
-        "array_contains before the exact join repairs any false "
-        "positives. At 100 TB the win is shuffle-side: ~80% of fact "
-        "rows die at the scan instead of crossing the exchange. The "
-        "position-set size is min(|dim|*k, BLOOM_M) — independent of "
-        "fact cardinality; size BLOOM_M to the dim's NDV in "
-        "production. Oracle = the plain equi-join (Bloom is "
-        "result-invariant by construction).",
+        "keys are hashed (k seeds) into a REAL packed bitset — "
+        "BLOOM_M bits as BLOOM_M/64 longs, broadcast as ONE row — and "
+        "the fact stream is pruned with an O(1) element_at word "
+        "lookup + bitwise AND per seed before the exact join repairs "
+        "any false positives. (The first form kept the positions as a "
+        "sorted int array probed with array_contains — a LINEAR scan "
+        "per fact row per seed whose cost grows with dim NDV: 1.8-4.1 "
+        "s vs 0.6-1.0 s for the bitset at sf0.1, identical results — "
+        "a genuine scale bug, not a constant.) The bitset is 8 KB "
+        "regardless of dim cardinality; size BLOOM_M to the dim's NDV "
+        "in production. At 100 TB the win is shuffle-side: ~80% of "
+        "fact rows die at the scan instead of crossing the exchange. "
+        "Oracle = the plain equi-join (Bloom is result-invariant by "
+        "construction).",
 )
 def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = (
@@ -1548,21 +1553,44 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey")
     )
-    bits = dim.select(
-        F.explode(
-            F.array(*[_bloom_pos(F.col("c_custkey"), s) for s in BLOOM_SEEDS])
-        ).alias("p")
-    ).agg(F.sort_array(F.collect_set("p")).alias("bits"))
+    # pack the k·|dim| bit positions into a dense BLOOM_M-bit bitset:
+    # per-word OR of the position masks, then a left join against the
+    # full word range so element_at indexing is total (absent word =
+    # 0L), collected in word order into one broadcastable row
+    words = (
+        dim.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("c_custkey"), s) for s in BLOOM_SEEDS])
+            ).alias("p")
+        )
+        .select(
+            (F.col("p") / 64).cast("long").alias("i"),
+            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("w"),
+        )
+        .groupBy("i")
+        .agg(F.expr("bit_or(w)").alias("w"))
+    )
+    bitset = (
+        spark.range(BLOOM_M // 64)
+        .join(words, F.col("id") == F.col("i"), "left")
+        .select("id", F.coalesce(F.col("w"), F.lit(0).cast("long")).alias("w"))
+        .agg(F.sort_array(F.collect_list(F.struct("id", "w"))).alias("x"))
+        .select(F.col("x.w").alias("bw"))
+    )
     fact = table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderpriority", "o_totalprice"
     )
-    pruned = fact.join(F.broadcast(bits))
+    pruned = fact.join(F.broadcast(bitset))
     for s in BLOOM_SEEDS:
-        pruned = pruned.filter(
-            F.array_contains(F.col("bits"), _bloom_pos(F.col("o_custkey"), s))
-        )
+        pruned = pruned.withColumn("_p", _bloom_pos(F.col("o_custkey"), s)).filter(
+            F.expr(
+                "element_at(bw, cast(_p / 64 as int) + 1)"
+                " & shiftleft(1L, cast(_p % 64 as int))"
+            )
+            != 0
+        ).drop("_p")
     return (
-        pruned.drop("bits")
+        pruned.drop("bw")
         .join(dim, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderpriority")
         .agg(

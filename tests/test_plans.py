@@ -782,18 +782,21 @@ def test_dq_audit_legs_are_anti_joins(spark, sf_dir):
 
 
 def test_bloom_prune_filters_fact_before_equi_join(spark, sf_dir):
-    """join_bloom_pruned: the bit-position set rides a broadcast (one
+    """join_bloom_pruned: the packed bitset rides a broadcast (one
     aggregated row — BroadcastNestedLoopJoin is the correct physical
-    op for a join with no keys), the array_contains prune sits between
-    the fact scan and the exact equi-join, and the repair join itself
+    op for a join with no keys), the O(1) word-lookup prune
+    (element_at + shiftleft mask — NOT the old array_contains linear
+    scan, whose per-row cost grew with dim NDV) sits between the fact
+    scan and the exact equi-join, and the repair join itself
     broadcasts the dim (never the fact)."""
     plan = _plan(spark, sf_dir, "join_bloom_pruned")
-    assert "array_contains" in plan
+    assert "element_at" in plan and "shiftleft" in plan
+    assert "array_contains" not in plan  # the linear-scan form is gone
     assert "BroadcastHashJoin" in plan  # the exact repair join
     assert "CartesianProduct" not in plan
-    # the prune (array_contains filter) must appear BELOW the repair
-    # join in the tree — i.e. after its first mention in printed order
-    assert "array_contains" in plan[plan.index("BroadcastHashJoin"):]
+    # the prune (bitset filter) must appear BELOW the repair join in
+    # the tree — i.e. after its first mention in printed order
+    assert "element_at" in plan[plan.index("BroadcastHashJoin"):]
 
 
 def test_q13_outer_join_keeps_zero_count_customers(spark, sf_dir):
