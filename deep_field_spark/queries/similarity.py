@@ -1769,36 +1769,57 @@ def _rrf_oracle() -> str:
 
 
 def _rrf_sem_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The semantic leg's top-RRF_POOL ranking (qid, did, r), persisted:
+    """The semantic leg's top-RRF_POOL ranking (qid, did, r):
     retrieval_rrf_fusion consumes it for the fusion and
     retrieval_eval_ndcg's 'semantic' system is its r <= EVAL_K prefix —
     sharing the frame removes a second broadcast-crossJoin + window
-    pass over the corpus (the two calls dedupe to one cache entry via
-    CacheManager logical-plan matching). |queries| x RRF_POOL rows —
-    bounded at any corpus size."""
-    from pyspark import StorageLevel
+    pass over the corpus. |queries| x RRF_POOL rows — bounded at any
+    corpus size. Held in the session training memo (the _memo_train
+    discipline, r12 verdict wart #5: the old persist() form rode the
+    CacheManager, so WHICH query's bench row paid the pool depended on
+    intervening clearCache calls — the memo's checkpoint survives
+    clearCache, a fresh driver session always rebuilds, and the bench
+    prices the build once as its own sem_pool.build row)."""
 
-    emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
-    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
-    )
-    corpus = emb.select(F.col("vec_id").alias("did"), F.col("embedding").alias("c_emb"))
-    sem_scored = (
-        F.broadcast(queries)
-        .crossJoin(corpus)
-        .filter(F.col("qid") != F.col("did"))
-        .select("qid", "did", vectors.cosine(F.col("q_emb"), F.col("c_emb")).alias("cos"))
-    )
-    return (
-        sem_scored.withColumn(
-            "r",
-            F.row_number()
-            .over(Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("did")))
-            .cast("long"),
+    def build() -> DataFrame:
+        emb = spread(table(spark, sf_dir, "embeddings")).select(
+            "vec_id", "embedding"
         )
-        .filter(F.col("r") <= RRF_POOL)
-        .select("qid", "did", "r")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+        )
+        corpus = emb.select(
+            F.col("vec_id").alias("did"), F.col("embedding").alias("c_emb")
+        )
+        sem_scored = (
+            F.broadcast(queries)
+            .crossJoin(corpus)
+            .filter(F.col("qid") != F.col("did"))
+            .select(
+                "qid",
+                "did",
+                vectors.cosine(F.col("q_emb"), F.col("c_emb")).alias("cos"),
+            )
+        )
+        return (
+            sem_scored.withColumn(
+                "r",
+                F.row_number()
+                .over(
+                    Window.partitionBy("qid").orderBy(
+                        F.col("cos").desc(), F.col("did")
+                    )
+                )
+                .cast("long"),
+            )
+            .filter(F.col("r") <= RRF_POOL)
+            .select("qid", "did", "r")
+        )
+
+    # corpus_scaled: the pool row count grows with the query sample
+    # (vec_id % QUERY_MOD), so keep its natural partitioning
+    return _memo_train(
+        spark, ("rrf_sem_pool", sf_dir), build, corpus_scaled=True
     )
 
 
